@@ -1,0 +1,154 @@
+"""SoA point container (host side, numpy).
+
+The TPU-native analogue of PointBuffer (schwarzwald/core/datastructures/
+PointBuffer.h:19-305): a struct-of-arrays container for positions plus up to
+12 optional LAS attributes. Unlike the reference's per-point proxy iterators,
+all operations here are whole-column vectorized — `take` (fancy-gather) is the
+workhorse that replaces per-point copies in the persist path.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .attributes import ATTRIBUTE_LAYOUT, PointAttribute
+
+
+def _column(attr: PointAttribute, count: int) -> np.ndarray:
+    dtype, width = ATTRIBUTE_LAYOUT[attr]
+    shape = (count, width) if width > 1 else (count,)
+    return np.zeros(shape, dtype=dtype)
+
+
+@dataclasses.dataclass
+class PointBuffer:
+    """positions is always present; other attributes are optional columns."""
+
+    positions: np.ndarray  # (N, 3) float64
+    columns: dict  # PointAttribute -> ndarray (excluding Position)
+
+    def __init__(self, positions=None, columns=None, **kwargs):
+        if positions is None:
+            positions = np.empty((0, 3), dtype=np.float64)
+        self.positions = np.ascontiguousarray(positions, dtype=np.float64)
+        self.columns = {}
+        if columns:
+            for attr, arr in columns.items():
+                self.set_column(attr, arr)
+        for name, arr in kwargs.items():
+            self.set_column(PointAttribute[name], arr)
+
+    @classmethod
+    def empty(cls, count: int, attributes) -> "PointBuffer":
+        """Preallocated buffer (PointBuffer.h:127 ctor) enabling concurrent
+        region-writes by readers."""
+        buf = cls(np.zeros((count, 3), dtype=np.float64))
+        for attr in attributes:
+            if attr != PointAttribute.Position:
+                buf.columns[attr] = _column(attr, count)
+        return buf
+
+    @property
+    def count(self) -> int:
+        return int(self.positions.shape[0])
+
+    def __len__(self) -> int:
+        return self.count
+
+    @property
+    def empty_(self) -> bool:
+        return self.count == 0
+
+    def attributes(self):
+        return {PointAttribute.Position} | set(self.columns)
+
+    def has(self, attr: PointAttribute) -> bool:
+        return attr == PointAttribute.Position or attr in self.columns
+
+    def get(self, attr: PointAttribute):
+        if attr == PointAttribute.Position:
+            return self.positions
+        return self.columns.get(attr)
+
+    def set_column(self, attr: PointAttribute, arr) -> None:
+        if attr == PointAttribute.Position:
+            self.positions = np.ascontiguousarray(arr, dtype=np.float64)
+            return
+        dtype, width = ATTRIBUTE_LAYOUT[attr]
+        arr = np.asarray(arr, dtype=dtype)
+        expected = (self.count, width) if width > 1 else (self.count,)
+        if arr.shape != expected:
+            raise ValueError(
+                f"Column {attr} has shape {arr.shape}, expected {expected}"
+            )
+        self.columns[attr] = arr
+
+    def take(self, indices) -> "PointBuffer":
+        """Gather a sub-buffer by indices (replaces per-point copying)."""
+        out = PointBuffer(self.positions[indices])
+        for attr, arr in self.columns.items():
+            out.columns[attr] = arr[indices]
+        return out
+
+    def slice(self, start: int, stop: int) -> "PointBuffer":
+        out = PointBuffer(self.positions[start:stop])
+        for attr, arr in self.columns.items():
+            out.columns[attr] = arr[start:stop]
+        return out
+
+    def write_region(self, offset: int, other: "PointBuffer") -> None:
+        """Write `other` into [offset, offset+len(other)) of this buffer."""
+        end = offset + other.count
+        self.positions[offset:end] = other.positions
+        for attr, arr in other.columns.items():
+            if attr in self.columns:
+                self.columns[attr][offset:end] = arr
+
+    def append(self, other: "PointBuffer") -> "PointBuffer":
+        """Concatenate; keeps only attributes present in both (apply_schema
+        discipline, PointBuffer.h:141-167)."""
+        if self.count == 0:
+            return other.copy()
+        if other.count == 0:
+            return self.copy()
+        out = PointBuffer(np.concatenate([self.positions, other.positions]))
+        for attr in set(self.columns) & set(other.columns):
+            out.columns[attr] = np.concatenate(
+                [self.columns[attr], other.columns[attr]]
+            )
+        return out
+
+    def copy(self) -> "PointBuffer":
+        out = PointBuffer(self.positions.copy())
+        out.columns = {a: arr.copy() for a, arr in self.columns.items()}
+        return out
+
+    def keep_attributes(self, attributes) -> "PointBuffer":
+        out = PointBuffer(self.positions)
+        out.columns = {a: arr for a, arr in self.columns.items() if a in attributes}
+        return out
+
+    @staticmethod
+    def concatenate(buffers) -> "PointBuffer":
+        buffers = [b for b in buffers if b.count]
+        if not buffers:
+            return PointBuffer()
+        out = PointBuffer(np.concatenate([b.positions for b in buffers]))
+        common = set(buffers[0].columns)
+        for b in buffers[1:]:
+            common &= set(b.columns)
+        for attr in common:
+            out.columns[attr] = np.concatenate([b.columns[attr] for b in buffers])
+        return out
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, PointBuffer):
+            return NotImplemented
+        if not np.array_equal(self.positions, other.positions):
+            return False
+        if set(self.columns) != set(other.columns):
+            return False
+        return all(
+            np.array_equal(arr, other.columns[a]) for a, arr in self.columns.items()
+        )
