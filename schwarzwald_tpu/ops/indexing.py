@@ -1,0 +1,116 @@
+"""Point indexing: outlier clamping, Morton encoding, octant partitioning.
+
+Parity targets:
+  - index_point / index_points with OutlierPointsBehaviour::ClampToBounds
+    (schwarzwald/core/tiling/OctreeAlgorithms.h:145-197)
+  - partition_points_into_child_octants (OctreeAlgorithms.h:240-265) —
+    realized here as a vectorized boundary search over the sorted keys
+    instead of the reference's 8 linear find_if scans.
+  - get_bounds_from_morton_index (OctreeAlgorithms.h:104-116) — vectorized
+    octant-descent over many node prefixes at once, preserving the exact
+    FP evaluation order (child_min = parent_min + extent/2 per level).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import morton
+
+_U = np.uint64
+
+
+def clamp_to_bounds(positions: np.ndarray, bounds_min, bounds_max) -> np.ndarray:
+    """OutlierPointsBehaviour::ClampToBounds (OctreeAlgorithms.h:157-170).
+
+    The reference mutates the point position in place; callers here must use
+    the returned (possibly copied) array for all later processing AND
+    persistence, matching that behavior.
+    """
+    lo = np.asarray(bounds_min, dtype=np.float64)
+    hi = np.asarray(bounds_max, dtype=np.float64)
+    inside = np.all((positions >= lo) & (positions <= hi), axis=-1)
+    if inside.all():
+        return positions
+    return np.clip(positions, lo, hi)
+
+
+def index_points(positions: np.ndarray, bounds_min, bounds_max):
+    """Clamp outliers and compute Morton-64 keys.
+
+    Returns (keys, positions) where positions are the (clamped) coordinates
+    to use downstream. Mirrors index_point (OctreeAlgorithms.h:145-175).
+    """
+    positions = clamp_to_bounds(np.asarray(positions, dtype=np.float64),
+                                bounds_min, bounds_max)
+    extent = np.asarray(bounds_max, np.float64) - np.asarray(bounds_min, np.float64)
+    keys = morton.encode(positions, bounds_min, extent)
+    return keys, positions
+
+
+def sort_by_key(keys: np.ndarray):
+    """Stable argsort by Morton key.
+
+    std::sort in the reference is unstable but compares only on the key
+    (Sampling.h:159-164); we pick the deterministic stable order so results
+    are reproducible and merge semantics match std::merge stability.
+    """
+    return np.argsort(keys, kind="stable")
+
+
+def child_octant_boundaries(sorted_keys: np.ndarray, start: int, end: int,
+                            level: int) -> np.ndarray:
+    """Boundaries of the 8 child ranges of sorted_keys[start:end].
+
+    `level` is the absolute key level (0 = root octant) to partition at, as in
+    partition_points_into_child_octants (OctreeAlgorithms.h:240-265). Returns
+    9 offsets b with child o occupying [b[o], b[o+1]).
+    """
+    shift = _U((morton.MAX_LEVELS - level - 1) * 3)
+    octants = (sorted_keys[start:end] >> shift) & _U(0b111)
+    bounds = np.searchsorted(octants, np.arange(1, 8, dtype=np.uint64), side="left")
+    out = np.empty(9, dtype=np.int64)
+    out[0] = 0
+    out[1:8] = bounds
+    out[8] = end - start
+    out += start
+    return out
+
+
+def run_starts(cell_ids: np.ndarray) -> np.ndarray:
+    """Indices of the first element of each run of equal values (sorted input)."""
+    if cell_ids.size == 0:
+        return np.empty(0, dtype=np.int64)
+    changed = np.empty(cell_ids.size, dtype=bool)
+    changed[0] = True
+    np.not_equal(cell_ids[1:], cell_ids[:-1], out=changed[1:])
+    return np.flatnonzero(changed)
+
+
+def bounds_from_prefixes(prefixes: np.ndarray, depth: int,
+                         root_min: np.ndarray, root_max: np.ndarray):
+    """Vectorized get_bounds_from_morton_index for many node prefixes.
+
+    `prefixes` are node keys of `depth` levels (low 3*depth bits used, as
+    produced by truncate). Descends level by level, accumulating
+    min += bit * (extent / 2^(l+1)) in the same order as the reference's
+    iterated get_octant_bounds (OctreeAlgorithms.cpp:3-18) so FP results are
+    bit-identical. Returns (mins, maxs) of shape (len(prefixes), 3).
+    """
+    prefixes = np.asarray(prefixes, dtype=np.uint64)
+    n = prefixes.shape[0]
+    mins = np.broadcast_to(np.asarray(root_min, np.float64), (n, 3)).copy()
+    maxs = np.broadcast_to(np.asarray(root_max, np.float64), (n, 3)).copy()
+    for level in range(depth):
+        # Recompute extent from (max - min) each level exactly like the
+        # iterated get_octant_bounds calls — (min+half)-min is not always
+        # equal to half in IEEE754, so no shortcut here.
+        half = (maxs - mins) / 2
+        shift = _U(3 * (depth - level - 1))
+        octant = (prefixes >> shift) & _U(0b111)
+        # bit2 = x, bit1 = y, bit0 = z (get_octant_bounds)
+        bx = ((octant >> _U(2)) & _U(1)).astype(np.float64)
+        by = ((octant >> _U(1)) & _U(1)).astype(np.float64)
+        bz = (octant & _U(1)).astype(np.float64)
+        mins = mins + np.stack([bx, by, bz], axis=1) * half
+        maxs = mins + half
+    return mins, maxs

@@ -1,0 +1,423 @@
+"""Sampling strategies over Morton-sorted point ranges (numpy host versions).
+
+All five CLI strategies of the reference, re-expressed as vectorized
+segmented operations over the sorted key array instead of per-point scalar
+loops (reference: schwarzwald/core/tiling/Sampling.h):
+
+  RANDOM_GRID      RandomSortedGridSampling   (Sampling.h:187-308)
+  GRID_CENTER      GridCenterSampling         (Sampling.h:314-416)
+  MIN_DISTANCE     PoissonDiskSampling        (Sampling.h:421-471)
+  MIN_DISTANCE_FAST AdaptivePoissonDiskSampling (Sampling.h:477-542)
+  JITTERED         JitteredSampling           (Sampling.h:598-759)
+
+Semantics contract (sample_points, Sampling.h:793-821): given a range sorted
+by Morton key, return a stable partition where [0, count) are the selected
+points and [count, n) the remainder, both preserving relative input order
+(stable_partition_with_jumps, util/algorithms/Algorithm.h:24-78).
+
+We return a permutation `order` (or None for the identity) plus the selected
+count; callers apply it to keys/positions/attribute indices.
+
+MIN_DISTANCE is inherently sequential (greedy acceptance over a hash grid);
+the pure-python implementation here is the semantic oracle, with a C++
+native kernel (schwarzwald_tpu/native) used when available.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+
+import numpy as np
+
+from ..core import morton
+from . import indexing
+from .permutations import (NUM_PERMUTATIONS, PERMUTATIONS_16, PERMUTATIONS_32,
+                           PERMUTATIONS_64)
+
+_U = np.uint64
+
+
+class SamplingBehaviour(enum.Enum):
+    """Sampling.h:170-181."""
+
+    TakeAllWhenCountBelowMaxPoints = 0
+    AlwaysAdhereToMinSpacing = 1
+
+
+@dataclasses.dataclass
+class SampleResult:
+    order: np.ndarray | None  # permutation; None = identity arrangement
+    selected_count: int
+
+    def apply(self, arr: np.ndarray) -> np.ndarray:
+        return arr if self.order is None else arr[self.order]
+
+
+def candidate_level_in_octree(root_extent_x: float, spacing_at_node: float) -> int:
+    """max(-1, floor(log2f(root_extent_x / spacing_at_node)) - 1).
+
+    The C++ calls std::log2f, i.e. float32 log of a float32 argument; we
+    narrow identically so level decisions match bit-for-bit
+    (Sampling.h:223-229).
+    """
+    ratio = np.float32(root_extent_x / spacing_at_node)
+    return max(-1, int(math.floor(float(np.log2(ratio)))) - 1)
+
+
+def spacing_at_node_level(spacing_at_root: float, node_level: int) -> float:
+    """spacing_at_root / 2^(node_level+1), double math (Sampling.h:210-211)."""
+    return spacing_at_root / math.pow(2, node_level + 1)
+
+
+def _take_all(behaviour: SamplingBehaviour, n: int, max_points: int) -> bool:
+    return (behaviour is SamplingBehaviour.TakeAllWhenCountBelowMaxPoints
+            and n <= max_points)
+
+
+def _identity_first_point(n: int) -> SampleResult:
+    """partition_at_root (Sampling.h:290-295): take first point, no reorder."""
+    return SampleResult(None, min(1, n))
+
+
+def _stable_order(selected_idx: np.ndarray, n: int) -> SampleResult:
+    """Build [selected in order] + [rest in order] permutation."""
+    mask = np.zeros(n, dtype=bool)
+    mask[selected_idx] = True
+    order = np.concatenate([selected_idx, np.flatnonzero(~mask)])
+    return SampleResult(order, int(selected_idx.size))
+
+
+def _argmin_per_run(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """First index of the minimum value within each run (min_element tie rule)."""
+    n = values.size
+    nruns = starts.size
+    run_lengths = np.diff(np.append(starts, n))
+    run_of_point = np.repeat(np.arange(nruns), run_lengths)
+    run_min = np.minimum.reduceat(values, starts)
+    is_min = values == run_min[run_of_point]
+    min_positions = np.flatnonzero(is_min)
+    _, first_idx = np.unique(run_of_point[min_positions], return_index=True)
+    return min_positions[first_idx]
+
+
+# ---------------------------------------------------------------------------
+# Grid strategies
+# ---------------------------------------------------------------------------
+
+
+def sample_random_grid(keys: np.ndarray, positions: np.ndarray, node_key: int,
+                       node_level: int, root_min, root_max,
+                       spacing_at_root: float, behaviour: SamplingBehaviour,
+                       max_points_per_node: int) -> SampleResult:
+    """RandomSortedGridSampling: first point per candidate-level grid cell."""
+    n = keys.size
+    if _take_all(behaviour, n, max_points_per_node):
+        return SampleResult(None, n)
+    root_extent_x = float(np.asarray(root_max)[0] - np.asarray(root_min)[0])
+    spacing = spacing_at_node_level(spacing_at_root, node_level)
+    cand = candidate_level_in_octree(root_extent_x, spacing)
+    if cand == -1:
+        return _identity_first_point(n)
+    cells = morton.truncate_to_level(keys, cand)
+    starts = indexing.run_starts(cells)
+    return _stable_order(starts, n)
+
+
+def sample_grid_center(keys: np.ndarray, positions: np.ndarray, node_key: int,
+                       node_level: int, root_min, root_max,
+                       spacing_at_root: float, behaviour: SamplingBehaviour,
+                       max_points_per_node: int) -> SampleResult:
+    """GridCenterSampling: per-cell point closest to the cell center."""
+    n = keys.size
+    if _take_all(behaviour, n, max_points_per_node):
+        return SampleResult(None, n)
+    root_extent_x = float(np.asarray(root_max)[0] - np.asarray(root_min)[0])
+    spacing = spacing_at_node_level(spacing_at_root, node_level)
+    cand = candidate_level_in_octree(root_extent_x, spacing)
+    if cand == -1:
+        return _identity_first_point(n)
+    cells = morton.truncate_to_level(keys, cand)
+    starts = indexing.run_starts(cells)
+    # Cell bounds: descend cand+1 levels from root along the first point's
+    # octants (Sampling.h:387-390); centers via getCenter = min + extent/2.
+    mins, maxs = indexing.bounds_from_prefixes(cells[starts], cand + 1,
+                                               root_min, root_max)
+    centers = mins + (maxs - mins) / 2
+    run_lengths = np.diff(np.append(starts, n))
+    run_of_point = np.repeat(np.arange(starts.size), run_lengths)
+    diff = positions - centers[run_of_point]
+    dist_sq = np.einsum("ij,ij->i", diff, diff)
+    selected = _argmin_per_run(dist_sq, starts)
+    return _stable_order(selected, n)
+
+
+def sample_jittered(keys: np.ndarray, positions: np.ndarray, node_key: int,
+                    node_level: int, root_min, root_max,
+                    spacing_at_root: float, behaviour: SamplingBehaviour,
+                    max_points_per_node: int) -> SampleResult:
+    """JitteredSampling: per-cell pseudo-random target from permutation tables."""
+    n = keys.size
+    if _take_all(behaviour, n, max_points_per_node):
+        return SampleResult(None, n)
+
+    node_prefix = morton.truncate_to_level(
+        np.uint64(node_key), node_level) if node_level >= 0 else np.uint64(0)
+    node_min, node_max = indexing.bounds_from_prefixes(
+        np.array([node_prefix], dtype=np.uint64), node_level + 1,
+        root_min, root_max)
+    node_min = node_min[0]
+    node_extent_x = float(node_max[0][0] - node_min[0])
+
+    spacing = spacing_at_node_level(spacing_at_root, node_level)
+    perfect_cell_count = node_extent_x / spacing
+    actual_cell_count = _prev_power_of_two(int(perfect_cell_count))
+    if actual_cell_count < 16:
+        raise RuntimeError(
+            "Grids smaller than 16x16 are not supported currently!")
+    levels = int(math.log2(actual_cell_count))
+    grid_level = node_level + levels
+    if grid_level >= morton.MAX_LEVELS:
+        raise RuntimeError(
+            f"Node at level {node_level} is too small to be sampled with "
+            f"JitteredSampling (grid level {grid_level})")
+
+    grid_mask = _U((1 << (3 * levels)) - 1)
+    grid_cell_size = node_extent_x / actual_cell_count
+    permutation_cell_size = grid_cell_size / actual_cell_count
+
+    start_index = (3 * (node_level + 1)) % NUM_PERMUTATIONS
+    if actual_cell_count <= 16:
+        table = PERMUTATIONS_16
+    elif actual_cell_count <= 32:
+        table = PERMUTATIONS_32
+    else:
+        table = PERMUTATIONS_64
+    p0 = table[start_index]
+    p1 = table[(start_index + 1) % NUM_PERMUTATIONS]
+    p2 = table[(start_index + 2) % NUM_PERMUTATIONS]
+    plen = min(actual_cell_count, 64)
+
+    cells = morton.truncate_to_level(keys, grid_level)
+    starts = indexing.run_starts(cells)
+    rel = cells[starts] & grid_mask
+    gx, gy, gz = morton.grid_coords(rel, levels)
+    gx = gx.astype(np.int64)
+    gy = gy.astype(np.int64)
+    gz = gz.astype(np.int64)
+
+    px = p0[(gy + gz) % plen].astype(np.float64) - 1.0
+    py = p1[(gx + gz) % plen].astype(np.float64) - 1.0
+    pz = p2[(gx + gy) % plen].astype(np.float64) - 1.0
+
+    targets = node_min[None, :] + np.stack(
+        [gx * grid_cell_size + px * permutation_cell_size,
+         gy * grid_cell_size + py * permutation_cell_size,
+         gz * grid_cell_size + pz * permutation_cell_size], axis=1)
+
+    run_lengths = np.diff(np.append(starts, n))
+    run_of_point = np.repeat(np.arange(starts.size), run_lengths)
+    diff = positions - targets[run_of_point]
+    dist_sq = np.einsum("ij,ij->i", diff, diff)
+    selected = _argmin_per_run(dist_sq, starts)
+    return _stable_order(selected, n)
+
+
+def _prev_power_of_two(v: int) -> int:
+    """get_prev_power_of_two (core/util/stuff.h:315-318)."""
+    if v <= 0:
+        return 0
+    return 1 << (v.bit_length() - 1)
+
+
+# ---------------------------------------------------------------------------
+# Poisson-disk (MIN_DISTANCE / MIN_DISTANCE_FAST)
+# ---------------------------------------------------------------------------
+
+
+def _poisson_accept_mask(positions: np.ndarray, node_min, node_max,
+                         spacing: float,
+                         analyze_mask: np.ndarray | None = None) -> np.ndarray:
+    """Greedy sequential Poisson-disk acceptance over a sparse hash grid.
+
+    Exact semantics of SparseGrid::add over the sorted order
+    (datastructures/SparseGrid.cpp:117-146, GridCell.cpp:41-58): cell size =
+    5*spacing per axis, clamped integer cell coords, acceptance iff no
+    previously accepted point within `spacing` in the 27-cell neighborhood.
+    Pure-python oracle; the native C++ kernel implements the same contract.
+    """
+    node_min = np.asarray(node_min, np.float64)
+    extent = np.asarray(node_max, np.float64) - node_min
+    # The SparseGrid receives spacing narrowed to float32
+    # (Sampling.h:448-449); cell size uses it times cellSizeFactor=5.0
+    # (SparseGrid.cpp:9-19) and squaredSpacing is the float32 square.
+    spacing_f = float(np.float32(spacing))
+    cell = spacing_f * 5.0
+    dims = np.array([int(extent[0] / cell), int(extent[1] / cell),
+                     int(extent[2] / cell)], dtype=np.int64)
+    sq_spacing = float(np.float32(spacing) * np.float32(spacing))
+
+    n = positions.shape[0]
+    # Integer cell coords for all points, vectorized (truncation toward zero
+    # matches the C++ (int) casts for the in-bounds coordinates; clamped after).
+    rel = positions - node_min
+    coords = np.empty((n, 3), dtype=np.int64)
+    for axis in range(3):
+        if extent[axis] != 0:
+            raw = (dims[axis] * rel[:, axis]) / extent[axis]
+        else:
+            raw = np.zeros(n)
+        coords[:, axis] = np.clip(raw.astype(np.int64),
+                                  0, max(dims[axis] - 1, 0))
+
+    cells: dict = {}
+    accepted = np.zeros(n, dtype=bool)
+    lo = np.maximum(coords - 1, 0)
+    hi = np.minimum(coords + 1, np.maximum(dims - 1, 0))
+    for idx in range(n):
+        if analyze_mask is not None and not analyze_mask[idx]:
+            continue
+        p = positions[idx]
+        ok = True
+        for i in range(lo[idx, 0], hi[idx, 0] + 1):
+            for j in range(lo[idx, 1], hi[idx, 1] + 1):
+                for k in range(lo[idx, 2], hi[idx, 2] + 1):
+                    pts = cells.get((i, j, k))
+                    if pts is None:
+                        continue
+                    for q in pts:
+                        d = p - q
+                        if d[0] * d[0] + d[1] * d[1] + d[2] * d[2] < sq_spacing:
+                            ok = False
+                            break
+                    if not ok:
+                        break
+                if not ok:
+                    break
+            if not ok:
+                break
+        if ok:
+            key = (coords[idx, 0], coords[idx, 1], coords[idx, 2])
+            cells.setdefault(key, []).append(p)
+            accepted[idx] = True
+    return accepted
+
+
+def _poisson_backend(positions, node_min, node_max, spacing, analyze_mask):
+    from .. import native
+    kernel = native.poisson_sample_kernel()
+    if kernel is not None:
+        return kernel(positions, node_min, node_max, spacing, analyze_mask)
+    return _poisson_accept_mask(positions, node_min, node_max, spacing,
+                                analyze_mask)
+
+
+def sample_min_distance(keys: np.ndarray, positions: np.ndarray, node_key: int,
+                        node_level: int, root_min, root_max,
+                        spacing_at_root: float, behaviour: SamplingBehaviour,
+                        max_points_per_node: int) -> SampleResult:
+    """PoissonDiskSampling (Sampling.h:421-471)."""
+    n = keys.size
+    if _take_all(behaviour, n, max_points_per_node):
+        return SampleResult(None, n)
+    node_prefix = morton.truncate_to_level(
+        np.uint64(node_key), node_level) if node_level >= 0 else np.uint64(0)
+    node_min, node_max = indexing.bounds_from_prefixes(
+        np.array([node_prefix], dtype=np.uint64), node_level + 1,
+        root_min, root_max)
+    spacing = spacing_at_node_level(spacing_at_root, node_level)
+    accepted = _poisson_backend(positions, node_min[0], node_max[0],
+                                spacing, None)
+    return _stable_order(np.flatnonzero(accepted), n)
+
+
+def sample_min_distance_fast(keys: np.ndarray, positions: np.ndarray,
+                             node_key: int, node_level: int, root_min,
+                             root_max, spacing_at_root: float,
+                             behaviour: SamplingBehaviour,
+                             max_points_per_node: int) -> SampleResult:
+    """AdaptivePoissonDiskSampling (Sampling.h:477-542) with the default
+    density function of TilerProcess::make_sampling_strategy
+    (core/process/TilerProcess.cpp:500-508)."""
+    n = keys.size
+    if _take_all(behaviour, n, max_points_per_node):
+        return SampleResult(None, n)
+    root_extent_x = float(np.asarray(root_max)[0] - np.asarray(root_min)[0])
+    spacing = spacing_at_node_level(spacing_at_root, node_level)
+    cand = candidate_level_in_octree(root_extent_x, spacing)
+    if cand == -1:
+        return _identity_first_point(n)
+    node_prefix = morton.truncate_to_level(
+        np.uint64(node_key), node_level) if node_level >= 0 else np.uint64(0)
+    node_min, node_max = indexing.bounds_from_prefixes(
+        np.array([node_prefix], dtype=np.uint64), node_level + 1,
+        root_min, root_max)
+    density = _default_density_per_level(node_level)
+    nth = int(round(1.0 / density))
+    # counter starts at nth-1 so the first point is always analyzed
+    # (Sampling.h:522-536); analyzed points are those at positions
+    # 0, nth, 2*nth, ... of the range.
+    analyze = np.zeros(n, dtype=bool)
+    analyze[::max(nth, 1)] = True
+    accepted = _poisson_backend(positions, node_min[0], node_max[0],
+                                spacing, analyze)
+    return _stable_order(np.flatnonzero(accepted), n)
+
+
+def _default_density_per_level(node_level: int) -> float:
+    if node_level < 0:
+        return 0.25
+    if node_level < 1:
+        return 0.5
+    return 1.0
+
+
+# ---------------------------------------------------------------------------
+# Strategy dispatch + required depth
+# ---------------------------------------------------------------------------
+
+STRATEGIES = {
+    "RANDOM_GRID": sample_random_grid,
+    "GRID_CENTER": sample_grid_center,
+    "MIN_DISTANCE": sample_min_distance,
+    "MIN_DISTANCE_FAST": sample_min_distance_fast,
+    "JITTERED": sample_jittered,
+}
+
+
+@dataclasses.dataclass
+class SamplingStrategy:
+    """Named strategy + parameters (the std::variant equivalent)."""
+
+    name: str
+    max_points_per_node: int = 20_000
+
+    def __post_init__(self):
+        if self.name not in STRATEGIES:
+            raise ValueError(f'Unrecognized sampling strategy name "{self.name}"')
+
+    def sample(self, keys, positions, node_key, node_level, root_min, root_max,
+               spacing_at_root, behaviour) -> SampleResult:
+        fn = STRATEGIES[self.name]
+        return fn(keys, positions, node_key, node_level, root_min, root_max,
+                  spacing_at_root, behaviour, self.max_points_per_node)
+
+
+def required_morton_index_depth(strategy: SamplingStrategy, node_level: int,
+                                root_extent_x: float,
+                                spacing_at_root: float) -> int:
+    """Sampling.cpp:29-62: index depth a strategy needs for a node level."""
+    if strategy.name in ("RANDOM_GRID", "GRID_CENTER"):
+        spacing = spacing_at_node_level(spacing_at_root, node_level)
+        return candidate_level_in_octree(root_extent_x, spacing)
+    if strategy.name in ("MIN_DISTANCE", "MIN_DISTANCE_FAST"):
+        return node_level
+    # JITTERED (Sampling.cpp:48-59): node extent approximated as
+    # root_extent_x / 2^(level+1), unlike sample_points which descends the
+    # actual bounds — kept as-is for parity.
+    spacing = spacing_at_node_level(spacing_at_root, node_level)
+    node_extent_x = root_extent_x / math.pow(2, node_level + 1)
+    perfect_cell_count = node_extent_x / spacing
+    actual = _prev_power_of_two(int(perfect_cell_count))
+    levels = int(math.log2(actual)) if actual > 0 else 0
+    return node_level + levels
