@@ -1,0 +1,73 @@
+"""Per-batch point arena: chunked SoA store with global-id gather.
+
+Plays the role of PointsCache (TilingAlgorithms.h:22-46) + the reference's
+IndexedPoint::point_reference indirection: tiling works on (key, global-id)
+pairs, and point data (positions + attributes) is gathered from the arena
+only when persisting a node.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.pointbuffer import PointBuffer
+
+
+class PointArena:
+    def __init__(self):
+        self._chunks: list[PointBuffer] = []
+        self._offsets = [0]
+
+    @property
+    def count(self) -> int:
+        return self._offsets[-1]
+
+    def append(self, buffer: PointBuffer) -> np.ndarray:
+        """Add a chunk; returns the global ids of its points."""
+        start = self._offsets[-1]
+        self._chunks.append(buffer)
+        self._offsets.append(start + buffer.count)
+        return np.arange(start, start + buffer.count, dtype=np.int64)
+
+    def _locate(self, ids: np.ndarray):
+        offsets = np.asarray(self._offsets)
+        chunk_ids = np.searchsorted(offsets, ids, side="right") - 1
+        local = ids - offsets[chunk_ids]
+        return chunk_ids, local
+
+    def positions(self, ids: np.ndarray) -> np.ndarray:
+        if len(self._chunks) == 1:
+            return self._chunks[0].positions[ids]
+        chunk_ids, local = self._locate(ids)
+        out = np.empty((ids.size, 3), dtype=np.float64)
+        for c in np.unique(chunk_ids):
+            mask = chunk_ids == c
+            out[mask] = self._chunks[c].positions[local[mask]]
+        return out
+
+    def gather(self, ids: np.ndarray) -> PointBuffer:
+        """Gather points in the given (arbitrary) order into a PointBuffer.
+
+        Attributes: intersection across chunks (all chunks in one run share
+        the input schema, so this is the identity in practice).
+        """
+        if len(self._chunks) == 1:
+            return self._chunks[0].take(ids)
+        chunk_ids, local = self._locate(ids)
+        uniq = np.unique(chunk_ids)
+        common = set(self._chunks[uniq[0]].columns)
+        for c in uniq[1:]:
+            common &= set(self._chunks[c].columns)
+        out = PointBuffer(np.empty((ids.size, 3), dtype=np.float64))
+        cols = {}
+        for attr in common:
+            template = self._chunks[uniq[0]].columns[attr]
+            cols[attr] = np.empty((ids.size,) + template.shape[1:],
+                                  dtype=template.dtype)
+        for c in uniq:
+            mask = chunk_ids == c
+            chunk = self._chunks[c]
+            out.positions[mask] = chunk.positions[local[mask]]
+            for attr in common:
+                cols[attr][mask] = chunk.columns[attr][local[mask]]
+        out.columns = cols
+        return out

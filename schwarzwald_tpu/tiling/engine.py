@@ -1,0 +1,400 @@
+"""Tiling algorithms: the octree-construction core.
+
+Re-implements the reference's recursive per-node task graph
+(schwarzwald/core/tiling/TilingAlgorithms.cpp) as an iterative,
+vectorized-per-node engine:
+
+  - tile_node / tile_internal_node / tile_terminal_node semantics
+    (TilingAlgorithms.cpp:206-492) including the cached-point re-read with
+    prefix-preserving Morton re-derivation (:50-109), the
+    always-adhere-after-first-sample rule (:260-275), terminal nodes at
+    min(20, max_depth), and >21-level re-rooting (:444-483).
+  - ACCURATE == TilingAlgorithmV1 (:565-626): global sort, recurse from root.
+  - FAST == TilingAlgorithmV3 (:1195-1784): fixed start-node level estimated
+    from the first batch (:1473-1535), per-batch split at that level, and
+    finalize-time reconstruction of all skipped ancestors (:1661-1784).
+
+Known deviation from the reference (documented on purpose): when a node
+re-roots its Morton indices (level >= ~14 with grid samplers), the reference
+partitions children using the ABSOLUTE key level on keys that were just
+re-derived relative to the node (TilingAlgorithms.cpp:116-124 via
+tile_internal_node after :444-483), which reads meaningless octant digits.
+We split at the level relative to the current key root, which is the
+behavior the surrounding code clearly intends.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..core import morton
+from ..core.aabb import AABB, octant_bounds
+from ..core.node import NodeStructure
+from ..core.pointbuffer import PointBuffer
+from ..ops import indexing, sampling
+from ..ops.sampling import SamplingBehaviour, SamplingStrategy
+from .arena import PointArena
+from .meta import TilerMetaParameters, TilingStrategy
+
+MAX_OCTREE_LEVELS = morton.MAX_LEVELS  # 21
+
+_U = np.uint64
+
+
+@dataclasses.dataclass
+class NodeTask:
+    node: NodeStructure
+    root: NodeStructure
+    keys: np.ndarray  # uint64, sorted (in the key space of `root`)
+    ids: np.ndarray   # int64 global arena ids, aligned with keys
+
+
+class TilingAlgorithmBase:
+    def __init__(self, sampling_strategy: SamplingStrategy, persistence,
+                 meta: TilerMetaParameters, progress_reporter=None):
+        self.sampling_strategy = sampling_strategy
+        self.persistence = persistence
+        self.meta = meta
+        self.progress = progress_reporter
+
+    # -- helpers ------------------------------------------------------------
+
+    def _make_root(self, bounds: AABB) -> NodeStructure:
+        return NodeStructure(
+            name="r", morton_key=0, bounds=bounds, level=-1,
+            max_spacing=self.meta.spacing_at_root,
+            max_depth=self.meta.max_depth)
+
+    def _report_indexed(self, count: int) -> None:
+        if self.progress is not None and count:
+            self.progress.increment("indexing", count)
+
+    def _read_cached_points(self, node: NodeStructure, arena: PointArena):
+        """read_pnts_from_disk (TilingAlgorithms.cpp:50-109): fetch the
+        node's previously persisted points and re-derive their Morton keys
+        below the node's own prefix to dodge FP boundary errors."""
+        cached = self.persistence.retrieve_points(node.name)
+        if not cached.count:
+            return None, None
+        ids = arena.append(cached)
+        start_level = node.level + 1
+        if start_level >= MAX_OCTREE_LEVELS:
+            sub = np.zeros(cached.count, dtype=np.uint64)
+        else:
+            # Unlike index_point, the reference does NOT clamp here; points
+            # epsilon-outside the node bounds would hit UB in the float->uint
+            # cast. We clamp to the node bounds first (deterministic, and
+            # identical for all in-bounds points).
+            pos = indexing.clamp_to_bounds(cached.positions, node.bounds.min,
+                                           node.bounds.max)
+            sub = morton.encode(pos, node.bounds.min, node.bounds.extent())
+        keys = np.uint64(node.morton_key) | (sub >> _U(3 * start_level))
+        if not self.persistence.is_lossless:
+            order = indexing.sort_by_key(keys)
+            keys, ids = keys[order], ids[order]
+        return keys, ids
+
+    @staticmethod
+    def _merge_sorted(keys_a, ids_a, keys_b, ids_b):
+        """std::merge stability (Node.cpp:3-22): ties keep first-arg items
+        (the incoming batch) before second-arg items (cached)."""
+        if keys_a is None or keys_a.size == 0:
+            return keys_b, ids_b
+        if keys_b is None or keys_b.size == 0:
+            return keys_a, ids_a
+        keys = np.concatenate([keys_a, keys_b])
+        ids = np.concatenate([ids_a, ids_b])
+        order = indexing.sort_by_key(keys)
+        return keys[order], ids[order]
+
+    def _required_depth(self, node_level: int, root: NodeStructure) -> int:
+        return sampling.required_morton_index_depth(
+            self.sampling_strategy, node_level,
+            float(root.bounds.extent()[0]), root.max_spacing)
+
+    # -- node tiling --------------------------------------------------------
+
+    def _do_tiling_for_node(self, arena: PointArena, task: NodeTask) -> None:
+        stack = [task]
+        while stack:
+            children = self._tile_node(arena, stack.pop())
+            stack.extend(children)
+
+    def _tile_node(self, arena: PointArena, task: NodeTask):
+        node, root = task.node, task.root
+        cached_keys, cached_ids = self._read_cached_points(node, arena)
+        cached_count = 0 if cached_ids is None else cached_ids.size
+
+        sample_from = self._required_depth(node.level, root)
+        requires_deeper = sample_from > node.level
+        max_level = min(MAX_OCTREE_LEVELS - 1, node.max_depth)
+
+        if not requires_deeper:
+            if sample_from >= max_level:
+                self._tile_terminal_node(arena, task, cached_ids, cached_count)
+                return []
+            keys, ids = self._merge_sorted(task.keys, task.ids,
+                                           cached_keys, cached_ids)
+            return self._tile_internal_node(arena, keys, ids, node, root,
+                                            cached_count)
+
+        if node.level >= max_level:
+            self._tile_terminal_node(arena, task, cached_ids, cached_count)
+            return []
+
+        if sample_from >= MAX_OCTREE_LEVELS:
+            # Deep-node re-rooting (TilingAlgorithms.cpp:444-483): merge
+            # unsorted, recompute all keys with this node as key-space root,
+            # sort, and continue with an adjusted root structure.
+            ids = task.ids if cached_ids is None else np.concatenate(
+                [task.ids, cached_ids])
+            pos = indexing.clamp_to_bounds(
+                arena.positions(ids), node.bounds.min, node.bounds.max)
+            keys = morton.encode(pos, node.bounds.min, node.bounds.extent())
+            order = indexing.sort_by_key(keys)
+            keys, ids = keys[order], ids[order]
+            new_root = dataclasses.replace(
+                node, max_depth=node.max_depth - node.level)
+            return self._tile_internal_node(arena, keys, ids, node, new_root,
+                                            cached_count)
+
+        keys, ids = self._merge_sorted(task.keys, task.ids,
+                                       cached_keys, cached_ids)
+        return self._tile_internal_node(arena, keys, ids, node, root,
+                                        cached_count)
+
+    def _tile_terminal_node(self, arena, task: NodeTask, cached_ids,
+                            cached_count: int) -> None:
+        """tile_terminal_node (TilingAlgorithms.cpp:206-241): take all points
+        without sampling (merge order: batch points then cached)."""
+        ids = task.ids if cached_ids is None else np.concatenate(
+            [task.ids, cached_ids])
+        if ids.size == 0:
+            return
+        self.persistence.persist_points(
+            arena.gather(ids), task.node.bounds, task.node.name)
+        self._report_indexed(ids.size - cached_count)
+
+    def _tile_internal_node(self, arena, keys, ids, node: NodeStructure,
+                            root: NodeStructure, cached_count: int):
+        """tile_internal_node (TilingAlgorithms.cpp:247-349)."""
+        if ids.size == 0:
+            raise RuntimeError(
+                f"tile_internal_node: Got zero points to tile @ node {node.name}")
+        behaviour = (SamplingBehaviour.AlwaysAdhereToMinSpacing
+                     if cached_count > 0
+                     else SamplingBehaviour.TakeAllWhenCountBelowMaxPoints)
+        node_level_rel = node.level - (root.level + 1)
+        positions = arena.positions(ids)
+        result = self.sampling_strategy.sample(
+            keys, positions, node.morton_key, node_level_rel,
+            root.bounds.min, root.bounds.max, root.max_spacing, behaviour)
+        if result.order is not None:
+            keys = keys[result.order]
+            ids = ids[result.order]
+        taken = result.selected_count
+
+        self.persistence.persist_points(
+            arena.gather(ids[:taken]), node.bounds, node.name)
+        self._report_indexed(taken - cached_count)
+
+        return self._split_into_child_tasks(keys[taken:], ids[taken:],
+                                            node, root, node_level_rel)
+
+    def _split_into_child_tasks(self, keys, ids, node: NodeStructure,
+                                root: NodeStructure, node_level_rel: int):
+        """split_range_into_child_nodes (TilingAlgorithms.cpp:116-162), with
+        the octant digit read at the level relative to the current key space
+        (see module docstring on the re-rooting deviation)."""
+        if keys.size == 0:
+            return []
+        child_level = node.level + 1
+        rel_level = node_level_rel + 1
+        bounds = indexing.child_octant_boundaries(keys, 0, keys.size, rel_level)
+        tasks = []
+        for octant in range(8):
+            lo, hi = bounds[octant], bounds[octant + 1]
+            if lo == hi:
+                continue
+            child_key = (np.uint64(node.morton_key)
+                         | (_U(octant) << _U(3 * (MAX_OCTREE_LEVELS - child_level - 1)))) \
+                if child_level < MAX_OCTREE_LEVELS else np.uint64(node.morton_key)
+            child = NodeStructure(
+                name=node.name + str(octant),
+                morton_key=int(child_key),
+                bounds=octant_bounds(octant, node.bounds),
+                level=child_level,
+                max_spacing=node.max_spacing / 2,
+                max_depth=node.max_depth)
+            tasks.append(NodeTask(child, root, keys[lo:hi], ids[lo:hi]))
+        return tasks
+
+    # -- batch API ----------------------------------------------------------
+
+    def index_batch(self, buffer: PointBuffer, bounds: AABB):
+        """Clamp + Morton-encode a batch, writing clamped positions back into
+        the buffer (index_point mutates positions in place,
+        OctreeAlgorithms.h:157-170)."""
+        keys, clamped = indexing.index_points(buffer.positions,
+                                              bounds.min, bounds.max)
+        buffer.positions = clamped
+        return keys
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        raise NotImplementedError
+
+    def finalize(self, bounds: AABB) -> None:
+        pass
+
+
+class TilingAlgorithmAccurate(TilingAlgorithmBase):
+    """TilingAlgorithmV1 (ACCURATE): global sort, recurse from the root."""
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        if not buffer.count:
+            return
+        keys = self.index_batch(buffer, bounds)
+        arena = PointArena()
+        ids = arena.append(buffer)
+        order = indexing.sort_by_key(keys)
+        root = self._make_root(bounds)
+        self._do_tiling_for_node(
+            arena, NodeTask(root, root, keys[order], ids[order]))
+
+
+class TilingAlgorithmFast(TilingAlgorithmBase):
+    """TilingAlgorithmV3 (FAST): fixed start-node level, per-batch split,
+    ancestor reconstruction at finalize."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.level_of_start_nodes: int | None = None
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        if not buffer.count:
+            return
+        keys = self.index_batch(buffer, bounds)
+        arena = PointArena()
+        ids = arena.append(buffer)
+        order = indexing.sort_by_key(keys)
+        keys, ids = keys[order], ids[order]
+
+        if self.level_of_start_nodes is None:
+            self.level_of_start_nodes = self._estimate_start_node_level(keys)
+
+        root = self._make_root(bounds)
+        for node, k, i in self._split_at_start_level(keys, ids, root):
+            self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+
+    def _estimate_start_node_level(self, sorted_keys: np.ndarray) -> int:
+        """estimate_start_node_level_in_octree (TilingAlgorithms.cpp:
+        1473-1535): split progressively deeper until enough large ranges
+        exist for the configured concurrency."""
+        MIN_LEVEL, MAX_LEVEL, MIN_SCORE, LARGE = 3, 6, 1.0, 100_000
+        concurrency = self.meta.concurrency
+        ranges = [(0, sorted_keys.size)]
+        for level in range(MAX_LEVEL):
+            new_ranges = []
+            for lo, hi in ranges:
+                b = indexing.child_octant_boundaries(sorted_keys, lo, hi, level)
+                for o in range(8):
+                    if b[o] < b[o + 1]:
+                        new_ranges.append((int(b[o]), int(b[o + 1])))
+            ranges = new_ranges
+            if len(ranges) <= concurrency // 2:
+                score = 0.0
+            else:
+                num_large = sum(1 for lo, hi in ranges if hi - lo >= LARGE)
+                score = num_large / float(concurrency)
+            if score >= MIN_SCORE:
+                return max(level + 1, MIN_LEVEL)
+        return MAX_LEVEL
+
+    def _split_at_start_level(self, keys, ids, root: NodeStructure):
+        """split_indexed_points_into_subranges (TilingAlgorithms.cpp:
+        1537-1578) — all non-empty nodes at the start level, with their
+        NodeStructure (cpp:1327-1343)."""
+        level = self.level_of_start_nodes
+        if level == 0:
+            yield root, keys, ids
+            return
+        prefixes = morton.truncate_to_level(keys, level - 1)
+        starts = indexing.run_starts(prefixes)
+        ends = np.append(starts[1:], keys.size)
+        for s, e in zip(starts, ends):
+            node_key = int(prefixes[s])
+            yield self._start_node_structure(node_key, level, root), \
+                keys[s:e], ids[s:e]
+
+    def _start_node_structure(self, node_key: int, levels: int,
+                              root: NodeStructure) -> NodeStructure:
+        from ..core.node import node_from_index
+        node = node_from_index(node_key, levels, root)
+        return node
+
+    def finalize(self, bounds: AABB) -> None:
+        """reconstruct_left_out_nodes (TilingAlgorithms.cpp:1717-1784)."""
+        if self.level_of_start_nodes is None or self.level_of_start_nodes == 0:
+            return
+        level = self.level_of_start_nodes
+        root = self._make_root(bounds)
+
+        to_reconstruct: set[tuple] = set()
+        for idx in range(8 ** level):
+            name = "r" + morton.node_name_simple(idx, level)
+            if not self.persistence.node_exists(name):
+                continue
+            key, lv = idx, level
+            while lv > 0:
+                key >>= 3
+                lv -= 1
+                to_reconstruct.add((key, lv))
+
+        # deepest first: children must exist before parents sample from them
+        for key, lv in sorted(to_reconstruct, key=lambda t: -t[1]):
+            self._reconstruct_single_node(key, lv, root)
+
+    def _reconstruct_single_node(self, node_key: int, levels: int,
+                                 root: NodeStructure) -> None:
+        """reconstruct_single_node (TilingAlgorithms.cpp:1661-1715): gather
+        direct children's persisted points, re-index from root bounds,
+        sample with AlwaysAdhere, persist the selected prefix only."""
+        buffers = []
+        for octant in range(8):
+            child_name = "r" + morton.node_name_simple(
+                (node_key << 3) | octant, levels + 1)
+            child_points = self.persistence.retrieve_points(child_name)
+            if child_points.count:
+                buffers.append(child_points)
+        if not buffers:
+            return
+        data = PointBuffer.concatenate(buffers)
+        keys, clamped = indexing.index_points(data.positions,
+                                              root.bounds.min, root.bounds.max)
+        data.positions = clamped
+        if not self.persistence.is_lossless:
+            order = indexing.sort_by_key(keys)
+            keys = keys[order]
+            data = data.take(order)
+
+        node = self._start_node_structure(node_key, levels, root) \
+            if levels > 0 else root
+        result = self.sampling_strategy.sample(
+            keys, data.positions, node.morton_key, levels - 1,
+            root.bounds.min, root.bounds.max, root.max_spacing,
+            SamplingBehaviour.AlwaysAdhereToMinSpacing)
+        if result.order is not None:
+            data = data.take(result.order)
+        selected = data.slice(0, result.selected_count)
+        if selected.count:
+            self.persistence.persist_points(selected, node.bounds, node.name)
+
+
+def make_tiling_algorithm(strategy: TilingStrategy,
+                          sampling_strategy: SamplingStrategy, persistence,
+                          meta: TilerMetaParameters, progress_reporter=None):
+    cls = (TilingAlgorithmAccurate if strategy == TilingStrategy.Accurate
+           else TilingAlgorithmFast)
+    return cls(sampling_strategy, persistence, meta, progress_reporter)

@@ -1,0 +1,27 @@
+"""Tiler meta parameters (TilingAlgorithms.h TilerMetaParameters +
+TilingStrategy, schwarzwald/core/process/Tiler.h:24-78)."""
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class TilingStrategy(enum.Enum):
+    Accurate = "ACCURATE"  # TilingAlgorithmV1
+    Fast = "FAST"          # TilingAlgorithmV3 (default)
+
+
+@dataclasses.dataclass
+class TilerMetaParameters:
+    spacing_at_root: float = 0.0
+    max_depth: int = 100
+    max_points_per_node: int = 20_000
+    internal_cache_size: int = 10_000_000
+    batch_read_size: int = 1_000_000
+    tiling_strategy: TilingStrategy = TilingStrategy.Fast
+    shift_points_to_origin: bool = False
+    # Parallelism hint used by the FAST strategy's start-node-level
+    # estimation (the reference uses the indexing thread count,
+    # TilingAlgorithms.cpp:1294-1295); here it sizes the number of
+    # independently processed start-node segments.
+    concurrency: int = 8

@@ -1,0 +1,233 @@
+"""Tiling engine tests: an independent recursive oracle (single batch), the
+conservation / structure / density invariants of the reference test suite
+(TestTiler.cpp:85-476 semantics, resurrected hermetically via
+MemoryPersistence), and FAST-strategy start-level + reconstruction checks."""
+import numpy as np
+import pytest
+
+from schwarzwald_tpu.core import morton
+from schwarzwald_tpu.core.aabb import AABB, octant_bounds
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io.memory import MemoryPersistence
+from schwarzwald_tpu.ops import indexing, sampling
+from schwarzwald_tpu.ops.sampling import SamplingBehaviour, SamplingStrategy
+from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                    make_tiling_algorithm)
+
+BOUNDS = AABB([0.0, 0.0, 0.0], [64.0, 64.0, 64.0])
+
+
+def make_cloud(rng, n):
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, size=(n, 3))
+    return PointBuffer(pos)
+
+
+def run_tiler(buffers, strategy=TilingStrategy.Fast, sampling_name="RANDOM_GRID",
+              spacing=4.0, max_points=500, max_depth=100, concurrency=4):
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=spacing, max_depth=max_depth,
+                               max_points_per_node=max_points,
+                               concurrency=concurrency)
+    algo = make_tiling_algorithm(
+        strategy, SamplingStrategy(sampling_name, max_points), persistence, meta)
+    for buf in buffers:
+        algo.process_batch(buf, BOUNDS)
+    algo.finalize(BOUNDS)
+    return persistence, algo
+
+
+# ---------------------------------------------------------------------------
+# Independent recursive oracle (single batch, ACCURATE, lossless persistence)
+# ---------------------------------------------------------------------------
+
+
+def oracle_tile_recursive(keys, positions, name, bounds, level, spacing_root,
+                          max_points, strategy, out):
+    """Plain recursion mirroring do_tiling_for_node for a fresh (no cached
+    points) run: sample -> persist selected -> recurse children."""
+    n = keys.size
+    if n == 0:
+        return
+    max_level = 20
+    root_extent_x = BOUNDS.extent()[0]
+    sample_from = sampling.required_morton_index_depth(
+        strategy, level, float(root_extent_x), spacing_root)
+    requires_deeper = sample_from > level
+    if (not requires_deeper and sample_from >= max_level) or \
+            (requires_deeper and level >= max_level):
+        out[name] = positions
+        return
+    res = strategy.sample(keys, positions, 0, level, BOUNDS.min, BOUNDS.max,
+                          spacing_root,
+                          SamplingBehaviour.TakeAllWhenCountBelowMaxPoints)
+    if res.order is not None:
+        keys = keys[res.order]
+        positions = positions[res.order]
+    out[name] = positions[:res.selected_count]
+    rem_keys = keys[res.selected_count:]
+    rem_pos = positions[res.selected_count:]
+    if rem_keys.size == 0:
+        return
+    child_level = level + 1
+    octants = morton.octant_at_level(rem_keys, child_level)
+    for o in range(8):
+        mask = octants == o
+        if not mask.any():
+            continue
+        oracle_tile_recursive(rem_keys[mask], rem_pos[mask],
+                              name + str(o), octant_bounds(o, bounds),
+                              child_level, spacing_root, max_points,
+                              strategy, out)
+
+
+def test_accurate_single_batch_matches_recursive_oracle(rng):
+    buf = make_cloud(rng, 6000)
+    pos_copy = buf.positions.copy()
+    persistence, _ = run_tiler([buf], strategy=TilingStrategy.Accurate,
+                               sampling_name="RANDOM_GRID", spacing=8.0,
+                               max_points=200)
+
+    keys, pos = indexing.index_points(pos_copy, BOUNDS.min, BOUNDS.max)
+    order = indexing.sort_by_key(keys)
+    out = {}
+    strategy = SamplingStrategy("RANDOM_GRID", 200)
+    oracle_tile_recursive(keys[order], pos[order], "r", BOUNDS, -1, 8.0, 200,
+                          strategy, out)
+    oracle_names = {k for k, v in out.items() if len(v)}
+
+    assert set(persistence.node_names()) == oracle_names
+    for name in oracle_names:
+        got = persistence.retrieve_points(name).positions
+        np.testing.assert_array_equal(got, out[name])
+
+
+# ---------------------------------------------------------------------------
+# Invariants (multi-batch, FAST)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sampling_name", ["RANDOM_GRID", "GRID_CENTER",
+                                           "MIN_DISTANCE"])
+def test_conservation_across_batches(rng, sampling_name):
+    n = 9000
+    buf = make_cloud(rng, n)
+    all_pos = buf.positions.copy()
+    batches = [PointBuffer(all_pos[i * 3000:(i + 1) * 3000].copy())
+               for i in range(3)]
+    persistence, algo = run_tiler(batches, sampling_name=sampling_name,
+                                  spacing=8.0, max_points=300)
+
+    # Points above the start level are duplicated into reconstructed
+    # ancestors (reconstruction samples FROM children without removing),
+    # so conservation holds over the non-reconstructed part: every input
+    # point appears exactly once across start-level-and-deeper nodes.
+    names = persistence.node_names()
+    deep = [n_ for n_ in names if len(n_) - 1 >= algo.level_of_start_nodes]
+    collected = np.concatenate(
+        [persistence.retrieve_points(n_).positions for n_ in deep])
+    assert collected.shape[0] == n
+    got = collected[np.lexsort(collected.T)]
+    want = all_pos[np.lexsort(all_pos.T)]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fast_reconstructs_all_ancestors(rng):
+    buf = make_cloud(rng, 9000)
+    persistence, _ = run_tiler([buf], spacing=8.0, max_points=300)
+    names = set(persistence.node_names())
+    assert "r" in names
+    for name in names:
+        while len(name) > 1:
+            name = name[:-1]
+            assert name in names, f"missing ancestor {name}"
+
+
+def test_nodes_contain_their_points(rng):
+    buf = make_cloud(rng, 6000)
+    persistence, _ = run_tiler([buf], spacing=8.0, max_points=300)
+    for name in persistence.node_names():
+        bounds = persistence.bounds_of(name)
+        pts = persistence.retrieve_points(name).positions
+        eps = 1e-9 * 64
+        assert (pts >= bounds.min - eps).all() and (pts <= bounds.max + eps).all()
+
+
+def test_random_grid_density_bound(rng):
+    """Interior nodes keep at most one point per candidate-level cell."""
+    buf = make_cloud(rng, 9000)
+    spacing = 8.0
+    persistence, _ = run_tiler([buf], spacing=spacing, max_points=100)
+    names = persistence.node_names()
+    for name in names:
+        has_children = any(other.startswith(name) and len(other) > len(name)
+                           for other in names)
+        if not has_children:
+            continue  # leaves may hold take-all sets
+        level = len(name) - 2  # 'r' prefix; root = -1
+        pts = persistence.retrieve_points(name).positions
+        keys, _ = indexing.index_points(pts, BOUNDS.min, BOUNDS.max)
+        cand = sampling.candidate_level_in_octree(
+            64.0, sampling.spacing_at_node_level(spacing, level))
+        if cand < 0:
+            continue
+        cells = morton.truncate_to_level(keys, cand)
+        assert np.unique(cells).size == cells.size, name
+
+
+def test_multi_batch_revisit_keeps_density(rng):
+    """Re-visited nodes merge cached points and re-sample (AlwaysAdhere)."""
+    spacing = 8.0
+    b1 = make_cloud(rng, 4000)
+    b2 = make_cloud(rng, 4000)
+    persistence, _ = run_tiler([b1, b2], spacing=spacing, max_points=300)
+    # start nodes are at level >= 3: cells at candidate level must be unique
+    for name in persistence.node_names():
+        if len(name) - 1 != 3:
+            continue
+        level = len(name) - 2
+        pts = persistence.retrieve_points(name).positions
+        keys, _ = indexing.index_points(pts, BOUNDS.min, BOUNDS.max)
+        cand = sampling.candidate_level_in_octree(
+            64.0, sampling.spacing_at_node_level(spacing, level))
+        cells = morton.truncate_to_level(keys, cand)
+        assert np.unique(cells).size == cells.size
+
+
+def test_start_level_estimation_small_batch():
+    """Tiny first batches produce few large ranges -> default MAX_LEVEL=6."""
+    rng = np.random.default_rng(1)
+    buf = make_cloud(rng, 1000)
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=8.0, max_points_per_node=100,
+                               concurrency=4)
+    algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                 SamplingStrategy("RANDOM_GRID", 100),
+                                 persistence, meta)
+    algo.process_batch(buf, BOUNDS)
+    assert algo.level_of_start_nodes == 6
+
+
+def test_start_level_estimation_large_uniform(rng):
+    """A large uniform batch saturates level 1 (8 large ranges >= 100k)."""
+    buf = make_cloud(rng, 1_000_000)
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=8.0, max_points_per_node=20000,
+                               concurrency=4)
+    algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                 SamplingStrategy("RANDOM_GRID", 20000),
+                                 persistence, meta)
+    keys = algo.index_batch(buf, BOUNDS)
+    order = indexing.sort_by_key(keys)
+    level = algo._estimate_start_node_level(keys[order])
+    assert level == 3  # max(0+1, MIN_LEVEL=3)
+
+
+def test_terminal_node_takes_all(rng):
+    """max_depth clamps the tree; deepest nodes persist everything."""
+    buf = make_cloud(rng, 5000)
+    persistence, _ = run_tiler([buf], spacing=8.0, max_points=50, max_depth=4,
+                               strategy=TilingStrategy.Accurate)
+    names = persistence.node_names()
+    assert max(len(n_) - 1 for n_ in names) <= 4
+    total = sum(persistence.retrieve_points(n_).count for n_ in names)
+    assert total == 5000
