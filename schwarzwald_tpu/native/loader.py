@@ -1,0 +1,110 @@
+"""ctypes loader for the native kernels, with on-demand compilation."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "schwarzwald_native.cpp")
+_BUILD_DIR = os.path.join(os.path.dirname(__file__), "build")
+_SO = os.path.join(_BUILD_DIR, "libschwarzwald_native.so")
+
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+def _ensure_built() -> str:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
+           "-o", _SO, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _SO
+
+
+class NativeLib:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.poisson_accept_mask.argtypes = [
+            _f64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_double,
+            ctypes.c_void_p, _u8p]
+        lib.radix_argsort_u64.argtypes = [_u64p, ctypes.c_int64, _i64p]
+        lib.las_decode.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _f64p, _f64p] + [ctypes.c_void_p] * 10
+        lib.las_encode.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _f64p, _f64p] + [ctypes.c_void_p] * 9
+
+    def poisson_accept_mask(self, positions, node_min, node_max, spacing,
+                            analyze_mask=None) -> np.ndarray:
+        positions = np.ascontiguousarray(positions, dtype=np.float64)
+        n = positions.shape[0]
+        out = np.empty(n, dtype=np.uint8)
+        if analyze_mask is not None:
+            analyze_mask = np.ascontiguousarray(analyze_mask, dtype=np.uint8)
+            mask_ptr = analyze_mask.ctypes.data_as(ctypes.c_void_p)
+        else:
+            mask_ptr = None
+        self._lib.poisson_accept_mask(
+            positions, n,
+            np.ascontiguousarray(node_min, dtype=np.float64),
+            np.ascontiguousarray(node_max, dtype=np.float64),
+            float(spacing), mask_ptr, out)
+        return out.astype(bool)
+
+    def radix_argsort(self, keys: np.ndarray) -> np.ndarray:
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        out = np.empty(keys.size, dtype=np.int64)
+        self._lib.radix_argsort_u64(keys, keys.size, out)
+        return out
+
+    @staticmethod
+    def _ptr(arr):
+        return (arr.ctypes.data_as(ctypes.c_void_p)
+                if arr is not None else None)
+
+    def las_decode(self, records: np.ndarray, stride: int, fmt: int,
+                   scale, offset, *, positions=None, intensity=None,
+                   flags=None, classification=None, scan_angle=None,
+                   user_data=None, point_source_id=None, gps_time=None,
+                   rgb8=None, rgb16=None) -> None:
+        n = records.size // stride
+        self._lib.las_decode(
+            np.ascontiguousarray(records, dtype=np.uint8), n, stride, fmt,
+            np.ascontiguousarray(scale, dtype=np.float64),
+            np.ascontiguousarray(offset, dtype=np.float64),
+            self._ptr(positions), self._ptr(intensity), self._ptr(flags),
+            self._ptr(classification), self._ptr(scan_angle),
+            self._ptr(user_data), self._ptr(point_source_id),
+            self._ptr(gps_time), self._ptr(rgb8), self._ptr(rgb16))
+
+    def las_encode(self, records: np.ndarray, stride: int, fmt: int,
+                   scale, offset, *, positions=None, intensity=None,
+                   flags=None, classification=None, scan_angle=None,
+                   user_data=None, point_source_id=None, gps_time=None,
+                   rgb16=None) -> None:
+        n = records.size // stride
+        self._lib.las_encode(
+            records, n, stride, fmt,
+            np.ascontiguousarray(scale, dtype=np.float64),
+            np.ascontiguousarray(offset, dtype=np.float64),
+            self._ptr(positions), self._ptr(intensity), self._ptr(flags),
+            self._ptr(classification), self._ptr(scan_angle),
+            self._ptr(user_data), self._ptr(point_source_id),
+            self._ptr(gps_time), self._ptr(rgb16))
+
+
+def load() -> NativeLib:
+    if os.environ.get("SCHWARZWALD_TPU_NO_NATIVE"):
+        raise RuntimeError("native disabled via SCHWARZWALD_TPU_NO_NATIVE")
+    so = _ensure_built()
+    return NativeLib(ctypes.CDLL(so))

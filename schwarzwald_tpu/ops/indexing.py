@@ -52,8 +52,14 @@ def sort_by_key(keys: np.ndarray):
 
     std::sort in the reference is unstable but compares only on the key
     (Sampling.h:159-164); we pick the deterministic stable order so results
-    are reproducible and merge semantics match std::merge stability.
+    are reproducible and merge semantics match std::merge stability. Uses
+    the native LSD radix argsort (also stable) for large inputs.
     """
+    if keys.size >= 1 << 16:
+        from .. import native
+        lib = native.las_codec()
+        if lib is not None:
+            return lib.radix_argsort(keys)
     return np.argsort(keys, kind="stable")
 
 

@@ -1,0 +1,60 @@
+"""Native kernel tests: exact agreement with the python oracles."""
+import numpy as np
+import pytest
+
+from schwarzwald_tpu import native
+from schwarzwald_tpu.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.las_codec()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    return lib
+
+
+def test_poisson_matches_python_oracle(lib, rng):
+    node_min = np.array([0.0, 0.0, 0.0])
+    node_max = np.array([32.0, 32.0, 32.0])
+    pos = rng.uniform(node_min, node_max, size=(5000, 3))
+    for spacing in (0.5, 2.0, 7.9):
+        want = sampling._poisson_accept_mask(pos, node_min, node_max, spacing)
+        got = lib.poisson_accept_mask(pos, node_min, node_max, spacing)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_poisson_with_analyze_mask(lib, rng):
+    node_min = np.zeros(3)
+    node_max = np.full(3, 16.0)
+    pos = rng.uniform(node_min, node_max, size=(2000, 3))
+    analyze = np.zeros(2000, dtype=bool)
+    analyze[::4] = True
+    want = sampling._poisson_accept_mask(pos, node_min, node_max, 1.0, analyze)
+    got = lib.poisson_accept_mask(pos, node_min, node_max, 1.0, analyze)
+    np.testing.assert_array_equal(got, want)
+    assert not got[~analyze].any()
+
+
+def test_poisson_degenerate_flat_extent(lib, rng):
+    """Zero extent on one axis (all points coplanar) must not crash."""
+    node_min = np.zeros(3)
+    node_max = np.array([16.0, 16.0, 0.0])
+    pos = rng.uniform(node_min, node_max, size=(500, 3))
+    want = sampling._poisson_accept_mask(pos, node_min, node_max, 1.0)
+    got = lib.poisson_accept_mask(pos, node_min, node_max, 1.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_radix_argsort_is_stable(lib, rng):
+    keys = rng.integers(0, 1 << 63, size=100_000, dtype=np.uint64)
+    keys[::7] = keys[0]  # inject duplicates
+    want = np.argsort(keys, kind="stable")
+    got = lib.radix_argsort(keys)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_radix_argsort_trivial_high_bytes(lib, rng):
+    keys = rng.integers(0, 255, size=50_000, dtype=np.uint64)
+    np.testing.assert_array_equal(lib.radix_argsort(keys),
+                                  np.argsort(keys, kind="stable"))

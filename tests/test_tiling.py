@@ -158,10 +158,9 @@ def test_random_grid_density_bound(rng):
     spacing = 8.0
     persistence, _ = run_tiler([buf], spacing=spacing, max_points=100)
     names = persistence.node_names()
+    parents = {n_[:-1] for n_ in names if len(n_) > 1}
     for name in names:
-        has_children = any(other.startswith(name) and len(other) > len(name)
-                           for other in names)
-        if not has_children:
+        if name not in parents:
             continue  # leaves may hold take-all sets
         level = len(name) - 2  # 'r' prefix; root = -1
         pts = persistence.retrieve_points(name).positions
