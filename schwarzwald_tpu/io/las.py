@@ -1,0 +1,320 @@
+"""LAS reader/writer (numpy structured records; native codec fast path).
+
+Replaces the reference's LASzip wrapper (schwarzwald/core/io/LASFile.{h,cpp})
+for uncompressed LAS. Point formats 0-3; LAS 1.0-1.4 headers on read
+(including 1.4 extended counts, LASFile.cpp:269-277), LAS 1.2 headers on
+write with the same field policy as LASPersistence (LASPersistence.cpp:
+101-137). LAZ decode requires the native entropy codec (gated; the design
+extension point mirrors pc::PointFile, core/io/PointcloudFile.h).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+
+import numpy as np
+
+from ..core.aabb import AABB
+from ..core.attributes import PointAttribute
+from ..core.pointbuffer import PointBuffer
+
+HEADER_SIZE_12 = 227
+
+# Record layouts for point formats 0-3 (LAS 1.2 spec).
+_BASE_FIELDS = [
+    ("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+    ("intensity", "<u2"), ("flags", "u1"), ("classification", "u1"),
+    ("scan_angle", "i1"), ("user_data", "u1"), ("point_source_id", "<u2"),
+]
+_GPS_FIELD = [("gps_time", "<f8")]
+_RGB_FIELDS = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+
+
+def point_record_dtype(fmt: int) -> np.dtype:
+    fields = list(_BASE_FIELDS)
+    if fmt in (1, 3):
+        fields += _GPS_FIELD
+    if fmt in (2, 3):
+        fields += _RGB_FIELDS
+    return np.dtype(fields)
+
+
+def record_length_for_format(fmt: int) -> int:
+    return {0: 20, 1: 28, 2: 26, 3: 34}[fmt]
+
+
+def attributes_for_format(fmt: int) -> set:
+    """Attribute presence by point_data_format (LASFile.cpp:414-444)."""
+    attrs = {PointAttribute.Position, PointAttribute.Intensity,
+             PointAttribute.ReturnNumber, PointAttribute.NumberOfReturns,
+             PointAttribute.ScanDirectionFlag, PointAttribute.EdgeOfFlightLine,
+             PointAttribute.Classification, PointAttribute.ScanAngleRank,
+             PointAttribute.UserData, PointAttribute.PointSourceID}
+    if fmt in (1, 3):
+        attrs.add(PointAttribute.GPSTime)
+    if fmt in (2, 3):
+        attrs.add(PointAttribute.RGB)
+    return attrs
+
+
+@dataclasses.dataclass
+class LASHeader:
+    version_major: int = 1
+    version_minor: int = 2
+    point_data_format: int = 0
+    point_record_length: int = 20
+    point_count: int = 0
+    points_by_return: tuple = (0, 0, 0, 0, 0)
+    scale: np.ndarray = None
+    offset: np.ndarray = None
+    mins: np.ndarray = None
+    maxs: np.ndarray = None
+    offset_to_point_data: int = HEADER_SIZE_12
+    header_size: int = HEADER_SIZE_12
+    is_compressed: bool = False
+
+    def bounds(self) -> AABB:
+        return AABB(self.mins, self.maxs)
+
+
+def parse_header(raw: bytes) -> LASHeader:
+    if raw[:4] != b"LASF":
+        raise ValueError("Not a LAS file (missing LASF signature)")
+    h = LASHeader()
+    h.version_major, h.version_minor = raw[24], raw[25]
+    h.header_size = struct.unpack_from("<H", raw, 94)[0]
+    h.offset_to_point_data = struct.unpack_from("<I", raw, 96)[0]
+    fmt = raw[104]
+    # LAZ files set bit 7 of the point data format.
+    h.is_compressed = bool(fmt & 0x80)
+    h.point_data_format = fmt & 0x3F
+    h.point_record_length = struct.unpack_from("<H", raw, 105)[0]
+    legacy_count = struct.unpack_from("<I", raw, 107)[0]
+    h.points_by_return = struct.unpack_from("<5I", raw, 111)
+    h.scale = np.array(struct.unpack_from("<3d", raw, 131))
+    h.offset = np.array(struct.unpack_from("<3d", raw, 155))
+    bb = struct.unpack_from("<6d", raw, 179)  # max_x,min_x,max_y,min_y,max_z,min_z
+    h.maxs = np.array([bb[0], bb[2], bb[4]])
+    h.mins = np.array([bb[1], bb[3], bb[5]])
+    h.point_count = legacy_count
+    if (h.version_major, h.version_minor) >= (1, 4) and len(raw) >= 255:
+        extended = struct.unpack_from("<Q", raw, 247)[0]
+        if extended and not legacy_count:
+            h.point_count = extended  # LASFile.cpp:269-277
+    return h
+
+
+class LASFile:
+    """Read-mode LAS file with batched record decode."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            raw = f.read(376)
+        self.header = parse_header(raw)
+        if self.header.is_compressed or path.lower().endswith(".laz"):
+            from . import laz
+            self._laz = laz.LAZReader(path, self.header)
+        else:
+            self._laz = None
+            if self.header.point_data_format > 3:
+                raise ValueError(
+                    f"Unsupported point data format "
+                    f"{self.header.point_data_format} (supported: 0-3)")
+
+    @property
+    def count(self) -> int:
+        return self.header.point_count
+
+    def attributes(self) -> set:
+        return attributes_for_format(self.header.point_data_format)
+
+    def read_points(self, start: int, count: int,
+                    attributes: set | None = None) -> PointBuffer:
+        """Decode records [start, start+count) into a PointBuffer."""
+        h = self.header
+        count = max(0, min(count, h.point_count - start))
+        if count == 0:
+            return PointBuffer()
+        if self._laz is not None:
+            records = self._laz.read_records(start, count)
+        else:
+            stride = h.point_record_length
+            with open(self.path, "rb") as f:
+                f.seek(h.offset_to_point_data + start * stride)
+                records = np.fromfile(f, dtype=np.uint8,
+                                      count=count * stride)
+        return decode_records(records, h, attributes or self.attributes())
+
+
+def decode_records(records: np.ndarray, header: LASHeader,
+                   attributes: set) -> PointBuffer:
+    fmt = header.point_data_format
+    stride = header.point_record_length
+    dtype = point_record_dtype(fmt)
+    n = records.size // stride
+    if stride == dtype.itemsize:
+        rec = records.view(dtype)
+    else:
+        # extra bytes per record beyond the standard layout: view with a
+        # padded dtype
+        padded = np.dtype({"names": [f[0] for f in dtype.descr],
+                           "formats": [f[1] for f in dtype.descr],
+                           "offsets": [dtype.fields[f[0]][1]
+                                       for f in dtype.descr],
+                           "itemsize": stride})
+        rec = records.view(padded)
+
+    positions = np.empty((n, 3), dtype=np.float64)
+    positions[:, 0] = rec["x"] * header.scale[0] + header.offset[0]
+    positions[:, 1] = rec["y"] * header.scale[1] + header.offset[1]
+    positions[:, 2] = rec["z"] * header.scale[2] + header.offset[2]
+    buf = PointBuffer(positions)
+
+    flags = rec["flags"]
+    A = PointAttribute
+    if A.Intensity in attributes:
+        buf.set_column(A.Intensity, rec["intensity"].copy())
+    if A.ReturnNumber in attributes:
+        buf.set_column(A.ReturnNumber, flags & 0x7)
+    if A.NumberOfReturns in attributes:
+        buf.set_column(A.NumberOfReturns, (flags >> 3) & 0x7)
+    if A.ScanDirectionFlag in attributes:
+        buf.set_column(A.ScanDirectionFlag, (flags >> 6) & 0x1)
+    if A.EdgeOfFlightLine in attributes:
+        buf.set_column(A.EdgeOfFlightLine, (flags >> 7) & 0x1)
+    if A.Classification in attributes:
+        buf.set_column(A.Classification, rec["classification"].copy())
+    if A.ScanAngleRank in attributes:
+        buf.set_column(A.ScanAngleRank, rec["scan_angle"].copy())
+    if A.UserData in attributes:
+        buf.set_column(A.UserData, rec["user_data"].copy())
+    if A.PointSourceID in attributes:
+        buf.set_column(A.PointSourceID, rec["point_source_id"].copy())
+    if A.GPSTime in attributes and fmt in (1, 3):
+        buf.set_column(A.GPSTime, rec["gps_time"].copy())
+    if A.RGB in attributes and fmt in (2, 3):
+        rgb = np.empty((n, 3), dtype=np.uint8)
+        # 16 -> 8 bit via >> 8 (LASFile.cpp:521-525)
+        rgb[:, 0] = rec["red"] >> 8
+        rgb[:, 1] = rec["green"] >> 8
+        rgb[:, 2] = rec["blue"] >> 8
+        buf.set_column(A.RGB, rgb)
+    return buf
+
+
+def choose_point_format(buffer: PointBuffer) -> int:
+    """Format from gps/rgb presence (LASPersistence.cpp:101-104)."""
+    has_gps = buffer.has(PointAttribute.GPSTime)
+    has_rgb = buffer.has(PointAttribute.RGB)
+    return (1 if has_gps else 0) + (2 if has_rgb else 0)
+
+
+def compute_las_scale_from_bounds(bounds: AABB) -> float:
+    """LASPersistence.cpp:16-28 (adopted from Potree)."""
+    diagonal = bounds.diagonal_length()
+    if diagonal > 1_000_000:
+        return 0.01
+    if diagonal > 100_000:
+        return 0.001
+    if diagonal > 1:
+        return 0.001
+    return 0.0001
+
+
+def quantize_positions(positions: np.ndarray, scale, offset) -> np.ndarray:
+    """I32_QUANTIZE semantics: round half away from zero."""
+    v = (positions - np.asarray(offset)) / np.asarray(scale)
+    return np.where(v >= 0, v + 0.5, v - 0.5).astype(np.int32)
+
+
+def encode_records(buffer: PointBuffer, fmt: int, scale, offset) -> np.ndarray:
+    dtype = point_record_dtype(fmt)
+    rec = np.zeros(buffer.count, dtype=dtype)
+    xyz = quantize_positions(buffer.positions, scale, offset)
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    A = PointAttribute
+    if buffer.has(A.Intensity):
+        rec["intensity"] = buffer.get(A.Intensity)
+    flags = np.zeros(buffer.count, dtype=np.uint8)
+    if buffer.has(A.ReturnNumber):
+        flags |= buffer.get(A.ReturnNumber) & 0x7
+    if buffer.has(A.NumberOfReturns):
+        flags |= (buffer.get(A.NumberOfReturns) & 0x7) << 3
+    if buffer.has(A.ScanDirectionFlag):
+        flags |= (buffer.get(A.ScanDirectionFlag) & 0x1) << 6
+    if buffer.has(A.EdgeOfFlightLine):
+        flags |= (buffer.get(A.EdgeOfFlightLine) & 0x1) << 7
+    rec["flags"] = flags
+    if buffer.has(A.Classification):
+        rec["classification"] = buffer.get(A.Classification)
+    if buffer.has(A.ScanAngleRank):
+        rec["scan_angle"] = buffer.get(A.ScanAngleRank)
+    if buffer.has(A.UserData):
+        rec["user_data"] = buffer.get(A.UserData)
+    if buffer.has(A.PointSourceID):
+        rec["point_source_id"] = buffer.get(A.PointSourceID)
+    if fmt in (1, 3):
+        rec["gps_time"] = (buffer.get(A.GPSTime)
+                           if buffer.has(A.GPSTime) else 0.0)
+    if fmt in (2, 3) and buffer.has(A.RGB):
+        rgb = buffer.get(A.RGB).astype(np.uint16)
+        # 8 -> 16 bit via << 8 (LASPersistence.h:184-186)
+        rec["red"] = rgb[:, 0] << 8
+        rec["green"] = rgb[:, 1] << 8
+        rec["blue"] = rgb[:, 2] << 8
+    return rec
+
+
+def build_header_bytes(header: LASHeader) -> bytes:
+    raw = bytearray(HEADER_SIZE_12)
+    raw[0:4] = b"LASF"
+    raw[24] = 1
+    raw[25] = 2
+    software = b"pointcloud_tiler"  # LASPersistence.cpp:119
+    raw[58:58 + len(software)] = software
+    struct.pack_into("<H", raw, 94, HEADER_SIZE_12)
+    struct.pack_into("<I", raw, 96, header.offset_to_point_data)
+    raw[104] = header.point_data_format
+    struct.pack_into("<H", raw, 105, header.point_record_length)
+    struct.pack_into("<I", raw, 107, min(header.point_count, 0xFFFFFFFF))
+    struct.pack_into("<5I", raw, 111, *header.points_by_return)
+    struct.pack_into("<3d", raw, 131, *header.scale)
+    struct.pack_into("<3d", raw, 155, *header.offset)
+    struct.pack_into("<6d", raw, 179,
+                     header.maxs[0], header.mins[0],
+                     header.maxs[1], header.mins[1],
+                     header.maxs[2], header.mins[2])
+    return bytes(raw)
+
+
+def write_las(path: str, buffer: PointBuffer, bounds: AABB,
+              compressed: bool = False) -> None:
+    """One-shot LAS write with the LASPersistence header policy:
+    offset = bounds.min, min/max = bounds, scale from bounds diagonal."""
+    fmt = choose_point_format(buffer)
+    scale = compute_las_scale_from_bounds(bounds)
+    header = LASHeader(
+        point_data_format=fmt,
+        point_record_length=record_length_for_format(fmt),
+        point_count=buffer.count,
+        points_by_return=(buffer.count, 0, 0, 0, 0),
+        scale=np.full(3, scale),
+        offset=bounds.min.copy(),
+        mins=bounds.min.copy(),
+        maxs=bounds.max.copy(),
+    )
+    records = encode_records(buffer, fmt, header.scale, header.offset)
+    if compressed:
+        from . import laz
+        laz.write_laz(path, header, records)
+        return
+    with open(path, "wb") as f:
+        f.write(build_header_bytes(header))
+        f.write(records.tobytes())
+
+
+def read_las(path: str, attributes: set | None = None) -> PointBuffer:
+    f = LASFile(path)
+    return f.read_points(0, f.count, attributes)

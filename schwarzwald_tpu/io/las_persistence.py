@@ -1,0 +1,47 @@
+"""LAS/LAZ node persistence: one LAS file per node.
+
+Parity: LASPersistence (schwarzwald/core/io/LASPersistence.{h,cpp}):
+LAS 1.2 headers, point format from gps/rgb presence, offset = node
+bounds.min, scale from the bounds-diagonal heuristic; lossy (positions are
+quantized to the scale grid).
+"""
+from __future__ import annotations
+
+import os
+
+from ..core.aabb import AABB
+from ..core.pointbuffer import PointBuffer
+from . import las
+
+
+class LASPersistence:
+    is_lossless = False
+
+    def __init__(self, work_dir: str, input_attributes=None,
+                 output_attributes=None, compressed: bool = False):
+        self.work_dir = work_dir
+        self.compressed = compressed
+        self.extension = ".laz" if compressed else ".las"
+        os.makedirs(work_dir, exist_ok=True)
+
+    def _path(self, node_name: str) -> str:
+        return os.path.join(self.work_dir, node_name + self.extension)
+
+    def persist_points(self, points: PointBuffer, bounds: AABB,
+                       node_name: str) -> None:
+        if not points.count:
+            return
+        las.write_las(self._path(node_name), points, bounds,
+                      compressed=self.compressed)
+
+    def retrieve_points(self, node_name: str) -> PointBuffer:
+        path = self._path(node_name)
+        if not os.path.exists(path):
+            return PointBuffer()
+        return las.read_las(path)
+
+    def node_exists(self, node_name: str) -> bool:
+        return os.path.exists(self._path(node_name))
+
+    def close(self) -> None:
+        pass

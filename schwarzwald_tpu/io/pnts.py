@@ -1,0 +1,128 @@
+"""3D Tiles .pnts point-cloud binary reader/writer.
+
+Format parity with PNTSWriter/PNTSReader (schwarzwald/core/io/
+PNTSWriter.cpp:108-260, PNTSReader.cpp): 28-byte header ("pnts", version 1,
+total size, feature-table JSON/binary byte lengths, zero batch table),
+feature-table JSON padded with spaces to 8 bytes, binary body with
+per-attribute aligned offsets, 8-byte aligned total. POSITION is float32x3
+(PNTSWriter.cpp:304-320), RGB uint8x3, INTENSITY uint16; RGB may be derived
+from intensity via linear (>>8 greyscale) or log mapping
+(PNTSWriter.cpp:507-525).
+"""
+from __future__ import annotations
+
+import json
+import math
+import struct
+
+import numpy as np
+
+from ..core.attributes import PointAttribute, RGBMapping
+from ..core.pointbuffer import PointBuffer
+
+A = PointAttribute
+HEADER_SIZE = 28
+
+
+def _align(v: int, alignment: int) -> int:
+    rem = v % alignment
+    return v if rem == 0 else v + alignment - rem
+
+
+def rgb_from_intensity(intensity: np.ndarray,
+                       mapping: RGBMapping) -> np.ndarray:
+    if mapping == RGBMapping.FromIntensityLinear:
+        grey = (intensity >> 8).astype(np.uint8)
+    else:
+        grey = (255 * np.log(intensity.astype(np.float32) + 1)
+                / math.log(np.iinfo(np.uint16).max)).astype(np.uint8)
+    return np.repeat(grey[:, None], 3, axis=1)
+
+
+def _binary_attributes(points: PointBuffer, output_attributes,
+                       rgb_mapping: RGBMapping):
+    """Yield (json_name, bytes, alignment) in canonical order."""
+    out = []
+    if A.Position in output_attributes:
+        out.append(("POSITION",
+                    np.ascontiguousarray(points.positions,
+                                         dtype="<f4").tobytes(), 4))
+    if A.RGB in output_attributes:
+        if rgb_mapping != RGBMapping.Nothing and points.has(A.Intensity):
+            rgb = rgb_from_intensity(points.get(A.Intensity), rgb_mapping)
+            out.append(("RGB", rgb.tobytes(), 1))
+        elif points.has(A.RGB):
+            out.append(("RGB",
+                        np.ascontiguousarray(points.get(A.RGB),
+                                             dtype="u1").tobytes(), 1))
+    if A.Intensity in output_attributes and points.has(A.Intensity):
+        out.append(("INTENSITY",
+                    np.ascontiguousarray(points.get(A.Intensity),
+                                         dtype="<u2").tobytes(), 2))
+    return out
+
+
+def write_pnts(path: str, points: PointBuffer, output_attributes,
+               rtc_center, rgb_mapping: RGBMapping = RGBMapping.Nothing):
+    n = points.count
+    ft: dict = {"POINTS_LENGTH": n,
+                "RTC_CENTER": [float(rtc_center[0]), float(rtc_center[1]),
+                               float(rtc_center[2])]}
+    body_parts = []
+    offset = 0
+    for name, blob, alignment in _binary_attributes(points, output_attributes,
+                                                    rgb_mapping):
+        aligned = _align(offset, alignment)
+        if aligned != offset:
+            body_parts.append(b"\x00" * (aligned - offset))
+        ft[name] = {"byteOffset": aligned}
+        body_parts.append(blob)
+        offset = aligned + len(blob)
+    body_size = _align(offset, 8)
+    if body_size != offset:
+        body_parts.append(b"\x00" * (body_size - offset))
+    body = b"".join(body_parts)
+
+    ft_json = json.dumps(ft, separators=(",", ":")).encode()
+    ft_json_size = _align(len(ft_json), 8)
+    ft_json = ft_json.ljust(ft_json_size, b" ")
+
+    total = HEADER_SIZE + ft_json_size + body_size
+    with open(path, "wb") as f:
+        f.write(b"pnts")
+        f.write(struct.pack("<6I", 1, total, ft_json_size, body_size, 0, 0))
+        f.write(ft_json)
+        f.write(body)
+
+
+def read_pnts(path: str, attributes=None):
+    """Returns (PointBuffer, rtc_center). Positions come back float32-valued
+    (the format stores f32); RGB/INTENSITY restored when present."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"pnts":
+        raise ValueError(f"{path}: not a pnts file")
+    version, total, ft_json_size, ft_bin_size, _, _ = struct.unpack_from(
+        "<6I", raw, 4)
+    ft = json.loads(raw[HEADER_SIZE:HEADER_SIZE + ft_json_size].decode())
+    n = ft["POINTS_LENGTH"]
+    body = raw[HEADER_SIZE + ft_json_size:HEADER_SIZE + ft_json_size + ft_bin_size]
+    rtc = np.array(ft.get("RTC_CENTER", [0.0, 0.0, 0.0]))
+
+    buf = PointBuffer(np.zeros((n, 3)))
+    if "POSITION" in ft:
+        off = ft["POSITION"]["byteOffset"]
+        pos = np.frombuffer(body, dtype="<f4", count=n * 3,
+                            offset=off).reshape(n, 3)
+        buf.positions = pos.astype(np.float64)
+    if "RGB" in ft and (attributes is None or A.RGB in attributes):
+        off = ft["RGB"]["byteOffset"]
+        rgb = np.frombuffer(body, dtype="u1", count=n * 3,
+                            offset=off).reshape(n, 3)
+        buf.set_column(A.RGB, rgb.copy())
+    if "INTENSITY" in ft and (attributes is None or A.Intensity in attributes):
+        off = ft["INTENSITY"]["byteOffset"]
+        buf.set_column(A.Intensity,
+                       np.frombuffer(body, dtype="<u2", count=n,
+                                     offset=off).copy())
+    return buf, rtc

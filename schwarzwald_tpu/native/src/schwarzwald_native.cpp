@@ -158,10 +158,11 @@ void las_encode(uint8_t* records, int64_t n, int32_t stride, int32_t format,
     uint8_t* r = records + i * stride;
     std::memset(r, 0, stride);
     int32_t xyz[3];
-    // LASzip laszip_set_coordinates rounds to nearest via floor(x+0.5)
+    // laszip_set_coordinates quantizes with I32_QUANTIZE: round half away
+    // from zero.
     for (int a = 0; a < 3; ++a) {
       const double v = (positions[i * 3 + a] - offset[a]) / scale[a];
-      xyz[a] = static_cast<int32_t>(std::floor(v + 0.5));
+      xyz[a] = static_cast<int32_t>(v >= 0 ? v + 0.5 : v - 0.5);
     }
     std::memcpy(r, xyz, 12);
     if (intensity) std::memcpy(r + 12, &intensity[i], 2);

@@ -1,0 +1,239 @@
+"""I/O round-trip tests, mirroring the reference's style
+(TestBinaryPersistence.cpp:51 'lossless', TestLASPersistence.cpp:68
+'within quantization', TestLASFile.cpp read/write against self-written
+files) plus pnts / tileset / EPT structural checks."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.attributes import (OutputFormat, PointAttribute,
+                                             RGBMapping)
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io import las, pnts
+from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+from schwarzwald_tpu.io.cesium3dtiles import Cesium3DTilesPersistence
+from schwarzwald_tpu.io.entwine import (EntwinePersistence,
+                                        point_attributes_to_ept_schema)
+from schwarzwald_tpu.io.las_persistence import LASPersistence
+
+A = PointAttribute
+BOUNDS = AABB([10.0, 20.0, 30.0], [74.0, 84.0, 94.0])
+
+
+def random_buffer(rng, n, attributes=()):
+    buf = PointBuffer(rng.uniform(BOUNDS.min, BOUNDS.max, size=(n, 3)))
+    if A.RGB in attributes:
+        buf.set_column(A.RGB, rng.integers(0, 255, (n, 3), dtype=np.uint8))
+    if A.Intensity in attributes:
+        buf.set_column(A.Intensity,
+                       rng.integers(0, 65535, n, dtype=np.uint16))
+    if A.Classification in attributes:
+        buf.set_column(A.Classification,
+                       rng.integers(0, 32, n, dtype=np.uint8))
+    if A.GPSTime in attributes:
+        buf.set_column(A.GPSTime, rng.uniform(0, 1e6, n))
+    if A.ReturnNumber in attributes:
+        buf.set_column(A.ReturnNumber, rng.integers(0, 7, n, dtype=np.uint8))
+    if A.NumberOfReturns in attributes:
+        buf.set_column(A.NumberOfReturns,
+                       rng.integers(0, 7, n, dtype=np.uint8))
+    if A.ScanAngleRank in attributes:
+        buf.set_column(A.ScanAngleRank,
+                       rng.integers(-90, 90, n).astype(np.int8))
+    return buf
+
+
+ALL_TEST_ATTRS = (A.RGB, A.Intensity, A.Classification, A.GPSTime,
+                  A.ReturnNumber, A.NumberOfReturns, A.ScanAngleRank)
+
+
+@pytest.mark.parametrize("compressed", [False, True])
+def test_binary_persistence_lossless(tmp_path, rng, compressed):
+    sink = BinaryPersistence(str(tmp_path), compressed=compressed)
+    buf = random_buffer(rng, 1000, ALL_TEST_ATTRS)
+    sink.persist_points(buf, BOUNDS, "r047")
+    assert sink.node_exists("r047")
+    back = sink.retrieve_points("r047")
+    assert back == buf  # exact
+
+
+def test_binary_persistence_missing_node(tmp_path):
+    sink = BinaryPersistence(str(tmp_path))
+    assert not sink.node_exists("r0")
+    assert sink.retrieve_points("r0").count == 0
+
+
+def test_las_write_read_roundtrip(tmp_path, rng):
+    buf = random_buffer(rng, 500, ALL_TEST_ATTRS)
+    path = str(tmp_path / "test.las")
+    las.write_las(path, buf, BOUNDS)
+    back = las.read_las(path)
+    # positions within quantization (scale = 0.001 for this diagonal)
+    np.testing.assert_allclose(back.positions, buf.positions, atol=0.001)
+    np.testing.assert_array_equal(back.get(A.Intensity), buf.get(A.Intensity))
+    np.testing.assert_array_equal(back.get(A.Classification),
+                                  buf.get(A.Classification))
+    np.testing.assert_array_equal(back.get(A.GPSTime), buf.get(A.GPSTime))
+    np.testing.assert_array_equal(back.get(A.ReturnNumber),
+                                  buf.get(A.ReturnNumber))
+    np.testing.assert_array_equal(back.get(A.ScanAngleRank),
+                                  buf.get(A.ScanAngleRank))
+    # RGB goes u8 -> u16 (<<8) -> u8 (>>8): identity
+    np.testing.assert_array_equal(back.get(A.RGB), buf.get(A.RGB))
+
+
+def test_las_header_fields(tmp_path, rng):
+    buf = random_buffer(rng, 100, (A.GPSTime, A.RGB))
+    path = str(tmp_path / "hdr.las")
+    las.write_las(path, buf, BOUNDS)
+    f = las.LASFile(path)
+    h = f.header
+    assert (h.version_major, h.version_minor) == (1, 2)
+    assert h.point_data_format == 3  # gps + rgb
+    assert h.point_record_length == 34
+    assert h.point_count == 100
+    np.testing.assert_array_equal(h.offset, BOUNDS.min)
+    np.testing.assert_array_equal(h.mins, BOUNDS.min)
+    np.testing.assert_array_equal(h.maxs, BOUNDS.max)
+
+
+def test_las_batched_reads(tmp_path, rng):
+    buf = random_buffer(rng, 1000, (A.Intensity,))
+    path = str(tmp_path / "batched.las")
+    las.write_las(path, buf, BOUNDS)
+    f = las.LASFile(path)
+    parts = [f.read_points(i * 300, 300) for i in range(4)]
+    merged = PointBuffer.concatenate(parts)
+    assert merged.count == 1000
+    np.testing.assert_allclose(merged.positions, buf.positions, atol=0.001)
+
+
+def test_las_scale_heuristic():
+    assert las.compute_las_scale_from_bounds(
+        AABB([0, 0, 0], [2_000_000] * 3)) == 0.01
+    assert las.compute_las_scale_from_bounds(
+        AABB([0, 0, 0], [200_000] * 3)) == 0.001
+    assert las.compute_las_scale_from_bounds(
+        AABB([0, 0, 0], [100] * 3)) == 0.001
+    assert las.compute_las_scale_from_bounds(
+        AABB([0, 0, 0], [0.1] * 3)) == 0.0001
+
+
+def test_pnts_roundtrip(tmp_path, rng):
+    buf = random_buffer(rng, 200, (A.RGB, A.Intensity))
+    offset = np.array([1000.0, 2000.0, 3000.0])
+    path = str(tmp_path / "node.pnts")
+    pnts.write_pnts(path, buf, {A.Position, A.RGB, A.Intensity}, offset)
+    back, rtc = pnts.read_pnts(path)
+    np.testing.assert_array_equal(rtc, offset)
+    np.testing.assert_allclose(back.positions,
+                               buf.positions.astype(np.float32))
+    np.testing.assert_array_equal(back.get(A.RGB), buf.get(A.RGB))
+    np.testing.assert_array_equal(back.get(A.Intensity), buf.get(A.Intensity))
+
+
+def test_pnts_binary_layout(tmp_path, rng):
+    buf = random_buffer(rng, 10, (A.RGB,))
+    path = str(tmp_path / "layout.pnts")
+    pnts.write_pnts(path, buf, {A.Position, A.RGB}, np.zeros(3))
+    raw = open(path, "rb").read()
+    assert raw[:4] == b"pnts"
+    import struct
+    version, total, ftj, ftb, btj, btb = struct.unpack_from("<6I", raw, 4)
+    assert version == 1
+    assert total == len(raw)
+    assert ftj % 8 == 0 and ftb % 8 == 0
+    assert btj == 0 and btb == 0
+    ft = json.loads(raw[28:28 + ftj])
+    assert ft["POINTS_LENGTH"] == 10
+    assert ft["POSITION"]["byteOffset"] == 0
+    assert ft["RGB"]["byteOffset"] == 120  # 10 * 3 * f32
+
+
+def test_rgb_from_intensity_mappings(rng):
+    intensity = rng.integers(0, 65535, 100, dtype=np.uint16)
+    lin = pnts.rgb_from_intensity(intensity, RGBMapping.FromIntensityLinear)
+    np.testing.assert_array_equal(lin[:, 0],
+                                  (intensity >> 8).astype(np.uint8))
+    log = pnts.rgb_from_intensity(intensity,
+                                  RGBMapping.FromIntensityLogarithmic)
+    want = (255 * np.log(intensity.astype(np.float32) + 1)
+            / np.log(np.float64(65535))).astype(np.uint8)
+    np.testing.assert_array_equal(log[:, 0], want)
+
+
+def test_cesium_persistence_tileset_forest(tmp_path, rng):
+    sink = Cesium3DTilesPersistence(
+        str(tmp_path), {A.Position}, {A.Position}, RGBMapping.Nothing,
+        spacing_at_root=8.0, global_offset=np.zeros(3))
+    root_bounds = AABB([0, 0, 0], [64, 64, 64])
+    from schwarzwald_tpu.core.aabb import bounds_from_octants
+    for name in ("r", "r0", "r04", "r040", "r0401"):
+        digits = [int(c) for c in name[1:]]
+        b = bounds_from_octants(digits, root_bounds)
+        sink.persist_points(random_buffer(rng, 10), b, name)
+    sink.close()
+    files = sorted(os.listdir(tmp_path))
+    assert "r.json" in files and "r040.json" in files  # split depth 2
+    assert "r0.json" not in files
+    doc = json.load(open(tmp_path / "r.json"))
+    assert doc["root"]["refine"] == "ADD"
+    assert doc["root"]["content"]["uri"] == "r.pnts"
+    assert doc["root"]["geometricError"] == 8.0
+    # depth-2 nodes are inline pnts, depth-3 refers to the external tileset
+    depth2 = doc["root"]["children"][0]["children"][0]
+    assert depth2["content"]["uri"] == "r04.pnts"
+    depth3 = depth2["children"][0]
+    assert depth3["content"]["uri"] == "r040.json"
+    assert "children" not in depth3
+    # geometric error halves per level
+    assert doc["root"]["children"][0]["geometricError"] == 4.0
+
+
+def test_entwine_persistence_layout(tmp_path, rng):
+    sink = EntwinePersistence(str(tmp_path))
+    root_bounds = AABB([0, 0, 0], [64, 64, 64])
+    sink.persist_points(random_buffer(rng, 50), root_bounds, "r")
+    sink.persist_points(random_buffer(rng, 30), root_bounds, "r3")
+    sink.close()
+    assert os.path.exists(tmp_path / "ept-data" / "0-0-0-0.las")
+    assert os.path.exists(tmp_path / "ept-data" / "1-0-1-1.las")  # octant 3 -> x=0,y=1,z=1
+    hier = json.load(open(tmp_path / "ept-hierarchy" / "0-0-0-0.json"))
+    assert hier["0-0-0-0"] == 50
+    assert hier["1-0-1-1"] == 30
+    back = sink.retrieve_points("r")
+    assert back.count == 50
+
+
+def test_entwine_hierarchy_split(tmp_path, rng):
+    sink = EntwinePersistence(str(tmp_path))
+    root_bounds = AABB([0, 0, 0], [64, 64, 64])
+    # depth 6 node -> lives in a depth-5 subtree file
+    name = "r000000"
+    sink.persist_points(random_buffer(rng, 5), root_bounds, name)
+    sink.close()
+    root_hier = json.load(open(tmp_path / "ept-hierarchy" / "0-0-0-0.json"))
+    assert root_hier["5-0-0-0"] == -1  # external subtree marker
+    sub = json.load(open(tmp_path / "ept-hierarchy" / "5-0-0-0.json"))
+    assert sub["6-0-0-0"] == 5
+
+
+def test_ept_schema():
+    schema = point_attributes_to_ept_schema({A.Position, A.RGB, A.Intensity})
+    names = [e["name"] for e in schema]
+    assert names.count("X") == 1 and "Red" in names and "Intensity" in names
+    x = next(e for e in schema if e["name"] == "X")
+    assert x == {"name": "X", "size": 4, "type": "signed",
+                 "offset": 0, "scale": 1}
+
+
+def test_las_persistence_roundtrip(tmp_path, rng):
+    sink = LASPersistence(str(tmp_path))
+    assert not sink.is_lossless
+    buf = random_buffer(rng, 200, (A.Intensity,))
+    sink.persist_points(buf, BOUNDS, "r01")
+    back = sink.retrieve_points("r01")
+    np.testing.assert_allclose(back.positions, buf.positions, atol=0.001)
