@@ -1,0 +1,141 @@
+"""The Tiler runtime loop: double-buffered read/index overlap.
+
+Parity: Tiler (schwarzwald/core/process/Tiler.cpp:203-551): per iteration,
+a read stage decodes up to internal_cache_size points from the sources with
+`read_concurrency` worker threads, while the index stage tiles the previous
+batch; the two run concurrently and hand buffers over through a one-slot
+queue (the queue plays the role of the producer/consumer semaphore pair,
+Tiler.cpp:176-177, 543-551). The scheduler rebalances thread counts per
+iteration from measured throughputs.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import queue
+import threading
+import time
+
+from ..core.aabb import AABB
+from ..core.pointbuffer import PointBuffer
+from ..ops.sampling import SamplingStrategy
+from ..tiling import TilerMetaParameters, TilingStrategy, make_tiling_algorithm
+from ..util.progress import LOADING, ThroughputSampler, Timer
+from .scheduler import AdaptiveThreadCount, FixedThreadCount, make_scheduler
+
+MAX_OCTREE_LEVELS = 21
+
+
+class Tiler:
+    def __init__(self, dataset_metadata, meta: TilerMetaParameters,
+                 sampling_strategy: SamplingStrategy, progress_reporter,
+                 point_source, persistence, input_attributes,
+                 thread_config=None):
+        import numpy as np
+
+        self.meta = meta
+        self.progress = progress_reporter
+        self.point_source = point_source
+        self.persistence = persistence
+        self.input_attributes = input_attributes
+        self.thread_config = thread_config or AdaptiveThreadCount(4)
+
+        bounds_cubic = dataset_metadata.total_bounds_cubic()
+        ratio = np.log2(np.float32(
+            bounds_cubic.extent()[0] / meta.spacing_at_root))
+        if ratio >= MAX_OCTREE_LEVELS:
+            raise RuntimeError(
+                "spacing at root node is too small compared to bounds of data!")
+        self.bounds = (dataset_metadata.total_bounds_cubic_at_origin()
+                       if meta.shift_points_to_origin else bounds_cubic)
+
+        self.algorithm = make_tiling_algorithm(
+            meta.tiling_strategy, sampling_strategy, persistence, meta,
+            progress_reporter)
+
+    # -- read stage ---------------------------------------------------------
+
+    def _read_batch(self, read_concurrency: int) -> PointBuffer | None:
+        """Fill up to internal_cache_size points using a file-parallel pool
+        (build_execution_graph_for_reading, Tiler.cpp:289-421)."""
+        target = self.meta.internal_cache_size
+        chunk = self.meta.batch_read_size
+        collected: list[PointBuffer] = []
+        total = 0
+        lock = threading.Lock()
+
+        def read_one() -> int:
+            nonlocal total
+            handle = self.point_source.lock_source()
+            if handle is None:
+                return 0
+            try:
+                buf = self.point_source.read_next_into(handle, chunk)
+            finally:
+                self.point_source.release_source(handle)
+            with lock:
+                if buf.count:
+                    collected.append(buf)
+                    total += buf.count
+            return buf.count
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=max(1, read_concurrency)) as pool:
+            while total < target and not self.point_source.all_exhausted():
+                remaining = target - total
+                n_tasks = max(1, min(read_concurrency,
+                                     -(-remaining // chunk)))
+                results = list(pool.map(lambda _: read_one(),
+                                        range(n_tasks)))
+                if not any(results):
+                    break
+
+        if not collected:
+            return None
+        batch = PointBuffer.concatenate(collected)
+        if self.progress is not None:
+            self.progress.increment(LOADING, batch.count)
+        return batch
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self) -> int:
+        read_sampler = ThroughputSampler(1)
+        index_sampler = ThroughputSampler(1)
+        scheduler = make_scheduler(self.thread_config, read_sampler,
+                                   index_sampler)
+
+        handoff: queue.Queue = queue.Queue(maxsize=1)
+        concurrency_box = {"read": 1}
+        points_processed = 0
+
+        def reader():
+            while True:
+                with Timer() as t:
+                    batch = self._read_batch(concurrency_box["read"])
+                if batch is None:
+                    handoff.put(None)
+                    return
+                read_sampler.push_sample(batch.count, t.seconds)
+                handoff.put(batch)
+
+        read_c, index_c = scheduler.get_read_and_index_concurrency(
+            self.point_source.max_parallelism())
+        concurrency_box["read"] = read_c
+        reader_thread = threading.Thread(target=reader, daemon=True)
+        reader_thread.start()
+
+        while True:
+            batch = handoff.get()
+            if batch is None:
+                break
+            read_c, index_c = scheduler.get_read_and_index_concurrency(
+                self.point_source.max_parallelism())
+            concurrency_box["read"] = read_c
+            with Timer() as t:
+                self.algorithm.process_batch(batch, self.bounds)
+            index_sampler.push_sample(batch.count, t.seconds)
+            points_processed += batch.count
+
+        reader_thread.join()
+        self.algorithm.finalize(self.bounds)
+        return points_processed

@@ -1,0 +1,297 @@
+"""TilerProcess: end-to-end tiler driver.
+
+Parity: TilerProcess (schwarzwald/core/process/TilerProcess.cpp): expand
+directories to files, existence/format checks honoring IgnoreErrors
+(:157-197), attribute intersection across files + clamping to the output
+format's supported set (determine_input_and_output_attributes, :262-350),
+per-file metadata scan with SRS-transformed bounds (:352-387), spacing from
+the cubic-bounds diagonal when -d is set (:598-604), persistence/sampling/
+tiler construction with the 3DTILES center-shift + f32-truncate transform
+chain (:539-561), properties.json and ept.json outputs (:75-151, 664-682).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+from ..core.aabb import AABB
+from ..core.attributes import (OutputFormat, PointAttribute, RGBMapping,
+                               supported_output_attributes_for_format)
+from ..core.metadata import DatasetMetadata
+from ..core.pointbuffer import PointBuffer
+from ..io import las
+from ..io.persistence import make_persistence
+from ..io.point_source import MultiReaderPointSource
+from ..io.srs import make_transform
+from ..ops.sampling import SamplingStrategy
+from ..tiling import TilerMetaParameters, TilingStrategy
+from ..util import log
+from ..util.errors import IgnoreErrors, chain_error
+from ..util.progress import INDEXING, LOADING, ProgressReporter
+from .scheduler import AdaptiveThreadCount, FixedThreadCount
+from .tiler import Tiler
+
+SUPPORTED_EXTENSIONS = (".las", ".laz")
+
+
+@dataclasses.dataclass
+class TilerArguments:
+    sources: list
+    output_directory: str
+    spacing: float = 0.0
+    diagonal_fraction: int = 0
+    max_depth: int = -1
+    max_points_per_node: int = 20_000
+    internal_cache_size: int = 10_000_000
+    max_batch_read_size: int = 1_000_000
+    sampling_strategy: str = "MIN_DISTANCE"
+    tiling_strategy: str = "FAST"
+    output_format: OutputFormat = OutputFormat.CZM_3DTILES
+    rgb_mapping: RGBMapping = RGBMapping.Nothing
+    source_projection: str | None = None
+    errors_to_ignore: IgnoreErrors = IgnoreErrors.NONE
+    thread_config: object = None
+    journal: bool = False
+
+
+@dataclasses.dataclass
+class PerformanceStats:
+    prepare_duration_ms: int = 0
+    indexing_duration_ms: int = 0
+    points_processed: int = 0
+
+
+def write_properties_json(output_directory: str, bounds: AABB,
+                          root_spacing: float, perf: PerformanceStats) -> None:
+    """properties.json (TilerProcess.cpp:75-151)."""
+    doc = {
+        "source_properties": {
+            "bounds": {"min": [*map(float, bounds.min)],
+                       "max": [*map(float, bounds.max)]},
+            "root_spacing": float(root_spacing),
+            "processed_points": perf.points_processed,
+        },
+        "performance_stats": {
+            "prepare_duration": perf.prepare_duration_ms,
+            "indexing_duration": perf.indexing_duration_ms,
+        },
+    }
+    with open(os.path.join(output_directory, "properties.json"), "w") as f:
+        json.dump(doc, f, separators=(",", ":"))
+
+
+class TilerProcess:
+    def __init__(self, args: TilerArguments):
+        self.args = args
+        self.input_attributes: set = set()
+        self.output_attributes: set = set()
+        self.progress = ProgressReporter()
+
+    # -- prepare ------------------------------------------------------------
+
+    def _expand_sources(self) -> list:
+        """Directories -> all LAS/LAZ files within (recursively)."""
+        out = []
+        for source in self.args.sources:
+            if os.path.isdir(source):
+                for root, _, files in os.walk(source):
+                    for name in sorted(files):
+                        if name.lower().endswith(SUPPORTED_EXTENSIONS):
+                            out.append(os.path.join(root, name))
+            else:
+                out.append(source)
+        return out
+
+    def _check_file(self, path: str) -> bool:
+        ignore = self.args.errors_to_ignore
+        if not os.path.exists(path):
+            if ignore & IgnoreErrors.MISSING_FILES:
+                log.warn(f"Ignoring missing file {path}")
+                return False
+            raise FileNotFoundError(path)
+        if not path.lower().endswith(SUPPORTED_EXTENSIONS):
+            if ignore & IgnoreErrors.UNSUPPORTED_FILE_FORMAT:
+                log.warn(f"Ignoring file with unsupported format {path}")
+                return False
+            raise ValueError(f"Unsupported file format: {path}")
+        return True
+
+    def _prepare_output_directory(self) -> None:
+        """Wipe existing output (TilerProcess.cpp:47-73)."""
+        out = self.args.output_directory
+        if os.path.exists(out):
+            log.info("Output directory not empty, removing existing files")
+            for entry in os.listdir(out):
+                if self.args.journal and entry == "journal":
+                    continue
+                full = os.path.join(out, entry)
+                shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
+        else:
+            os.makedirs(out, exist_ok=True)
+
+    def _determine_attributes(self, files: list) -> None:
+        """Intersect attributes over all file headers, then clamp to the
+        output format's supported set (TilerProcess.cpp:262-350)."""
+        common: set | None = None
+        for path in files:
+            try:
+                f = las.LASFile(path)
+            except Exception as err:
+                if self.args.errors_to_ignore & IgnoreErrors.INACCESSIBLE_FILES:
+                    log.warn(f"Ignoring inaccessible file {path}: {err}")
+                    continue
+                raise chain_error(err, f"Could not read attributes of {path}")
+            attrs = f.attributes()
+            common = attrs if common is None else (common & attrs)
+        if not common:
+            raise RuntimeError("Found no input attributes to process")
+        self.input_attributes = common
+        supported = supported_output_attributes_for_format(
+            self.args.output_format)
+        self.output_attributes = common & supported
+        if self.args.rgb_mapping != RGBMapping.Nothing:
+            self.output_attributes.add(PointAttribute.RGB)
+
+    def _calculate_dataset_metadata(self, files: list,
+                                    transform) -> DatasetMetadata:
+        metadata = DatasetMetadata()
+        for path in files:
+            try:
+                f = las.LASFile(path)
+            except Exception as err:
+                if self.args.errors_to_ignore & IgnoreErrors.INACCESSIBLE_FILES:
+                    log.warn(f"Ignoring file {path} during metadata scan: {err}")
+                    continue
+                raise chain_error(err, "Calculating dataset metadata failed")
+            bounds = transform.transform_aabb(f.header.bounds())
+            metadata.add_file_metadata(path, f.count, bounds)
+        return metadata
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self) -> PerformanceStats:
+        prepare_start = time.perf_counter()
+
+        files = [p for p in self._expand_sources() if self._check_file(p)]
+        if not files:
+            raise RuntimeError("No point files to process")
+        self._prepare_output_directory()
+        self._determine_attributes(files)
+
+        transform = make_transform(self.args.source_projection)
+        metadata = self._calculate_dataset_metadata(files, transform)
+        total_count = metadata.total_points_count()
+        if not total_count:
+            raise RuntimeError("Found no points to process")
+        cubic_bounds = metadata.total_bounds_cubic()
+        log.info(f"Total points: {total_count}")
+
+        if self.args.diagonal_fraction:
+            self.args.spacing = float(np.float32(
+                cubic_bounds.diagonal_length() / self.args.diagonal_fraction))
+            log.info(f"Spacing calculated from diagonal: {self.args.spacing}")
+        if self.args.spacing <= 0:
+            raise RuntimeError("Spacing or diagonal fraction must be set")
+
+        self.progress.register_progress_counter(LOADING, total_count)
+        self.progress.register_progress_counter(INDEXING, total_count)
+
+        persistence = make_persistence(
+            self.args.output_format, self.args.output_directory,
+            self.input_attributes, self.output_attributes,
+            self.args.rgb_mapping, self.args.spacing, cubic_bounds)
+
+        shift_to_center = self.args.output_format == OutputFormat.CZM_3DTILES
+        max_depth = (100 if self.args.max_depth <= 0
+                     else self.args.max_depth)
+
+        thread_config = self.args.thread_config or AdaptiveThreadCount(
+            os.cpu_count() or 4)
+        if isinstance(thread_config, FixedThreadCount):
+            # never more read threads than files (TilerProcess.cpp:389-434)
+            if len(files) < thread_config.num_threads_for_reading:
+                diff = thread_config.num_threads_for_reading - len(files)
+                thread_config = FixedThreadCount(
+                    len(files), thread_config.num_threads_for_indexing + diff)
+        concurrency = (thread_config.num_threads_for_indexing
+                       if isinstance(thread_config, FixedThreadCount)
+                       else thread_config.num_threads)
+
+        meta = TilerMetaParameters(
+            spacing_at_root=self.args.spacing,
+            max_depth=max_depth,
+            max_points_per_node=self.args.max_points_per_node,
+            internal_cache_size=self.args.internal_cache_size,
+            batch_read_size=self.args.max_batch_read_size,
+            tiling_strategy=TilingStrategy(self.args.tiling_strategy),
+            shift_points_to_origin=shift_to_center,
+            concurrency=max(1, concurrency),
+        )
+
+        source = MultiReaderPointSource(files, self.args.errors_to_ignore)
+        source.set_attributes(self.input_attributes)
+        center = cubic_bounds.center()
+
+        def transform_chain(buf: PointBuffer) -> PointBuffer:
+            if buf.count == 0:
+                return buf
+            buf.positions = transform.transform_positions(buf.positions)
+            if shift_to_center:
+                # Shift to cloud center + truncate to f32 for lossless pnts
+                # storage (TilerProcess.cpp:546-561).
+                shifted = buf.positions - center
+                buf.positions = shifted.astype(np.float32).astype(np.float64)
+            return buf
+
+        source.add_transformation(transform_chain)
+
+        sampling_strategy = SamplingStrategy(self.args.sampling_strategy,
+                                             self.args.max_points_per_node)
+
+        tiler = Tiler(metadata, meta, sampling_strategy, self.progress,
+                      source, persistence, self.input_attributes,
+                      thread_config)
+
+        prepare_end = time.perf_counter()
+        log.info(f"Using {self.args.sampling_strategy} sampling")
+
+        indexing_start = time.perf_counter()
+        num_processed = tiler.run()
+        persistence.close()
+        indexing_end = time.perf_counter()
+
+        stats = PerformanceStats(
+            prepare_duration_ms=int((prepare_end - prepare_start) * 1000),
+            indexing_duration_ms=int((indexing_end - indexing_start) * 1000),
+            points_processed=total_count,
+        )
+        write_properties_json(self.args.output_directory, cubic_bounds,
+                              self.args.spacing, stats)
+
+        if self.args.output_format in (OutputFormat.ENTWINE_LAS,
+                                       OutputFormat.ENTWINE_LAZ):
+            from ..io.entwine import (point_attributes_to_ept_schema,
+                                      write_ept_json)
+            write_ept_json(
+                os.path.join(self.args.output_directory, "ept.json"),
+                bounds=cubic_bounds, conforming_bounds=cubic_bounds,
+                data_type=("laszip" if self.args.output_format
+                           == OutputFormat.ENTWINE_LAZ else "las"),
+                points=num_processed,
+                schema=point_attributes_to_ept_schema(self.output_attributes),
+                span=self.args.spacing)
+
+        indexed = self.progress.get_progress(INDEXING)
+        dropped = total_count - indexed
+        if dropped:
+            log.info(f"Tiler finished with warnings - Indexed {indexed} out "
+                     f"of {total_count} points ({dropped} points could not "
+                     f"be indexed)")
+        else:
+            log.info(f"Tiler finished - Indexed {indexed} points")
+        return stats

@@ -1,0 +1,189 @@
+"""End-to-end process tests: CLI tiler runs over real temp LAS files for
+every output format, converter round trips, error-ignoring behavior.
+(The reference's Tiler integration tests are commented out for lack of an
+in-memory source, TestTiler.cpp:1-2 — these run against real files.)"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from schwarzwald_tpu.cli import main as cli_main, parse_memory_size, parse_threads
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.attributes import PointAttribute
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io import las
+from schwarzwald_tpu.process.scheduler import (AdaptiveThreadCount,
+                                               FixedThreadCount)
+
+A = PointAttribute
+BOUNDS = AABB([0.0, 0.0, 0.0], [100.0, 100.0, 100.0])
+
+
+def write_test_las(path, rng, n, with_attrs=True):
+    buf = PointBuffer(rng.uniform(BOUNDS.min + 1, BOUNDS.max - 1, (n, 3)))
+    if with_attrs:
+        buf.set_column(A.RGB, rng.integers(0, 255, (n, 3), dtype=np.uint8))
+        buf.set_column(A.Intensity, rng.integers(0, 65535, n, dtype=np.uint16))
+        buf.set_column(A.Classification, rng.integers(0, 10, n, dtype=np.uint8))
+    las.write_las(str(path), buf, BOUNDS)
+    return buf
+
+
+def test_cli_tiler_3dtiles_end_to_end(tmp_path, rng):
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_test_las(src, rng, 20_000)
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out),
+                   "--spacing", "5", "--max-points-per-node", "1000",
+                   "--sampling", "RANDOM_GRID"])
+    assert rc == 0
+    files = os.listdir(out)
+    assert "r.json" in files and "r.pnts" in files
+    assert "properties.json" in files
+    props = json.load(open(out / "properties.json"))
+    assert props["source_properties"]["processed_points"] == 20_000
+    assert props["source_properties"]["root_spacing"] == 5.0
+    # every pnts node parses and positions are shifted to cloud center
+    from schwarzwald_tpu.io.pnts import read_pnts
+    buf, rtc = read_pnts(str(out / "r.pnts"))
+    assert buf.count > 0
+    assert buf.has(A.RGB) and buf.has(A.Intensity)
+    # RTC center = cubic bounds center
+    np.testing.assert_allclose(rtc, [50.0, 50.0, 50.0])
+
+
+@pytest.mark.parametrize("fmt,probe", [
+    ("BIN", "r.bin"), ("BINZ", "r.binz"),
+    ("ENTWINE_LAS", os.path.join("ept-data", "0-0-0-0.las")),
+    ("LAS", "r.las"),
+])
+def test_cli_tiler_other_formats(tmp_path, rng, fmt, probe):
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_test_las(src, rng, 5000)
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out),
+                   "--spacing", "10", "--max-points-per-node", "500",
+                   "--sampling", "RANDOM_GRID", "--output-format", fmt])
+    assert rc == 0
+    assert os.path.exists(out / probe), os.listdir(out)
+    if fmt.startswith("ENTWINE"):
+        assert os.path.exists(out / "ept.json")
+        ept = json.load(open(out / "ept.json"))
+        assert ept["dataType"] == "las"
+        assert ept["points"] == 5000
+        assert os.path.exists(out / "ept-hierarchy" / "0-0-0-0.json")
+
+
+def test_cli_tiler_conservation_bin(tmp_path, rng):
+    """Lossless BIN output: all input points come back exactly once from
+    start-level-and-deeper nodes."""
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_test_las(src, rng, 8000, with_attrs=False)
+    original = las.read_las(str(src)).positions
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out),
+                   "--spacing", "5", "--max-points-per-node", "400",
+                   "--sampling", "RANDOM_GRID", "--output-format", "BIN",
+                   "--tiling-strategy", "ACCURATE"])
+    assert rc == 0
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    sink = BinaryPersistence(str(out))
+    collected = []
+    for name in os.listdir(out):
+        if name.endswith(".bin"):
+            collected.append(sink.retrieve_points(name[:-4]).positions)
+    got = np.concatenate(collected)
+    assert got.shape[0] == 8000
+    np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                  original[np.lexsort(original.T)])
+
+
+def test_cli_multi_file_input_and_dir_expansion(tmp_path, rng):
+    d = tmp_path / "data"
+    d.mkdir()
+    write_test_las(d / "a.las", rng, 3000)
+    write_test_las(d / "b.las", rng, 2000)
+    (d / "ignored.txt").write_text("not a las file")
+    out = tmp_path / "out"
+    rc = cli_main(["--tiler", "-i", str(d), "-o", str(out),
+                   "--spacing", "8", "--sampling", "RANDOM_GRID",
+                   "--output-format", "BIN", "--threads", "2 2"])
+    assert rc == 0
+    props = json.load(open(out / "properties.json"))
+    assert props["source_properties"]["processed_points"] == 5000
+
+
+def test_cli_ignore_missing_files(tmp_path, rng):
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_test_las(src, rng, 1000)
+    missing = str(tmp_path / "nope.las")
+    # without --ignore: fails
+    with pytest.raises(FileNotFoundError):
+        cli_main(["--tiler", "-i", str(src), missing, "-o", str(out),
+                  "--spacing", "8", "--output-format", "BIN"])
+    # with --ignore MISSING_FILES: proceeds
+    rc = cli_main(["--tiler", "-i", str(src), missing, "-o", str(out),
+                   "--spacing", "8", "--sampling", "RANDOM_GRID",
+                   "--output-format", "BIN", "--ignore", "MISSING_FILES"])
+    assert rc == 0
+
+
+def test_cli_default_diagonal_fraction(tmp_path, rng):
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_test_las(src, rng, 2000)
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out),
+                   "--sampling", "RANDOM_GRID", "--output-format", "BIN"])
+    assert rc == 0
+    props = json.load(open(out / "properties.json"))
+    # spacing = cubic diagonal / 250
+    want = float(np.float32(np.sqrt(3 * 100.0 ** 2) / 250))
+    assert abs(props["source_properties"]["root_spacing"] - want) < 1e-6
+
+
+def test_converter_3dtiles_to_las(tmp_path, rng):
+    src = tmp_path / "in.las"
+    tiled = tmp_path / "tiled"
+    converted = tmp_path / "converted"
+    write_test_las(src, rng, 5000)
+    cli_main(["--tiler", "-i", str(src), "-o", str(tiled),
+              "--spacing", "10", "--sampling", "RANDOM_GRID",
+              "--output-format", "BIN"])
+    rc = cli_main(["--converter", "-i", str(tiled), "-o", str(converted),
+                   "--output-format", "LAS"])
+    assert rc == 0
+    assert os.path.exists(converted / "r.las")
+    back = las.read_las(str(converted / "r.las"))
+    assert back.count > 0
+
+
+def test_converter_bin_to_3dtiles(tmp_path, rng):
+    src = tmp_path / "in.las"
+    tiled = tmp_path / "tiled"
+    converted = tmp_path / "conv3d"
+    write_test_las(src, rng, 5000)
+    cli_main(["--tiler", "-i", str(src), "-o", str(tiled),
+              "--spacing", "10", "--sampling", "RANDOM_GRID",
+              "--output-format", "BIN"])
+    rc = cli_main(["--converter", "-i", str(tiled), "-o", str(converted),
+                   "--output-format", "3DTILES"])
+    assert rc == 0
+    assert os.path.exists(converted / "r.json")
+    assert os.path.exists(converted / "r.pnts")
+
+
+def test_parse_memory_size():
+    assert parse_memory_size("800MiB") == 800 * (1 << 20)
+    assert parse_memory_size("256MB") == 256 * 10 ** 6
+    assert parse_memory_size("1GiB") == 1 << 30
+    assert parse_memory_size("512") == 512
+
+
+def test_parse_threads():
+    t = parse_threads("6")
+    assert isinstance(t, AdaptiveThreadCount) and t.num_threads == 6
+    t = parse_threads("2 6")
+    assert isinstance(t, FixedThreadCount)
+    assert (t.num_threads_for_reading, t.num_threads_for_indexing) == (2, 6)
