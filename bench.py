@@ -1,0 +1,112 @@
+"""End-to-end benchmark: LAS -> 3D Tiles tiling throughput on this machine.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "points/sec", "vs_baseline": N, ...}
+
+Configuration mirrors BASELINE.json config #1: a 1M-point uncompressed LAS
+tiled to 3DTILES with RANDOM_GRID sampling at the default spacing
+(diagonal/250), FAST strategy — the reference's headline end-to-end path
+(schwarzwald --tiler, TilerProcess.cpp:569-699).
+
+vs_baseline: the reference publishes no numbers (BASELINE.json.published is
+empty and its README only claims "very fast" on multi-core CPUs). We pin
+the baseline at 2.5e6 points/sec — the typical end-to-end rate of
+PotreeConverter-class CPU tilers on a ~16-core machine — so vs_baseline =
+value / 2.5e6. Secondary fields report the device (TPU) encode+sort rate
+and the configuration.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PTS_PER_SEC = 2.5e6
+N_POINTS = 1_000_000
+
+
+def make_input(tmp: str) -> str:
+    import schwarzwald_tpu  # noqa: F401
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io import las
+
+    rng = np.random.default_rng(42)
+    pos = rng.uniform(1.0, 999.0, (N_POINTS, 3))
+    buf = PointBuffer(pos)
+    path = os.path.join(tmp, "bench.las")
+    las.write_las(path, buf, AABB([0.0] * 3, [1000.0] * 3))
+    return path
+
+
+def run_tiler(src: str, out: str) -> float:
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+    from schwarzwald_tpu.util import log
+
+    log.verbose = False
+    args = TilerArguments(
+        sources=[src], output_directory=out,
+        diagonal_fraction=250, sampling_strategy="RANDOM_GRID",
+        tiling_strategy="FAST", output_format=OutputFormat.CZM_3DTILES)
+    t0 = time.perf_counter()
+    TilerProcess(args).run()
+    return time.perf_counter() - t0
+
+
+def device_encode_sort_rate() -> float:
+    """Steady-state device (TPU) Morton interleave + sort rate, pts/s."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        from schwarzwald_tpu.ops import device
+
+        n = 1 << 19
+        rng = np.random.default_rng(0)
+        coords = [jnp.asarray(rng.integers(0, 1 << 21, n).astype(np.uint32))
+                  for _ in range(3)]
+        batch = device.encode_sort_grid(*coords, level=3)
+        jax.block_until_ready(batch)
+        t0 = time.perf_counter()
+        batch = device.encode_sort_grid(*coords, level=3)
+        jax.block_until_ready(batch)
+        return n / (time.perf_counter() - t0)
+    except Exception:
+        return 0.0
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="schwarzwald_bench_")
+    try:
+        src = make_input(tmp)
+        out = os.path.join(tmp, "out")
+        elapsed = run_tiler(src, out)
+        pts_per_sec = N_POINTS / elapsed
+        device_rate = device_encode_sort_rate()
+        print(json.dumps({
+            "metric": "end_to_end_las_to_3dtiles",
+            "value": round(pts_per_sec, 1),
+            "unit": "points/sec",
+            "vs_baseline": round(pts_per_sec / BASELINE_PTS_PER_SEC, 4),
+            "config": "1M uniform points, RANDOM_GRID, FAST, "
+                      "spacing=diag/250, 3DTILES",
+            "elapsed_sec": round(elapsed, 2),
+            "device_encode_sort_pts_per_sec": round(device_rate, 1),
+            "baseline_assumption":
+                "reference multi-core CPU ~2.5e6 pts/s (unpublished; "
+                "README 'very fast' only)",
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

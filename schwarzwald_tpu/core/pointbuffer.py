@@ -27,12 +27,16 @@ class PointBuffer:
 
     positions: np.ndarray  # (N, 3) float64
     columns: dict  # PointAttribute -> ndarray (excluding Position)
+    # Optional precomputed Morton-63 keys aligned with positions (set by the
+    # fused read+index path; the tiling engine uses them when present).
+    morton_keys: np.ndarray | None
 
     def __init__(self, positions=None, columns=None, **kwargs):
         if positions is None:
             positions = np.empty((0, 3), dtype=np.float64)
         self.positions = np.ascontiguousarray(positions, dtype=np.float64)
         self.columns = {}
+        self.morton_keys = None
         if columns:
             for attr, arr in columns.items():
                 self.set_column(attr, arr)
@@ -140,6 +144,8 @@ class PointBuffer:
             common &= set(b.columns)
         for attr in common:
             out.columns[attr] = np.concatenate([b.columns[attr] for b in buffers])
+        if all(b.morton_keys is not None for b in buffers):
+            out.morton_keys = np.concatenate([b.morton_keys for b in buffers])
         return out
 
     def __eq__(self, other) -> bool:

@@ -130,6 +130,15 @@ class LASFile:
     def attributes(self) -> set:
         return attributes_for_format(self.header.point_data_format)
 
+    def _read_records(self, start: int, count: int) -> np.ndarray:
+        h = self.header
+        if self._laz is not None:
+            return self._laz.read_records(start, count)
+        stride = h.point_record_length
+        with open(self.path, "rb") as f:
+            f.seek(h.offset_to_point_data + start * stride)
+            return np.fromfile(f, dtype=np.uint8, count=count * stride)
+
     def read_points(self, start: int, count: int,
                     attributes: set | None = None) -> PointBuffer:
         """Decode records [start, start+count) into a PointBuffer."""
@@ -137,19 +146,40 @@ class LASFile:
         count = max(0, min(count, h.point_count - start))
         if count == 0:
             return PointBuffer()
-        if self._laz is not None:
-            records = self._laz.read_records(start, count)
-        else:
-            stride = h.point_record_length
-            with open(self.path, "rb") as f:
-                f.seek(h.offset_to_point_data + start * stride)
-                records = np.fromfile(f, dtype=np.uint8,
-                                      count=count * stride)
+        records = self._read_records(start, count)
         return decode_records(records, h, attributes or self.attributes())
+
+    def read_points_fused(self, start: int, count: int, attributes: set,
+                          shift_to_center: bool, center, bounds_min,
+                          bounds_max) -> PointBuffer:
+        """Fused read path: one native pass produces transformed + clamped
+        positions AND Morton keys (buffer.morton_keys); attributes decode
+        from the same records. Falls back to read_points when the native
+        codec is unavailable."""
+        from .. import native
+
+        h = self.header
+        count = max(0, min(count, h.point_count - start))
+        if count == 0:
+            return PointBuffer()
+        lib = native.las_codec()
+        if lib is None:
+            return self.read_points(start, count, attributes)
+        records = self._read_records(start, count)
+        positions, keys = lib.las_decode_index_fused(
+            records, h.point_record_length, h.scale, h.offset,
+            shift_to_center, center, bounds_min, bounds_max)
+        buf = decode_records(records, h, set(attributes)
+                             - {PointAttribute.Position},
+                             decode_positions=False)
+        buf.positions = positions
+        buf.morton_keys = keys
+        return buf
 
 
 def decode_records(records: np.ndarray, header: LASHeader,
-                   attributes: set) -> PointBuffer:
+                   attributes: set,
+                   decode_positions: bool = True) -> PointBuffer:
     fmt = header.point_data_format
     stride = header.point_record_length
     dtype = point_record_dtype(fmt)
@@ -166,10 +196,13 @@ def decode_records(records: np.ndarray, header: LASHeader,
                            "itemsize": stride})
         rec = records.view(padded)
 
-    positions = np.empty((n, 3), dtype=np.float64)
-    positions[:, 0] = rec["x"] * header.scale[0] + header.offset[0]
-    positions[:, 1] = rec["y"] * header.scale[1] + header.offset[1]
-    positions[:, 2] = rec["z"] * header.scale[2] + header.offset[2]
+    if decode_positions:
+        positions = np.empty((n, 3), dtype=np.float64)
+        positions[:, 0] = rec["x"] * header.scale[0] + header.offset[0]
+        positions[:, 1] = rec["y"] * header.scale[1] + header.offset[1]
+        positions[:, 2] = rec["z"] * header.scale[2] + header.offset[2]
+    else:
+        positions = np.empty((n, 3), dtype=np.float64)
     buf = PointBuffer(positions)
 
     flags = rec["flags"]

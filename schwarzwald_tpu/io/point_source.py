@@ -32,6 +32,15 @@ class FileCursor:
             self._file = las.LASFile(self.path)
         return self._file
 
+    def read_next_fused(self, count: int, attributes, shift_to_center: bool,
+                        center, bounds_min, bounds_max) -> PointBuffer:
+        f = self.open()
+        buf = f.read_points_fused(self.position, count, attributes,
+                                  shift_to_center, center, bounds_min,
+                                  bounds_max)
+        self.position += buf.count
+        return buf
+
     @property
     def exhausted(self) -> bool:
         if self._file is None:
@@ -82,6 +91,7 @@ class MultiReaderPointSource:
         self._lock = threading.Lock()
         self._transformations = []
         self._attributes = None
+        self._fused = None
 
     def add_transformation(self, fn) -> None:
         """fn(PointBuffer) -> PointBuffer applied after every read."""
@@ -89,6 +99,18 @@ class MultiReaderPointSource:
 
     def set_attributes(self, attributes) -> None:
         self._attributes = attributes
+
+    def enable_fused_indexing(self, shift_to_center: bool, center,
+                              bounds_min, bounds_max) -> None:
+        """Fuse decode + (center-shift) + clamp + Morton encode into the
+        read (only valid when the transform chain is the standard one, i.e.
+        no SRS reprojection). Replaces add_transformation for positions."""
+        import numpy as np
+
+        self._fused = (bool(shift_to_center),
+                       np.asarray(center, np.float64),
+                       np.asarray(bounds_min, np.float64),
+                       np.asarray(bounds_max, np.float64))
 
     def max_parallelism(self) -> int:
         """Read parallelism is bounded by the number of unfinished files."""
@@ -113,7 +135,12 @@ class MultiReaderPointSource:
     def read_next_into(self, handle: int, count: int) -> PointBuffer:
         cursor = self._cursors[handle]
         try:
-            buf = cursor.read_next(count, self._attributes)
+            if self._fused is not None:
+                shift, center, bmin, bmax = self._fused
+                buf = cursor.read_next_fused(count, self._attributes, shift,
+                                             center, bmin, bmax)
+            else:
+                buf = cursor.read_next(count, self._attributes)
         except Exception as err:
             if self._errors_to_ignore & IgnoreErrors.CORRUPTED_FILES:
                 # Drop the remainder of the corrupted file
@@ -121,8 +148,9 @@ class MultiReaderPointSource:
                 cursor.force_to_end()
                 return PointBuffer()
             raise chain_error(err, f"Reading points from {cursor.path} failed")
-        for fn in self._transformations:
-            buf = fn(buf)
+        if self._fused is None or buf.morton_keys is None:
+            for fn in self._transformations:
+                buf = fn(buf)
         return buf
 
     def all_exhausted(self) -> bool:

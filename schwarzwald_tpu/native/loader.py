@@ -25,8 +25,12 @@ def _ensure_built() -> str:
         return _SO
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-           "-o", _SO, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+           "-fopenmp", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True)
     return _SO
 
 
@@ -37,6 +41,11 @@ class NativeLib:
             _f64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_double,
             ctypes.c_void_p, _u8p]
         lib.radix_argsort_u64.argtypes = [_u64p, ctypes.c_int64, _i64p]
+        lib.index_points_fused.argtypes = [
+            _f64p, ctypes.c_int64, _f64p, _f64p, _u64p]
+        lib.las_decode_index_fused.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32, _f64p, _f64p,
+            ctypes.c_int32, _f64p, _f64p, _f64p, _f64p, _u64p]
         lib.las_decode.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             _f64p, _f64p] + [ctypes.c_void_p] * 10
@@ -66,6 +75,35 @@ class NativeLib:
         out = np.empty(keys.size, dtype=np.int64)
         self._lib.radix_argsort_u64(keys, keys.size, out)
         return out
+
+    def index_points_fused(self, positions: np.ndarray, bmin,
+                           bmax) -> np.ndarray:
+        """Clamps positions IN PLACE and returns Morton-63 keys."""
+        assert positions.flags.c_contiguous
+        keys = np.empty(positions.shape[0], dtype=np.uint64)
+        self._lib.index_points_fused(
+            positions, positions.shape[0],
+            np.ascontiguousarray(bmin, dtype=np.float64),
+            np.ascontiguousarray(bmax, dtype=np.float64), keys)
+        return keys
+
+    def las_decode_index_fused(self, records: np.ndarray, stride: int,
+                               las_scale, las_offset, shift_to_center: bool,
+                               center, bmin, bmax):
+        """Raw LAS records -> (positions f64 (N,3), keys u64)."""
+        n = records.size // stride
+        positions = np.empty((n, 3), dtype=np.float64)
+        keys = np.empty(n, dtype=np.uint64)
+        self._lib.las_decode_index_fused(
+            np.ascontiguousarray(records, dtype=np.uint8), n, stride,
+            np.ascontiguousarray(las_scale, dtype=np.float64),
+            np.ascontiguousarray(las_offset, dtype=np.float64),
+            1 if shift_to_center else 0,
+            np.ascontiguousarray(center, dtype=np.float64),
+            np.ascontiguousarray(bmin, dtype=np.float64),
+            np.ascontiguousarray(bmax, dtype=np.float64),
+            positions, keys)
+        return positions, keys
 
     @staticmethod
     def _ptr(arr):

@@ -22,6 +22,10 @@
 #include <unordered_map>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -180,30 +184,142 @@ void las_encode(uint8_t* records, int64_t n, int32_t stride, int32_t format,
 // LSD radix argsort for uint64 keys
 // ---------------------------------------------------------------------------
 
+// Parallel stable LSD radix argsort: per-thread histograms + disjoint
+// scatter regions keep every pass stable while scaling across cores.
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
   std::vector<int64_t> order(n), tmp(n);
-  for (int64_t i = 0; i < n; ++i) order[i] = i;
   std::vector<uint64_t> k(keys, keys + n), ktmp(n);
+#ifdef _OPENMP
+  const int n_threads = std::min(omp_get_max_threads(), 16);
+#else
+  const int n_threads = 1;
+#endif
+  const int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<int64_t> thread_hist(static_cast<size_t>(n_threads) * 256);
+
+#pragma omp parallel for schedule(static, 1) num_threads(n_threads)
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+    for (int64_t i = lo; i < hi; ++i) order[i] = i;
+  }
 
   for (int pass = 0; pass < 8; ++pass) {
     const int shift = pass * 8;
-    // Skip passes where all bytes are equal (common for high bytes).
-    int64_t hist[257] = {0};
-    for (int64_t i = 0; i < n; ++i) hist[((k[i] >> shift) & 0xFF) + 1]++;
+#pragma omp parallel for schedule(static, 1) num_threads(n_threads)
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t* h = &thread_hist[static_cast<size_t>(t) * 256];
+      std::memset(h, 0, 256 * sizeof(int64_t));
+      const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) h[(k[i] >> shift) & 0xFF]++;
+    }
+    // Column-major exclusive prefix over (bucket, thread): thread t's
+    // bucket b region starts after all earlier buckets and after earlier
+    // threads' same-bucket items -> stable.
+    int64_t total = 0;
     bool trivial = false;
-    for (int b = 0; b < 256; ++b)
-      if (hist[b + 1] == n) { trivial = true; break; }
+    for (int b = 0; b < 256 && !trivial; ++b) {
+      int64_t bucket_total = 0;
+      for (int t = 0; t < n_threads; ++t)
+        bucket_total += thread_hist[static_cast<size_t>(t) * 256 + b];
+      if (bucket_total == n) trivial = true;
+    }
     if (trivial) continue;
-    for (int b = 0; b < 256; ++b) hist[b + 1] += hist[b];
-    for (int64_t i = 0; i < n; ++i) {
-      const int64_t dst = hist[(k[i] >> shift) & 0xFF]++;
-      ktmp[dst] = k[i];
-      tmp[dst] = order[i];
+    for (int b = 0; b < 256; ++b) {
+      for (int t = 0; t < n_threads; ++t) {
+        int64_t& h = thread_hist[static_cast<size_t>(t) * 256 + b];
+        const int64_t count = h;
+        h = total;
+        total += count;
+      }
+    }
+#pragma omp parallel for schedule(static, 1) num_threads(n_threads)
+    for (int t = 0; t < n_threads; ++t) {
+      int64_t* h = &thread_hist[static_cast<size_t>(t) * 256];
+      const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t dst = h[(k[i] >> shift) & 0xFF]++;
+        ktmp[dst] = k[i];
+        tmp[dst] = order[i];
+      }
     }
     std::swap(k, ktmp);
     std::swap(order, tmp);
   }
   std::memcpy(out_order, order.data(), n * sizeof(int64_t));
+}
+
+// ---------------------------------------------------------------------------
+// Fused LAS decode + clamp + Morton encode (the read->index hot path)
+// ---------------------------------------------------------------------------
+
+static inline uint64_t expand3_u64(uint64_t v) {
+  v &= 0x1FFFFF;
+  v = (v | (v << 32)) & 0x1F00000000FFFFull;
+  v = (v | (v << 16)) & 0x1F0000FF0000FFull;
+  v = (v | (v << 8)) & 0x100F00F00F00F00Full;
+  v = (v | (v << 4)) & 0x10C30C30C30C30C3ull;
+  v = (v | (v << 2)) & 0x1249249249249249ull;
+  return v;
+}
+
+// positions (already transformed/clamp-ready, f64) -> clamped positions +
+// Morton-63 keys. Exact semantics of index_point + calculate_morton_index
+// (OctreeAlgorithms.h:64-87, 145-175).
+void index_points_fused(double* positions, int64_t n, const double* bmin,
+                        const double* bmax, uint64_t* keys_out) {
+  const double ext[3] = {bmax[0] - bmin[0], bmax[1] - bmin[1],
+                         bmax[2] - bmin[2]};
+  const double scale[3] = {2097152.0 / ext[0], 2097152.0 / ext[1],
+                           2097152.0 / ext[2]};
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t bits[3];
+    for (int a = 0; a < 3; ++a) {
+      double p = positions[i * 3 + a];
+      p = p < bmin[a] ? bmin[a] : (p > bmax[a] ? bmax[a] : p);
+      positions[i * 3 + a] = p;
+      const double normalized = (p - bmin[a]) * scale[a];
+      uint64_t b = static_cast<uint64_t>(normalized);
+      if (b > 2097151ull) b = 2097151ull;
+      bits[a] = b;
+    }
+    keys_out[i] = expand3_u64(bits[2]) | (expand3_u64(bits[1]) << 1) |
+                  (expand3_u64(bits[0]) << 2);
+  }
+}
+
+// Raw LAS records -> f64 positions (+ optional center-shift + f32 truncate,
+// the 3DTILES transform, TilerProcess.cpp:546-561) + clamp + Morton keys,
+// one parallel pass.
+void las_decode_index_fused(const uint8_t* records, int64_t n, int32_t stride,
+                            const double* las_scale, const double* las_offset,
+                            int32_t shift_to_center, const double* center,
+                            const double* bmin, const double* bmax,
+                            double* positions_out, uint64_t* keys_out) {
+  const double ext[3] = {bmax[0] - bmin[0], bmax[1] - bmin[1],
+                         bmax[2] - bmin[2]};
+  const double scale[3] = {2097152.0 / ext[0], 2097152.0 / ext[1],
+                           2097152.0 / ext[2]};
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t xyz[3];
+    std::memcpy(xyz, records + i * stride, 12);
+    uint64_t bits[3];
+    for (int a = 0; a < 3; ++a) {
+      double p = xyz[a] * las_scale[a] + las_offset[a];
+      if (shift_to_center) {
+        p = static_cast<double>(static_cast<float>(p - center[a]));
+      }
+      p = p < bmin[a] ? bmin[a] : (p > bmax[a] ? bmax[a] : p);
+      positions_out[i * 3 + a] = p;
+      const double normalized = (p - bmin[a]) * scale[a];
+      uint64_t b = static_cast<uint64_t>(normalized);
+      if (b > 2097151ull) b = 2097151ull;
+      bits[a] = b;
+    }
+    keys_out[i] = expand3_u64(bits[2]) | (expand3_u64(bits[1]) << 1) |
+                  (expand3_u64(bits[0]) << 2);
+  }
 }
 
 }  // extern "C"

@@ -39,9 +39,18 @@ def index_points(positions: np.ndarray, bounds_min, bounds_max):
 
     Returns (keys, positions) where positions are the (clamped) coordinates
     to use downstream. Mirrors index_point (OctreeAlgorithms.h:145-175).
+    Large batches go through the fused OpenMP native kernel.
     """
-    positions = clamp_to_bounds(np.asarray(positions, dtype=np.float64),
-                                bounds_min, bounds_max)
+    positions = np.ascontiguousarray(positions, dtype=np.float64)
+    if positions.shape[0] >= 4096:
+        from .. import native
+        lib = native.las_codec()
+        if lib is not None:
+            if not positions.flags.writeable:
+                positions = positions.copy()
+            keys = lib.index_points_fused(positions, bounds_min, bounds_max)
+            return keys, positions
+    positions = clamp_to_bounds(positions, bounds_min, bounds_max)
     extent = np.asarray(bounds_max, np.float64) - np.asarray(bounds_min, np.float64)
     keys = morton.encode(positions, bounds_min, extent)
     return keys, positions

@@ -124,6 +124,19 @@ class Tiler:
         reader_thread = threading.Thread(target=reader, daemon=True)
         reader_thread.start()
 
+        from ..util.config import global_config
+        from ..util.journal import JournalStore
+
+        journal = None
+        if global_config().is_journaling_enabled:
+            # throughput_stats journal (Tiler.cpp:45-62, 100-123)
+            journal = JournalStore.global_store().new_journal(
+                "throughput_stats").with_record_type(
+                ["iteration", "read_throughput", "index_throughput",
+                 "read_concurrency", "index_concurrency"]).as_csv(
+                global_config().journal_directory).into_single_file().build()
+
+        iteration = 0
         while True:
             batch = handoff.get()
             if batch is None:
@@ -135,7 +148,16 @@ class Tiler:
                 self.algorithm.process_batch(batch, self.bounds)
             index_sampler.push_sample(batch.count, t.seconds)
             points_processed += batch.count
+            if journal is not None:
+                journal.add_record([
+                    iteration,
+                    read_sampler.get_throughput_per_second(),
+                    index_sampler.get_throughput_per_second(),
+                    read_c, index_c])
+            iteration += 1
 
         reader_thread.join()
         self.algorithm.finalize(self.bounds)
+        if journal is not None:
+            journal.flush()
         return points_processed

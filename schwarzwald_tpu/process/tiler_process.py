@@ -175,12 +175,15 @@ class TilerProcess:
     # -- run ----------------------------------------------------------------
 
     def run(self) -> PerformanceStats:
+        from ..util.config import configure
+
         prepare_start = time.perf_counter()
 
         files = [p for p in self._expand_sources() if self._check_file(p)]
         if not files:
             raise RuntimeError("No point files to process")
         self._prepare_output_directory()
+        configure(self.args.output_directory, self.args.journal)
         self._determine_attributes(files)
 
         transform = make_transform(self.args.source_projection)
@@ -249,6 +252,13 @@ class TilerProcess:
             return buf
 
         source.add_transformation(transform_chain)
+        if self.args.source_projection is None:
+            # No SRS reprojection -> the whole decode + shift + clamp +
+            # Morton-encode pipeline fuses into one native read pass.
+            tiler_bounds = (metadata.total_bounds_cubic_at_origin()
+                            if shift_to_center else cubic_bounds)
+            source.enable_fused_indexing(shift_to_center, center,
+                                         tiler_bounds.min, tiler_bounds.max)
 
         sampling_strategy = SamplingStrategy(self.args.sampling_strategy,
                                              self.args.max_points_per_node)
@@ -261,7 +271,12 @@ class TilerProcess:
         log.info(f"Using {self.args.sampling_strategy} sampling")
 
         indexing_start = time.perf_counter()
-        num_processed = tiler.run()
+        if log.verbose and os.environ.get("SCHWARZWALD_TPU_NO_UI") is None:
+            from ..util.terminal_ui import TerminalUI, TerminalUIAsyncRenderer
+            with TerminalUIAsyncRenderer(TerminalUI(self.progress)):
+                num_processed = tiler.run()
+        else:
+            num_processed = tiler.run()
         persistence.close()
         indexing_end = time.perf_counter()
 

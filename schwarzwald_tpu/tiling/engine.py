@@ -236,7 +236,10 @@ class TilingAlgorithmBase:
     def index_batch(self, buffer: PointBuffer, bounds: AABB):
         """Clamp + Morton-encode a batch, writing clamped positions back into
         the buffer (index_point mutates positions in place,
-        OctreeAlgorithms.h:157-170)."""
+        OctreeAlgorithms.h:157-170). Uses keys precomputed by the fused
+        read path when present."""
+        if buffer.morton_keys is not None:
+            return buffer.morton_keys
         keys, clamped = indexing.index_points(buffer.positions,
                                               bounds.min, bounds.max)
         buffer.positions = clamped

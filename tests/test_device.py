@@ -1,0 +1,107 @@
+"""Device pipeline tests (cpu backend mesh): pair-encoded Morton keys vs
+the numpy host encoder, sorted-batch equivalence, and the sharded
+multi-chip step (encode + sort + psum histogram + all_to_all exchange)."""
+import numpy as np
+import pytest
+
+import schwarzwald_tpu  # noqa: F401  (enables x64)
+import jax
+import jax.numpy as jnp
+
+from schwarzwald_tpu.core import morton
+from schwarzwald_tpu.ops import device, indexing
+
+BMIN = np.array([0.0, 0.0, 0.0])
+BMAX = np.array([64.0, 64.0, 64.0])
+
+
+def host_grid_coords(pos):
+    keys, _ = indexing.index_points(pos, BMIN, BMAX)
+    return keys, morton.grid_coords(keys, 21)
+
+
+def test_interleave_matches_host(on_cpu, rng):
+    n = 50000
+    x = rng.integers(0, 1 << 21, n).astype(np.uint32)
+    y = rng.integers(0, 1 << 21, n).astype(np.uint32)
+    z = rng.integers(0, 1 << 21, n).astype(np.uint32)
+    oh = np.array([1 << i for i in range(21)] + [0, (1 << 21) - 1],
+                  dtype=np.uint32)
+    zo = np.zeros_like(oh)
+    x = np.concatenate([x, oh, zo, zo])
+    y = np.concatenate([y, zo, oh, zo])
+    z = np.concatenate([z, zo, zo, oh])
+    hi, lo = device.interleave21(jnp.asarray(x), jnp.asarray(y),
+                                 jnp.asarray(z))
+    got = device.keys_to_uint64(hi, lo)
+    want = morton.from_grid_coords(x, y, z)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pair_encoding_matches_host_cpu(on_cpu, rng):
+    pos = rng.uniform(BMIN, BMAX, size=(4096, 3))
+    hi, lo, _ = device.encode_points(jnp.asarray(pos), jnp.asarray(BMIN),
+                                     jnp.asarray(BMAX - BMIN))
+    got = device.keys_to_uint64(hi, lo)
+    want, _ = indexing.index_points(pos, BMIN, BMAX)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pair_encoding_edge_coordinates(on_cpu):
+    pos = np.array([[0, 0, 0], [64, 64, 64], [63.9999999, 0, 64],
+                    [-5, 70, 32]], dtype=np.float64)
+    hi, lo, _ = device.encode_points(jnp.asarray(pos), jnp.asarray(BMIN),
+                                     jnp.asarray(BMAX - BMIN))
+    got = device.keys_to_uint64(hi, lo)
+    want, _ = indexing.index_points(pos, BMIN, BMAX)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_sort_grid_matches_host_sort(on_cpu, rng):
+    pos = rng.uniform(BMIN, BMAX, size=(10000, 3))
+    want_keys, (gx, gy, gz) = host_grid_coords(pos)
+    batch = device.encode_sort_grid(jnp.asarray(gx.astype(np.uint32)),
+                                    jnp.asarray(gy.astype(np.uint32)),
+                                    jnp.asarray(gz.astype(np.uint32)),
+                                    level=3)
+    got_keys = device.keys_to_uint64(batch.key_hi, batch.key_lo)
+    order = indexing.sort_by_key(want_keys)
+    np.testing.assert_array_equal(got_keys, want_keys[order])
+    np.testing.assert_array_equal(np.asarray(batch.order), order)
+    cells = morton.truncate_to_level(want_keys, 2)
+    want_hist = np.bincount(cells.astype(np.int64), minlength=512)
+    np.testing.assert_array_equal(np.asarray(batch.node_histogram), want_hist)
+
+
+def test_sharded_step_on_virtual_mesh(cpu_devices, rng):
+    # 4 devices keep the XLA-CPU compile affordable on the 1-core test
+    # machine; the driver's dryrun_multichip exercises the 8-device mesh.
+    from jax.sharding import Mesh
+
+    n_dev = 4
+    if len(cpu_devices) < n_dev:
+        pytest.skip("need virtual cpu devices")
+    mesh = Mesh(np.array(cpu_devices[:n_dev]), ("dp",))
+    step = device.make_sharded_encode_sort(mesh, level=3)
+
+    n = n_dev * 512
+    pos = rng.uniform(BMIN, BMAX, size=(n, 3))
+    with jax.default_device(cpu_devices[0]), mesh:
+        hist, owned_hi, owned_lo, owned_counts = step(
+            jnp.asarray(pos), jnp.asarray(BMIN), jnp.asarray(BMAX - BMIN))
+
+    keys, _ = indexing.index_points(pos, BMIN, BMAX)
+    cells = morton.truncate_to_level(keys, 2).astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(hist),
+                                  np.bincount(cells, minlength=512))
+    assert int(np.asarray(owned_counts).sum()) == n
+    owned_hi = np.asarray(owned_hi).reshape(n_dev, -1)
+    owned_lo = np.asarray(owned_lo).reshape(n_dev, -1)
+    for d in range(n_dev):
+        ks = device.keys_to_uint64(owned_hi[d], owned_lo[d])
+        real = ks[owned_hi[d] != 0xFFFFFFFF]
+        assert (np.diff(real.astype(np.int64)) >= 0).all()
+        if real.size:
+            # ownership = contiguous blocks of level-3 cells
+            level3 = (real >> np.uint64(63 - 9)).astype(np.int64)
+            assert ((level3 * n_dev) // 512 == d).all()
