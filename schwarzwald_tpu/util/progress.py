@@ -70,6 +70,29 @@ class ThroughputSampler:
             return total / seconds if seconds > 0 else 0.0
 
 
+class ThroughputCounter:
+    """Sliding window of continuous (count, timestamp) samples
+    (ThroughputCounter.h:6-28): rate over the spanned wall-clock window."""
+
+    def __init__(self, window: int = 16):
+        self._samples = collections.deque(maxlen=window)
+        self._lock = threading.Lock()
+
+    def push_entry(self, count: int, timestamp: float | None = None) -> None:
+        with self._lock:
+            self._samples.append((count,
+                                  timestamp if timestamp is not None
+                                  else time.perf_counter()))
+
+    def get_throughput_per_second(self) -> float:
+        with self._lock:
+            if len(self._samples) < 2:
+                return 0.0
+            total = sum(c for c, _ in list(self._samples)[1:])
+            span = self._samples[-1][1] - self._samples[0][1]
+            return total / span if span > 0 else 0.0
+
+
 class Timer:
     def __enter__(self):
         self.start = time.perf_counter()
