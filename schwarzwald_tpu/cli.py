@@ -100,6 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help='"6" = 6 adaptive threads; "2 6" = 2 read + 6 index')
     p.add_argument("--max-depth", type=int, default=-1,
                    help="Maximum tree depth (converter: levels to convert)")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume an interrupted tiler run from its last "
+                        "completed batch (tiler_state.json checkpoint)")
     p.add_argument("--delete-source", action="store_true",
                    help="(converter) delete source files once converted")
     p.add_argument("--use-device", default=None, choices=["auto", "cpu", "tpu"],
@@ -153,6 +156,7 @@ def main(argv=None) -> int:
         errors_to_ignore=parse_ignore_errors(args.ignore),
         thread_config=args.threads,
         journal=args.journal,
+        resume=args.resume,
     )
     TilerProcess(targs).run()
     return 0

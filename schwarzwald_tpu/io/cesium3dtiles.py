@@ -134,6 +134,7 @@ class Cesium3DTilesPersistence:
 
     def close(self) -> None:
         """Write the tileset.json forest (write_tilesets, cpp:174-213)."""
+        self._reconcile_existing_nodes()
         if self._root_tileset is None:
             return
         queue = [self._root_tileset]
@@ -142,6 +143,26 @@ class Cesium3DTilesPersistence:
             write_tileset_json(os.path.join(self.work_dir, root.name + ".json"),
                                root, TILESET_SPLIT_DEPTH + 1)
             queue.extend(self._collect_at_depth(root, TILESET_SPLIT_DEPTH))
+
+    def _reconcile_existing_nodes(self) -> None:
+        """Register .pnts files written by a previous (resumed) session so
+        the tileset forest covers the whole on-disk octree."""
+        if self._root_tileset is None:
+            return
+        root_bounds = self._bounds_of_root()
+        for name in os.listdir(self.work_dir):
+            if not name.endswith(".pnts"):
+                continue
+            node_name = name[:-5]
+            if node_name in self._by_name:
+                continue
+            from ..core.aabb import bounds_from_octants
+            try:
+                digits = [int(c) for c in node_name[1:]]
+            except ValueError:
+                continue
+            self._on_write_node(node_name,
+                                bounds_from_octants(digits, root_bounds))
 
     @staticmethod
     def _collect_at_depth(tileset: Tileset, remaining: int):

@@ -146,4 +146,17 @@ class EntwinePersistence:
 
     def close(self) -> None:
         with self._lock:
+            # Register nodes written by a previous (resumed) session that
+            # this session never revisited.
+            data_dir = os.path.join(self.work_dir, "ept-data")
+            for name in os.listdir(data_dir):
+                stem, ext = os.path.splitext(name)
+                if ext != self.extension or stem in self._hierarchy:
+                    continue
+                try:
+                    from . import las as las_mod
+                    f = las_mod.LASFile(os.path.join(data_dir, name))
+                    self._hierarchy[stem] = f.count
+                except Exception:
+                    continue
             create_hierarchy_files(self.work_dir, self._hierarchy)

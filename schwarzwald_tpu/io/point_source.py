@@ -156,3 +156,16 @@ class MultiReaderPointSource:
     def all_exhausted(self) -> bool:
         with self._lock:
             return all(c.exhausted for c in self._cursors)
+
+    # -- checkpoint support -------------------------------------------------
+
+    def cursor_positions(self) -> dict:
+        """Current read offsets per file (checkpoint state)."""
+        with self._lock:
+            return {c.path: c.position for c in self._cursors}
+
+    def restore_positions(self, positions: dict) -> None:
+        with self._lock:
+            for cursor in self._cursors:
+                if cursor.path in positions:
+                    cursor.position = int(positions[cursor.path])

@@ -29,7 +29,7 @@ class Tiler:
     def __init__(self, dataset_metadata, meta: TilerMetaParameters,
                  sampling_strategy: SamplingStrategy, progress_reporter,
                  point_source, persistence, input_attributes,
-                 thread_config=None):
+                 thread_config=None, checkpoint_callback=None):
         import numpy as np
 
         self.meta = meta
@@ -38,6 +38,11 @@ class Tiler:
         self.persistence = persistence
         self.input_attributes = input_attributes
         self.thread_config = thread_config or AdaptiveThreadCount(4)
+        # Called after each fully indexed batch with the source cursor
+        # snapshot taken when that batch finished reading — the
+        # checkpoint/resume hook (new capability vs. the reference, which
+        # is strictly one-shot; resume granularity is a batch boundary).
+        self.checkpoint_callback = checkpoint_callback
 
         bounds_cubic = dataset_metadata.total_bounds_cubic()
         ratio = np.log2(np.float32(
@@ -108,15 +113,22 @@ class Tiler:
         concurrency_box = {"read": 1}
         points_processed = 0
 
+        from ..util.trace import trace_span
+
         def reader():
-            while True:
-                with Timer() as t:
-                    batch = self._read_batch(concurrency_box["read"])
-                if batch is None:
-                    handoff.put(None)
-                    return
-                read_sampler.push_sample(batch.count, t.seconds)
-                handoff.put(batch)
+            try:
+                while True:
+                    with trace_span("read_batch", "read"), Timer() as t:
+                        batch = self._read_batch(concurrency_box["read"])
+                    if batch is None:
+                        handoff.put(None)
+                        return
+                    read_sampler.push_sample(batch.count, t.seconds)
+                    # snapshot after this batch's reads, before next start
+                    handoff.put((batch,
+                                 self.point_source.cursor_positions()))
+            except BaseException as err:  # propagate to the index loop
+                handoff.put(err)
 
         read_c, index_c = scheduler.get_read_and_index_concurrency(
             self.point_source.max_parallelism())
@@ -138,16 +150,22 @@ class Tiler:
 
         iteration = 0
         while True:
-            batch = handoff.get()
-            if batch is None:
+            item = handoff.get()
+            if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
+            batch, cursor_snapshot = item
             read_c, index_c = scheduler.get_read_and_index_concurrency(
                 self.point_source.max_parallelism())
             concurrency_box["read"] = read_c
-            with Timer() as t:
+            with trace_span("index_batch", "index"), Timer() as t:
                 self.algorithm.process_batch(batch, self.bounds)
             index_sampler.push_sample(batch.count, t.seconds)
             points_processed += batch.count
+            if self.checkpoint_callback is not None:
+                self.checkpoint_callback(cursor_snapshot, points_processed,
+                                         self.algorithm)
             if journal is not None:
                 journal.add_record([
                     iteration,

@@ -57,6 +57,12 @@ class TilerArguments:
     errors_to_ignore: IgnoreErrors = IgnoreErrors.NONE
     thread_config: object = None
     journal: bool = False
+    # Resume an interrupted run from the per-batch checkpoint
+    # (tiler_state.json). New capability vs. the reference (which wipes the
+    # output and restarts, TilerProcess.cpp:47-73); granularity is a batch
+    # boundary — the on-disk octree is consistent between batches because
+    # nodes are re-read + merged on every visit (TilingAlgorithms.cpp:50-109).
+    resume: bool = False
 
 
 @dataclasses.dataclass
@@ -182,8 +188,25 @@ class TilerProcess:
         files = [p for p in self._expand_sources() if self._check_file(p)]
         if not files:
             raise RuntimeError("No point files to process")
-        self._prepare_output_directory()
+
+        state_path = os.path.join(self.args.output_directory,
+                                  "tiler_state.json")
+        resume_state = None
+        if self.args.resume and os.path.exists(state_path):
+            resume_state = json.load(open(state_path))
+            log.info(f"Resuming from checkpoint: "
+                     f"{resume_state.get('points_processed', 0)} points "
+                     f"already processed")
+        else:
+            self._prepare_output_directory()
         configure(self.args.output_directory, self.args.journal)
+        if self.args.journal:
+            # Chrome-trace of the read/index pipeline (the reference's
+            # tf::ChromeObserver equivalent, Scheduler.cpp:86-105).
+            from ..util.trace import enable_tracing
+            tracer = enable_tracing()
+        else:
+            tracer = None
         self._determine_attributes(files)
 
         transform = make_transform(self.args.source_projection)
@@ -263,9 +286,33 @@ class TilerProcess:
         sampling_strategy = SamplingStrategy(self.args.sampling_strategy,
                                              self.args.max_points_per_node)
 
+        resumed_points = 0
+        if resume_state is not None:
+            source.restore_positions(resume_state.get("files", {}))
+            resumed_points = int(resume_state.get("points_processed", 0))
+
+        def checkpoint(cursor_snapshot, points_processed, algorithm):
+            state = {
+                "files": cursor_snapshot,
+                "points_processed": resumed_points + points_processed,
+                "level_of_start_nodes":
+                    getattr(algorithm, "level_of_start_nodes", None),
+            }
+            tmp = state_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, state_path)
+
         tiler = Tiler(metadata, meta, sampling_strategy, self.progress,
                       source, persistence, self.input_attributes,
-                      thread_config)
+                      thread_config, checkpoint_callback=checkpoint)
+        if resume_state is not None:
+            level = resume_state.get("level_of_start_nodes")
+            if level is not None and hasattr(tiler.algorithm,
+                                             "level_of_start_nodes"):
+                tiler.algorithm.level_of_start_nodes = int(level)
+            self.progress.increment(INDEXING, resumed_points)
+            self.progress.increment(LOADING, resumed_points)
 
         prepare_end = time.perf_counter()
         log.info(f"Using {self.args.sampling_strategy} sampling")
@@ -285,8 +332,16 @@ class TilerProcess:
             indexing_duration_ms=int((indexing_end - indexing_start) * 1000),
             points_processed=total_count,
         )
+        if tracer is not None:
+            from ..util.config import global_config
+            from ..util.journal import JournalStore
+            tracer.write(os.path.join(global_config().journal_directory,
+                                      "executor_trace.json"))
+            JournalStore.global_store().flush_all()
         write_properties_json(self.args.output_directory, cubic_bounds,
                               self.args.spacing, stats)
+        if os.path.exists(state_path):
+            os.remove(state_path)  # run completed; checkpoint obsolete
 
         if self.args.output_format in (OutputFormat.ENTWINE_LAS,
                                        OutputFormat.ENTWINE_LAZ):

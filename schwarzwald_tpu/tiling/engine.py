@@ -395,9 +395,80 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             self.persistence.persist_points(selected, node.bounds, node.name)
 
 
+class TilingAlgorithmAdaptive(TilingAlgorithmFast):
+    """TilingAlgorithmV2 semantics (TilingAlgorithms.cpp:630-1192): instead
+    of a fixed start-node level, each batch splits the sorted range
+    largest-range-first until at least `concurrency` start ranges exist
+    (split_indexed_points_into_subranges, :792-869). Ancestors of every
+    start node ever used are reconstructed at finalize — but only where no
+    genuinely tiled node already exists, preserving point conservation
+    across batches with differing start depths (the reference's
+    reconstruct_* pass, :1113-1190, re-samples skipped nodes from their
+    children the same way)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._start_nodes_used: set[tuple] = set()
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        if not buffer.count:
+            return
+        keys = self.index_batch(buffer, bounds)
+        arena = PointArena()
+        ids = arena.append(buffer)
+        order = indexing.sort_by_key(keys)
+        keys, ids = keys[order], ids[order]
+        self.level_of_start_nodes = max(self.level_of_start_nodes or 0, 0)
+
+        root = self._make_root(bounds)
+        for node_key, levels, lo, hi in self._adaptive_split(keys):
+            node = (root if levels == 0
+                    else self._start_node_structure(node_key, levels, root))
+            self._start_nodes_used.add((node_key, levels))
+            self._do_tiling_for_node(
+                arena, NodeTask(node, root, keys[lo:hi], ids[lo:hi]))
+
+    def _adaptive_split(self, sorted_keys: np.ndarray):
+        """Largest-range-first octant splitting until >= concurrency
+        ranges (or ranges cannot split further)."""
+        target = max(1, self.meta.concurrency)
+        ranges = [(0, 0, 0, sorted_keys.size)]  # (node_key, levels, lo, hi)
+        while len(ranges) < target:
+            ranges.sort(key=lambda r: r[3] - r[2], reverse=True)
+            node_key, levels, lo, hi = ranges[0]
+            if levels >= MAX_OCTREE_LEVELS - 1 or hi - lo <= 1:
+                break
+            b = indexing.child_octant_boundaries(sorted_keys, lo, hi, levels)
+            children = [((node_key << 3) | o, levels + 1,
+                         int(b[o]), int(b[o + 1]))
+                        for o in range(8) if b[o] < b[o + 1]]
+            if len(children) == 1 and children[0][2:] == (lo, hi):
+                # all points in one octant: descend without gaining ranges
+                ranges[0] = children[0]
+                continue
+            ranges = ranges[1:] + children
+        return sorted(ranges, key=lambda r: r[2])
+
+    def finalize(self, bounds: AABB) -> None:
+        if not self._start_nodes_used:
+            return
+        root = self._make_root(bounds)
+        to_reconstruct: set[tuple] = set()
+        for key, lv in self._start_nodes_used:
+            while lv > 0:
+                key >>= 3
+                lv -= 1
+                name = ("r" + morton.node_name_simple(key, lv)) if lv else "r"
+                if not self.persistence.node_exists(name):
+                    to_reconstruct.add((key, lv))
+        for key, lv in sorted(to_reconstruct, key=lambda t: -t[1]):
+            self._reconstruct_single_node(key, lv, root)
+
+
 def make_tiling_algorithm(strategy: TilingStrategy,
                           sampling_strategy: SamplingStrategy, persistence,
                           meta: TilerMetaParameters, progress_reporter=None):
-    cls = (TilingAlgorithmAccurate if strategy == TilingStrategy.Accurate
-           else TilingAlgorithmFast)
+    cls = {TilingStrategy.Accurate: TilingAlgorithmAccurate,
+           TilingStrategy.Fast: TilingAlgorithmFast,
+           TilingStrategy.Adaptive: TilingAlgorithmAdaptive}[strategy]
     return cls(sampling_strategy, persistence, meta, progress_reporter)

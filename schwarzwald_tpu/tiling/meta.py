@@ -9,6 +9,8 @@ import enum
 class TilingStrategy(enum.Enum):
     Accurate = "ACCURATE"  # TilingAlgorithmV1
     Fast = "FAST"          # TilingAlgorithmV3 (default)
+    Adaptive = "ADAPTIVE"  # TilingAlgorithmV2 (not exposed by the
+    #                        reference CLI either, TilingAlgorithms.h:150)
 
 
 @dataclasses.dataclass

@@ -1,0 +1,104 @@
+"""Checkpoint/resume tests: interrupted runs continue at batch granularity
+with conserved point counts, and --journal produces throughput CSV +
+chrome-trace artifacts."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from schwarzwald_tpu.cli import main as cli_main
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io import las
+from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+
+BOUNDS = AABB([0.0] * 3, [100.0] * 3)
+
+
+def write_las(path, rng, n):
+    las.write_las(str(path),
+                  PointBuffer(rng.uniform(1, 99, (n, 3))), BOUNDS)
+
+
+def test_checkpoint_written_and_cleared(tmp_path, rng):
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_las(src, rng, 5000)
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out), "--spacing",
+                   "8", "--sampling", "RANDOM_GRID", "--output-format",
+                   "BIN"])
+    assert rc == 0
+    # checkpoint removed after successful completion
+    assert not os.path.exists(out / "tiler_state.json")
+
+
+def test_resume_continues_from_checkpoint(tmp_path, rng):
+    """Simulate an interrupt by running with a small internal cache and a
+    poisoned second batch, then resume."""
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_las(src, rng, 9000)
+    original = las.read_las(str(src)).positions
+
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.process import tiler as tiler_mod
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    args = TilerArguments(
+        sources=[str(src)], output_directory=str(out), spacing=8.0,
+        sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
+        output_format=OutputFormat.BIN, internal_cache_size=3000,
+        max_batch_read_size=3000)
+
+    # Interrupt after the 2nd completed batch by raising from the loop.
+    orig_process = tiler_mod.Tiler._read_batch
+    calls = {"n": 0}
+
+    def poisoned(self, rc):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated crash during batch 3 read")
+        return orig_process(self, rc)
+
+    tiler_mod.Tiler._read_batch = poisoned
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            TilerProcess(args).run()
+    finally:
+        tiler_mod.Tiler._read_batch = orig_process
+
+    state = json.load(open(out / "tiler_state.json"))
+    assert 0 < state["points_processed"] < 9000
+
+    # Resume and finish.
+    args.resume = True
+    TilerProcess(args).run()
+    assert not os.path.exists(out / "tiler_state.json")
+
+    sink = BinaryPersistence(str(out))
+    collected = [sink.retrieve_points(f[:-4]).positions
+                 for f in os.listdir(out) if f.endswith(".bin")]
+    got = np.concatenate(collected)
+    assert got.shape[0] == 9000  # no loss, no duplication
+    np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                  original[np.lexsort(original.T)])
+
+
+def test_journal_outputs(tmp_path, rng):
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_las(src, rng, 5000)
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out), "--spacing",
+                   "8", "--sampling", "RANDOM_GRID", "--output-format",
+                   "BIN", "--journal"])
+    assert rc == 0
+    journal_dir = out / "journal"
+    assert (journal_dir / "throughput_stats.csv").exists()
+    lines = open(journal_dir / "throughput_stats.csv").read().splitlines()
+    assert lines[0].startswith("iteration;read_throughput")
+    assert len(lines) >= 2
+    trace = json.load(open(journal_dir / "executor_trace.json"))
+    names = {e["name"] for e in trace["traceEvents"]}
+    assert "read_batch" in names and "index_batch" in names

@@ -230,3 +230,28 @@ def test_terminal_node_takes_all(rng):
     assert max(len(n_) - 1 for n_ in names) <= 4
     total = sum(persistence.retrieve_points(n_).count for n_ in names)
     assert total == 5000
+
+
+def test_adaptive_strategy_v2(rng):
+    """TilingAlgorithmV2 equivalent: adaptive start nodes per batch,
+    ancestors reconstructed only where no tiled node exists."""
+    b1 = make_cloud(rng, 5000)
+    b2 = make_cloud(rng, 5000)
+    persistence, algo = run_tiler([b1, b2], strategy=TilingStrategy.Adaptive,
+                                  spacing=8.0, max_points=300, concurrency=4)
+    names = set(persistence.node_names())
+    assert "r" in names
+    for name in names:
+        while len(name) > 1:
+            name = name[:-1]
+            assert name in names, f"missing ancestor {name}"
+    # conservation at-or-below start nodes: every input point persisted
+    # exactly once there (reconstructed ancestors duplicate, but only at
+    # nodes that were never genuinely tiled)
+    start_names = {"r" + morton.node_name_simple(k, lv) if lv else "r"
+                   for k, lv in algo._start_nodes_used}
+    at_or_below = [n for n in names
+                   if any(n.startswith(s) for s in start_names)]
+    assert at_or_below
+    total = sum(persistence.retrieve_points(n).count for n in at_or_below)
+    assert total == 10000
