@@ -149,6 +149,52 @@ class LASFile:
         records = self._read_records(start, count)
         return decode_records(records, h, attributes or self.attributes())
 
+    def read_points_fused_into(self, start: int, count: int, attributes: set,
+                               shift_to_center: bool, center, bounds_min,
+                               bounds_max, out_buffer: PointBuffer,
+                               out_keys: np.ndarray, offset: int) -> int:
+        """Region variant of read_points_fused: decodes into
+        out_buffer[offset:offset+n] / out_keys[offset:offset+n] (the
+        reference's read-into-disjoint-regions design, Tiler.cpp:376-405,
+        which doubles as page-reuse on VMs with slow first-touch faults).
+        Returns the number of points decoded."""
+        from .. import native
+
+        h = self.header
+        count = max(0, min(count, h.point_count - start))
+        if count == 0:
+            return 0
+        lib = native.las_codec()
+        stride = h.point_record_length
+        nbytes = count * stride
+        scratch = getattr(self, "_records_scratch", None)
+        if scratch is None or scratch.size < nbytes:
+            scratch = np.empty(nbytes, dtype=np.uint8)
+            self._records_scratch = scratch
+        with open(self.path, "rb") as f:
+            f.seek(h.offset_to_point_data + start * stride)
+            f.readinto(memoryview(scratch[:nbytes]))
+        records = scratch[:nbytes]
+
+        pos_region = out_buffer.positions[offset:offset + count]
+        keys_region = out_keys[offset:offset + count]
+        if lib is not None:
+            lib.las_decode_index_fused_into(
+                records, stride, h.scale, h.offset, shift_to_center, center,
+                bounds_min, bounds_max, pos_region, keys_region)
+        else:
+            tmp = decode_records(records.copy(), h, {PointAttribute.Position})
+            pos = tmp.positions
+            if shift_to_center:
+                pos = (pos - np.asarray(center)).astype(np.float32) \
+                    .astype(np.float64)
+            from ..ops import indexing
+            keys, pos = indexing.index_points(pos, bounds_min, bounds_max)
+            pos_region[:] = pos
+            keys_region[:] = keys
+        decode_records_into(records, h, attributes, out_buffer, offset, count)
+        return count
+
     def read_points_fused(self, start: int, count: int, attributes: set,
                           shift_to_center: bool, center, bounds_min,
                           bounds_max) -> PointBuffer:
@@ -235,6 +281,54 @@ def decode_records(records: np.ndarray, header: LASHeader,
         rgb[:, 2] = rec["blue"] >> 8
         buf.set_column(A.RGB, rgb)
     return buf
+
+
+def decode_records_into(records: np.ndarray, header: LASHeader,
+                        attributes: set, out_buffer: PointBuffer,
+                        offset: int, count: int) -> None:
+    """Decode non-position attributes into the columns of a preallocated
+    buffer region (positions handled by the fused native pass)."""
+    fmt = header.point_data_format
+    stride = header.point_record_length
+    dtype = point_record_dtype(fmt)
+    if stride == dtype.itemsize:
+        rec = records[:count * stride].view(dtype)
+    else:
+        padded = np.dtype({"names": [f[0] for f in dtype.descr],
+                           "formats": [f[1] for f in dtype.descr],
+                           "offsets": [dtype.fields[f[0]][1]
+                                       for f in dtype.descr],
+                           "itemsize": stride})
+        rec = records[:count * stride].view(padded)
+
+    cols = out_buffer.columns
+    end = offset + count
+    flags = rec["flags"]
+    A = PointAttribute
+    if A.Intensity in cols:
+        cols[A.Intensity][offset:end] = rec["intensity"]
+    if A.ReturnNumber in cols:
+        cols[A.ReturnNumber][offset:end] = flags & 0x7
+    if A.NumberOfReturns in cols:
+        cols[A.NumberOfReturns][offset:end] = (flags >> 3) & 0x7
+    if A.ScanDirectionFlag in cols:
+        cols[A.ScanDirectionFlag][offset:end] = (flags >> 6) & 0x1
+    if A.EdgeOfFlightLine in cols:
+        cols[A.EdgeOfFlightLine][offset:end] = (flags >> 7) & 0x1
+    if A.Classification in cols:
+        cols[A.Classification][offset:end] = rec["classification"]
+    if A.ScanAngleRank in cols:
+        cols[A.ScanAngleRank][offset:end] = rec["scan_angle"]
+    if A.UserData in cols:
+        cols[A.UserData][offset:end] = rec["user_data"]
+    if A.PointSourceID in cols:
+        cols[A.PointSourceID][offset:end] = rec["point_source_id"]
+    if A.GPSTime in cols and fmt in (1, 3):
+        cols[A.GPSTime][offset:end] = rec["gps_time"]
+    if A.RGB in cols and fmt in (2, 3):
+        cols[A.RGB][offset:end, 0] = rec["red"] >> 8
+        cols[A.RGB][offset:end, 1] = rec["green"] >> 8
+        cols[A.RGB][offset:end, 2] = rec["blue"] >> 8
 
 
 def choose_point_format(buffer: PointBuffer) -> int:

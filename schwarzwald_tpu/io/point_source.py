@@ -41,6 +41,17 @@ class FileCursor:
         self.position += buf.count
         return buf
 
+    def read_next_fused_into(self, count: int, attributes,
+                             shift_to_center: bool, center, bounds_min,
+                             bounds_max, out_buffer, out_keys,
+                             offset: int) -> int:
+        f = self.open()
+        n = f.read_points_fused_into(self.position, count, attributes,
+                                     shift_to_center, center, bounds_min,
+                                     bounds_max, out_buffer, out_keys, offset)
+        self.position += n
+        return n
+
     @property
     def exhausted(self) -> bool:
         if self._file is None:
@@ -131,6 +142,27 @@ class MultiReaderPointSource:
     def release_source(self, handle: int) -> None:
         with self._lock:
             self._locked.discard(handle)
+
+    @property
+    def supports_region_reads(self) -> bool:
+        return self._fused is not None
+
+    def read_next_into_region(self, handle: int, count: int, out_buffer,
+                              out_keys, offset: int) -> int:
+        """Fused region read: decode + transform + index directly into the
+        preallocated batch slot at `offset` (disjoint-region reads,
+        Tiler.cpp:376-405). Only valid when fused indexing is enabled."""
+        cursor = self._cursors[handle]
+        shift, center, bmin, bmax = self._fused
+        try:
+            return cursor.read_next_fused_into(
+                count, self._attributes, shift, center, bmin, bmax,
+                out_buffer, out_keys, offset)
+        except Exception as err:
+            if self._errors_to_ignore & IgnoreErrors.CORRUPTED_FILES:
+                cursor.force_to_end()
+                return 0
+            raise chain_error(err, f"Reading points from {cursor.path} failed")
 
     def read_next_into(self, handle: int, count: int) -> PointBuffer:
         cursor = self._cursors[handle]

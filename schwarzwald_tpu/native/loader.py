@@ -87,6 +87,26 @@ class NativeLib:
             np.ascontiguousarray(bmax, dtype=np.float64), keys)
         return keys
 
+    def las_decode_index_fused_into(self, records: np.ndarray, stride: int,
+                                    las_scale, las_offset,
+                                    shift_to_center: bool, center, bmin,
+                                    bmax, positions_out: np.ndarray,
+                                    keys_out: np.ndarray) -> None:
+        """Decode into caller-provided (contiguous view) outputs."""
+        n = keys_out.shape[0]
+        assert positions_out.flags.c_contiguous
+        assert keys_out.flags.c_contiguous
+        self._lib.las_decode_index_fused(
+            np.ascontiguousarray(records[:n * stride], dtype=np.uint8), n,
+            stride,
+            np.ascontiguousarray(las_scale, dtype=np.float64),
+            np.ascontiguousarray(las_offset, dtype=np.float64),
+            1 if shift_to_center else 0,
+            np.ascontiguousarray(center, dtype=np.float64),
+            np.ascontiguousarray(bmin, dtype=np.float64),
+            np.ascontiguousarray(bmax, dtype=np.float64),
+            positions_out, keys_out)
+
     def las_decode_index_fused(self, records: np.ndarray, stride: int,
                                las_scale, las_offset, shift_to_center: bool,
                                center, bmin, bmax):

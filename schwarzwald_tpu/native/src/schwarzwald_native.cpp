@@ -19,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <unordered_map>
 #include <vector>
 
@@ -186,9 +187,22 @@ void las_encode(uint8_t* records, int64_t n, int32_t stride, int32_t format,
 
 // Parallel stable LSD radix argsort: per-thread histograms + disjoint
 // scatter regions keep every pass stable while scaling across cores.
+//
+// Scratch buffers persist across calls (grow-only): on this deployment's
+// VM, first-touch page faults cost ~45 MB/s, so re-allocating ~64 bytes
+// of scratch per element every call would dominate the sort itself.
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
-  std::vector<int64_t> order(n), tmp(n);
-  std::vector<uint64_t> k(keys, keys + n), ktmp(n);
+  static std::mutex scratch_mutex;
+  std::lock_guard<std::mutex> scratch_guard(scratch_mutex);
+  static std::vector<int64_t> order, tmp;
+  static std::vector<uint64_t> k, ktmp;
+  if (static_cast<int64_t>(order.size()) < n) {
+    order.resize(n);
+    tmp.resize(n);
+    k.resize(n);
+    ktmp.resize(n);
+  }
+  std::memcpy(k.data(), keys, n * sizeof(uint64_t));
 #ifdef _OPENMP
   const int n_threads = std::min(omp_get_max_threads(), 16);
 #else

@@ -45,8 +45,8 @@ class ConverterArguments:
 
 
 def parse_properties(source_folder: str):
-    """Recover (root_bounds, spacing) from properties.json or ept.json
-    (parse_properties, ConverterProcess.cpp:55-211)."""
+    """Recover (root_bounds, spacing) from properties.json, ept.json or a
+    Potree v1 cloud.js (parse_properties, ConverterProcess.cpp:55-211)."""
     props = os.path.join(source_folder, "properties.json")
     if os.path.exists(props):
         doc = json.load(open(props))
@@ -57,9 +57,18 @@ def parse_properties(source_folder: str):
     if os.path.exists(ept):
         doc = json.load(open(ept))
         b = doc["bounds"]
-        return AABB(b[:3], b[3:]), float(doc["span"])
+        bounds = AABB(b[:3], b[3:])
+        # EPT: spacing derives from bounds / span (ConverterProcess.cpp:135)
+        return bounds, float(bounds.extent()[0]) / float(doc["span"])
+    cloud_js = os.path.join(source_folder, "cloud.js")
+    if os.path.exists(cloud_js):
+        doc = json.load(open(cloud_js))
+        bb = doc["boundingBox"]
+        bounds = AABB([bb["lx"], bb["ly"], bb["lz"]],
+                      [bb["ux"], bb["uy"], bb["uz"]])
+        return bounds, float(doc["spacing"])
     raise RuntimeError(
-        f"No properties.json or ept.json found in {source_folder}")
+        f"No properties.json, ept.json or cloud.js found in {source_folder}")
 
 
 def find_all_octree_node_files(source_folder: str, max_depth: int):
@@ -109,7 +118,8 @@ def read_node_points(path: str) -> PointBuffer:
 
 
 def convert_to_3dtiles(args: ConverterArguments, bounds: AABB,
-                       spacing: float, node_files: dict) -> None:
+                       spacing: float, node_files: dict,
+                       transform=None) -> None:
     offset = bounds.center()
     by_name: dict[str, Tileset] = {}
 
@@ -121,6 +131,8 @@ def convert_to_3dtiles(args: ConverterArguments, bounds: AABB,
         buf = read_node_points(path)
         if not buf.count:
             return
+        if transform is not None:
+            buf.positions = transform.transform_positions(buf.positions)
         write_pnts(os.path.join(args.output_folder, name + ".pnts"), buf,
                    {PointAttribute.Position, PointAttribute.RGB,
                     PointAttribute.Intensity}, offset)
@@ -153,7 +165,8 @@ def convert_to_3dtiles(args: ConverterArguments, bounds: AABB,
 
 
 def convert_to_las(args: ConverterArguments, bounds: AABB,
-                   node_files: dict, compressed: bool) -> None:
+                   node_files: dict, compressed: bool,
+                   transform=None) -> None:
     sink = LASPersistence(args.output_folder, compressed=compressed)
 
     def node_bounds(name: str) -> AABB:
@@ -163,6 +176,8 @@ def convert_to_las(args: ConverterArguments, bounds: AABB,
         name, path = item
         buf = read_node_points(path)
         if buf.count:
+            if transform is not None:
+                buf.positions = transform.transform_positions(buf.positions)
             sink.persist_points(buf, node_bounds(name), name)
 
     with concurrent.futures.ThreadPoolExecutor() as pool:
@@ -171,7 +186,12 @@ def convert_to_las(args: ConverterArguments, bounds: AABB,
 
 def run_conversion(args: ConverterArguments) -> None:
     """run_conversion (ConverterProcess.cpp:737-767)."""
+    from ..io.srs import make_transform
+
+    transform = make_transform(args.source_projection)
     bounds, spacing = parse_properties(args.source_folder)
+    if args.source_projection:
+        bounds = transform.transform_aabb(bounds)
     node_files = find_all_octree_node_files(args.source_folder,
                                             args.max_depth)
     if not node_files:
@@ -184,9 +204,10 @@ def run_conversion(args: ConverterArguments) -> None:
 
     fmt = args.output_format.upper()
     if fmt == "3DTILES":
-        convert_to_3dtiles(args, bounds, spacing, node_files)
+        convert_to_3dtiles(args, bounds, spacing, node_files, transform)
     elif fmt in ("LAS", "LAZ"):
-        convert_to_las(args, bounds, node_files, compressed=(fmt == "LAZ"))
+        convert_to_las(args, bounds, node_files, compressed=(fmt == "LAZ"),
+                       transform=transform)
     else:
         raise ValueError(f"Unsupported converter output format {fmt}")
 

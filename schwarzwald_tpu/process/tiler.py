@@ -59,6 +59,89 @@ class Tiler:
 
     # -- read stage ---------------------------------------------------------
 
+    def _read_batch_into_slot(self, read_concurrency: int, slot) -> PointBuffer | None:
+        """Region-read path: fill a preallocated batch slot (positions,
+        keys, attribute columns) via disjoint-region writes — the
+        reference's preallocated double-buffer design (Tiler.cpp:235-236,
+        376-405), which on this deployment also avoids re-faulting fresh
+        pages every batch."""
+        import numpy as np
+
+        from ..core.pointbuffer import PointBuffer as PB
+
+        target = self.meta.internal_cache_size
+        chunk = self.meta.batch_read_size
+        if slot.buffer is None:
+            slot.buffer = PB.empty(target, self.input_attributes)
+            slot.keys = np.empty(target, dtype=np.uint64)
+        state = {"offset": 0}
+        lock = threading.Lock()
+
+        def read_one() -> int:
+            handle = self.point_source.lock_source()
+            if handle is None:
+                return 0
+            try:
+                with lock:
+                    offset = state["offset"]
+                    count = min(chunk, target - offset)
+                    if count <= 0:
+                        return 0
+                    state["offset"] = offset + count  # reserve region
+                n = self.point_source.read_next_into_region(
+                    handle, count, slot.buffer, slot.keys, offset)
+                if n < count:
+                    with lock:
+                        # return unused reservation (only safe because
+                        # reads are effectively sequential per batch on
+                        # the shared offset; shrink when we were the top)
+                        if state["offset"] == offset + count:
+                            state["offset"] = offset + n
+                        else:
+                            state["holes"] = state.get("holes", [])
+                            state["holes"].append((offset + n, offset + count))
+                return n
+            finally:
+                self.point_source.release_source(handle)
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=max(1, read_concurrency)) as pool:
+            while state["offset"] < target \
+                    and not self.point_source.all_exhausted():
+                n_tasks = max(1, min(read_concurrency,
+                                     -(-(target - state["offset"]) // chunk)))
+                results = list(pool.map(lambda _: read_one(), range(n_tasks)))
+                if not any(results):
+                    break
+
+        holes = state.get("holes")
+        if holes:
+            # Compact rare short-read holes (corrupt/ignored files).
+            self._compact_slot(slot, state["offset"], holes)
+            total = state["offset"] - sum(b - a for a, b in holes)
+        else:
+            total = state["offset"]
+        if total == 0:
+            return None
+        batch = slot.buffer.slice(0, total)
+        batch.morton_keys = slot.keys[:total]
+        if self.progress is not None:
+            self.progress.increment(LOADING, total)
+        return batch
+
+    @staticmethod
+    def _compact_slot(slot, end: int, holes) -> None:
+        import numpy as np
+
+        keep = np.ones(end, dtype=bool)
+        for a, b in holes:
+            keep[a:b] = False
+        idx = np.flatnonzero(keep)
+        slot.buffer.positions[:idx.size] = slot.buffer.positions[idx]
+        slot.keys[:idx.size] = slot.keys[idx]
+        for arr in slot.buffer.columns.values():
+            arr[:idx.size] = arr[idx]
+
     def _read_batch(self, read_concurrency: int) -> PointBuffer | None:
         """Fill up to internal_cache_size points using a file-parallel pool
         (build_execution_graph_for_reading, Tiler.cpp:289-421)."""
@@ -115,11 +198,25 @@ class Tiler:
 
         from ..util.trace import trace_span
 
+        class _Slot:
+            buffer = None
+            keys = None
+
+        slots = [_Slot(), _Slot()]
+        slot_box = {"idx": 0}
+
+        def read_next_batch(read_c):
+            if self.point_source.supports_region_reads:
+                slot = slots[slot_box["idx"]]
+                slot_box["idx"] ^= 1
+                return self._read_batch_into_slot(read_c, slot)
+            return self._read_batch(read_c)
+
         def reader():
             try:
                 while True:
                     with trace_span("read_batch", "read"), Timer() as t:
-                        batch = self._read_batch(concurrency_box["read"])
+                        batch = read_next_batch(concurrency_box["read"])
                     if batch is None:
                         handoff.put(None)
                         return

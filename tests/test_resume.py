@@ -52,22 +52,33 @@ def test_resume_continues_from_checkpoint(tmp_path, rng):
         output_format=OutputFormat.BIN, internal_cache_size=3000,
         max_batch_read_size=3000)
 
-    # Interrupt after the 2nd completed batch by raising from the loop.
-    orig_process = tiler_mod.Tiler._read_batch
+    # Interrupt after the 2nd completed batch by raising from the read
+    # stage (covers both the plain and the region-slot read paths).
+    orig_plain = tiler_mod.Tiler._read_batch
+    orig_region = tiler_mod.Tiler._read_batch_into_slot
     calls = {"n": 0}
 
-    def poisoned(self, rc):
+    def _poison():
         calls["n"] += 1
         if calls["n"] == 3:
             raise KeyboardInterrupt("simulated crash during batch 3 read")
-        return orig_process(self, rc)
 
-    tiler_mod.Tiler._read_batch = poisoned
+    def poisoned_plain(self, rc):
+        _poison()
+        return orig_plain(self, rc)
+
+    def poisoned_region(self, rc, slot):
+        _poison()
+        return orig_region(self, rc, slot)
+
+    tiler_mod.Tiler._read_batch = poisoned_plain
+    tiler_mod.Tiler._read_batch_into_slot = poisoned_region
     try:
         with pytest.raises(KeyboardInterrupt):
             TilerProcess(args).run()
     finally:
-        tiler_mod.Tiler._read_batch = orig_process
+        tiler_mod.Tiler._read_batch = orig_plain
+        tiler_mod.Tiler._read_batch_into_slot = orig_region
 
     state = json.load(open(out / "tiler_state.json"))
     assert 0 < state["points_processed"] < 9000
