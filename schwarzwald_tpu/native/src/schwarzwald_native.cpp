@@ -194,7 +194,8 @@ void las_encode(uint8_t* records, int64_t n, int32_t stride, int32_t format,
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
   static std::mutex scratch_mutex;
   std::lock_guard<std::mutex> scratch_guard(scratch_mutex);
-  static std::vector<int64_t> order, tmp;
+  // int32 payload halves scratch traffic; batches are < 2^31 points.
+  static std::vector<int32_t> order, tmp;
   static std::vector<uint64_t> k, ktmp;
   if (static_cast<int64_t>(order.size()) < n) {
     order.resize(n);
@@ -214,7 +215,7 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
 #pragma omp parallel for schedule(static, 1) num_threads(n_threads)
   for (int t = 0; t < n_threads; ++t) {
     const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
-    for (int64_t i = lo; i < hi; ++i) order[i] = i;
+    for (int64_t i = lo; i < hi; ++i) order[i] = static_cast<int32_t>(i);
   }
 
   for (int pass = 0; pass < 8; ++pass) {
@@ -259,7 +260,7 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
     std::swap(k, ktmp);
     std::swap(order, tmp);
   }
-  std::memcpy(out_order, order.data(), n * sizeof(int64_t));
+  for (int64_t i = 0; i < n; ++i) out_order[i] = order[i];
 }
 
 // ---------------------------------------------------------------------------

@@ -79,15 +79,23 @@ def child_octant_boundaries(sorted_keys: np.ndarray, start: int, end: int,
     `level` is the absolute key level (0 = root octant) to partition at, as in
     partition_points_into_child_octants (OctreeAlgorithms.h:240-265). Returns
     9 offsets b with child o occupying [b[o], b[o+1]).
+
+    Implemented as binary searches for the child boundary KEY values (the
+    prefix with octant o+1 and zeros below) — no temporary per-point octant
+    array is materialized, so the cost is O(log n) per child regardless of
+    range size.
     """
     shift = _U((morton.MAX_LEVELS - level - 1) * 3)
-    octants = (sorted_keys[start:end] >> shift) & _U(0b111)
-    bounds = np.searchsorted(octants, np.arange(1, 8, dtype=np.uint64), side="left")
+    # All points in the range share the prefix above `level` (precondition
+    # of partition_points_into_child_octants); take it from the first key.
+    prefix = sorted_keys[start] >> (shift + _U(3))
+    boundary_keys = ((prefix << _U(3))
+                     + np.arange(1, 8, dtype=np.uint64)) << shift
     out = np.empty(9, dtype=np.int64)
-    out[0] = 0
-    out[1:8] = bounds
-    out[8] = end - start
-    out += start
+    out[0] = start
+    out[1:8] = start + np.searchsorted(sorted_keys[start:end], boundary_keys,
+                                       side="left")
+    out[8] = end
     return out
 
 

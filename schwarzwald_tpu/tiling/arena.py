@@ -21,12 +21,25 @@ class PointArena:
     def count(self) -> int:
         return self._offsets[-1]
 
+    # Shared grow-only iota: np.arange of tens of MB per batch is
+    # measurably expensive on this deployment (first-touch page faults);
+    # chunk-id ranges are views into one cached array instead.
+    _iota = np.empty(0, dtype=np.int64)
+
+    @classmethod
+    def _iota_view(cls, start: int, stop: int) -> np.ndarray:
+        if stop > cls._iota.size:
+            cls._iota = np.arange(max(stop, 2 * cls._iota.size),
+                                  dtype=np.int64)
+        return cls._iota[start:stop]
+
     def append(self, buffer: PointBuffer) -> np.ndarray:
-        """Add a chunk; returns the global ids of its points."""
+        """Add a chunk; returns the global ids of its points (a shared
+        read-only view — copy before mutating)."""
         start = self._offsets[-1]
         self._chunks.append(buffer)
         self._offsets.append(start + buffer.count)
-        return np.arange(start, start + buffer.count, dtype=np.int64)
+        return self._iota_view(start, start + buffer.count)
 
     def _locate(self, ids: np.ndarray):
         offsets = np.asarray(self._offsets)
