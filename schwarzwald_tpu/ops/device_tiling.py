@@ -1,0 +1,125 @@
+"""Level-synchronous octree point selection on device (the flagship kernel).
+
+Computes, in ONE jitted XLA program over the Morton-sorted key array, the
+complete octree assignment of a fresh batch under RANDOM_GRID sampling:
+for every point, the octree level of the node that keeps it. This replaces
+the reference's recursive per-node task graph (do_tiling_for_node,
+TilingAlgorithms.cpp:499-561) with 22 data-parallel level sweeps — the
+"batched per-level passes" design of SURVEY.md §7 — with exact semantics:
+
+  - take-all when a node's point count <= max_points_per_node
+    (SamplingBehaviour::TakeAllWhenCountBelowMaxPoints, Sampling.h:170-181)
+  - otherwise first-remaining-point per candidate-level grid cell
+    (RandomSortedGridSampling, Sampling.h:187-308), candidate level from
+    the float32 log2 rule (Sampling.h:223-229)
+  - terminal nodes at min(20, max_depth) keep everything
+    (tile_terminal_node, TilingAlgorithms.cpp:206-241)
+  - the cand == -1 "take the first point" root case (Sampling.h:290-295)
+  - levels whose candidate level exceeds the 21-level Morton capacity
+    (the reference's re-rooting case, TilingAlgorithms.cpp:444-483) are
+    left unassigned (level 0 in the output) for the host engine to finish.
+
+Keys are (hi, lo) uint32 pairs; cells never need more than pairwise
+prefix comparisons and segment ids, so everything is 32-bit integer ops —
+bit-exact on TPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import sampling
+
+MAX_LEVELS = 21
+
+
+def candidate_levels(root_extent_x: float, spacing_at_root: float,
+                     max_depth: int):
+    """Per-node-level candidate grid level (static, computed on host).
+    Index i corresponds to node level i-1 (root = -1)."""
+    out = []
+    for node_level in range(-1, min(MAX_LEVELS - 1, max_depth) + 1):
+        spacing = sampling.spacing_at_node_level(spacing_at_root, node_level)
+        out.append(sampling.candidate_level_in_octree(root_extent_x, spacing))
+    return out
+
+
+def _first_in_cell(hi, lo, groups: int):
+    """Mask: point starts a new cell whose id is the top `groups` octant
+    digits (a node AT level l has l+1 digits). groups <= 0 -> root."""
+    n = hi.shape[0]
+    first = jnp.zeros(n, dtype=bool).at[0].set(True)
+    if groups <= 0:
+        return first
+    bits = 3 * groups
+    if bits <= 31:
+        s = 31 - bits
+        diff = (hi >> s)[1:] != (hi >> s)[:-1]
+    else:
+        s = 63 - bits  # bits from the lo word: lo >> s (s in [0,31])
+        diff = (hi[1:] != hi[:-1]) | ((lo >> s)[1:] != (lo >> s)[:-1])
+    return first.at[1:].set(diff)
+
+
+def _segment_fields(first, remaining, iota):
+    """Per-point helpers for the cell segmentation defined by `first`:
+    returns (cell_start_index, remaining_before_in_cell, remaining_in_cell)."""
+    n = first.shape[0]
+    cell_start = jax.lax.cummax(jnp.where(first, iota, 0))
+    csum_r = jnp.cumsum(remaining.astype(jnp.int32))
+    r_before_cell = csum_r[cell_start] - remaining[cell_start].astype(jnp.int32)
+    before_in_cell = csum_r - remaining.astype(jnp.int32) - r_before_cell
+    cell_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    totals = jnp.zeros(n, jnp.int32).at[cell_id].add(
+        remaining.astype(jnp.int32))
+    in_cell = totals[cell_id]
+    return cell_start, before_in_cell, in_cell
+
+
+@functools.partial(jax.jit, static_argnames=("cands", "max_points",
+                                             "max_depth"))
+def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
+                              max_depth: int):
+    """Per-point octree assignment level for a Morton-sorted fresh batch.
+
+    Returns int8 levels: 0 = unassigned (host fallback), otherwise
+    node_level + 2 (so root -1 -> 1).
+    """
+    n = hi.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    remaining = jnp.ones(n, dtype=bool)
+    out = jnp.zeros(n, dtype=jnp.int8)
+    max_level = min(MAX_LEVELS - 1, max_depth)
+
+    for node_level in range(-1, max_level + 1):
+        cand = cands[node_level + 1]
+        requires_deeper = cand > node_level
+        is_terminal = (node_level >= max_level if requires_deeper
+                       else cand >= max_level)
+        if not is_terminal and cand >= MAX_LEVELS:
+            break  # re-rooting territory: host engine finishes these
+
+        if is_terminal:
+            selected = remaining
+        else:
+            node_first = _first_in_cell(hi, lo, node_level + 1)
+            _, before_node, in_node = _segment_fields(node_first, remaining,
+                                                      iota)
+            take_all = in_node <= max_points
+
+            if cand == -1:
+                pick = remaining & (before_node == 0)
+            else:
+                cand_first = _first_in_cell(hi, lo, cand + 1)
+                _, before_cand, _ = _segment_fields(cand_first, remaining,
+                                                    iota)
+                pick = remaining & (before_cand == 0)
+            selected = jnp.where(take_all, remaining, pick)
+
+        out = jnp.where(selected, jnp.int8(node_level + 2), out)
+        remaining = remaining & ~selected
+        if is_terminal:
+            break
+    return out

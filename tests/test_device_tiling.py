@@ -1,0 +1,105 @@
+"""Device level-synchronous octree selection vs the host tiling engine:
+the single-jit sweep must reproduce the ACCURATE+RANDOM_GRID engine's node
+assignment exactly (same nodes, same points per node, same order)."""
+import numpy as np
+import pytest
+
+import schwarzwald_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from schwarzwald_tpu.core import morton
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io.memory import MemoryPersistence
+from schwarzwald_tpu.ops import device_tiling, indexing
+from schwarzwald_tpu.ops.sampling import SamplingStrategy
+from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                    make_tiling_algorithm)
+
+BOUNDS = AABB([0.0] * 3, [64.0] * 3)
+
+
+def engine_assignment(pos, spacing, max_points, max_depth=100):
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=spacing, max_depth=max_depth,
+                               max_points_per_node=max_points)
+    algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                 SamplingStrategy("RANDOM_GRID", max_points),
+                                 persistence, meta)
+    algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+    return persistence
+
+
+def device_assignment(pos, spacing, max_points, max_depth=100, on_cpu=None):
+    import jax
+
+    keys, _ = indexing.index_points(pos, BOUNDS.min, BOUNDS.max)
+    order = indexing.sort_by_key(keys)
+    skeys = keys[order]
+    hi = (skeys >> np.uint64(32)).astype(np.uint32)
+    lo = skeys.astype(np.uint32)
+    cands = tuple(device_tiling.candidate_levels(64.0, spacing, max_depth))
+    ctx = jax.default_device(on_cpu[0]) if on_cpu else _null()
+    with ctx:
+        levels = device_tiling.octree_select_random_grid(
+            jnp.asarray(hi), jnp.asarray(lo), cands, max_points, max_depth)
+    return skeys, order, np.asarray(levels)
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+@pytest.mark.parametrize("n,spacing,max_points", [
+    (20000, 8.0, 300),
+    (5000, 8.0, 100),
+    (20000, 40.0, 50),   # coarse spacing: cand == -1 cases at the root
+    (3000, 8.0, 10000),  # everything fits in the root (take-all at r)
+])
+def test_device_select_matches_engine(on_cpu, rng, n, spacing, max_points):
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, size=(n, 3))
+    persistence = engine_assignment(pos, spacing, max_points)
+    skeys, order, levels = device_assignment(pos, spacing, max_points,
+                                             on_cpu=on_cpu)
+    assert (levels > 0).all(), "device sweep left points unassigned"
+
+    # group device output by (level, node prefix) -> compare to engine
+    got_nodes = {}
+    for lv in np.unique(levels):
+        node_level = int(lv) - 2
+        mask = levels == lv
+        if node_level == -1:
+            got_nodes["r"] = np.flatnonzero(mask)
+            continue
+        prefixes = morton.truncate_to_level(skeys[mask], node_level)
+        idx = np.flatnonzero(mask)
+        starts = np.flatnonzero(np.diff(prefixes, prepend=prefixes[0] + 1)
+                                .astype(bool))
+        bounds_list = np.append(starts, idx.size)
+        for s, e in zip(bounds_list[:-1], bounds_list[1:]):
+            name = "r" + morton.node_name_simple(int(prefixes[s]),
+                                                 node_level + 1)
+            got_nodes[name] = idx[s:e]
+
+    engine_names = set(persistence.node_names())
+    assert set(got_nodes) == engine_names
+    pos_sorted = pos[order]
+    for name, idx in got_nodes.items():
+        want = persistence.retrieve_points(name).positions
+        np.testing.assert_array_equal(pos_sorted[idx], want, err_msg=name)
+
+
+def test_device_select_max_depth(on_cpu, rng):
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, size=(5000, 3))
+    persistence = engine_assignment(pos, 8.0, 50, max_depth=3)
+    skeys, order, levels = device_assignment(pos, 8.0, 50, max_depth=3,
+                                             on_cpu=on_cpu)
+    assert (levels > 0).all()
+    assert levels.max() - 2 <= 3
+    total_engine = sum(persistence.retrieve_points(n_).count
+                       for n_ in persistence.node_names())
+    assert total_engine == 5000 == (levels > 0).sum()
