@@ -142,8 +142,11 @@ class TilerProcess:
 
     def _determine_attributes(self, files: list) -> None:
         """Intersect attributes over all file headers, then clamp to the
-        output format's supported set (TilerProcess.cpp:262-350)."""
-        common: set | None = None
+        output format's supported set (TilerProcess.cpp:262-350). Files
+        missing attributes that others have are reported — an error unless
+        MISSING_POINT_ATTRIBUTES is ignored
+        (check_for_missing_point_attributes, TilerProcess.cpp:437-489)."""
+        per_file: dict[str, set] = {}
         for path in files:
             try:
                 f = las.LASFile(path)
@@ -152,10 +155,22 @@ class TilerProcess:
                     log.warn(f"Ignoring inaccessible file {path}: {err}")
                     continue
                 raise chain_error(err, f"Could not read attributes of {path}")
-            attrs = f.attributes()
-            common = attrs if common is None else (common & attrs)
-        if not common:
+            per_file[path] = f.attributes()
+        if not per_file:
             raise RuntimeError("Found no input attributes to process")
+        union: set = set().union(*per_file.values())
+        common: set = set.intersection(*per_file.values())
+        for path, attrs in per_file.items():
+            missing = union - attrs
+            if not missing:
+                continue
+            from ..core.attributes import print_attributes
+            msg = (f"Missing attribute(s) {print_attributes(missing)} "
+                   f"in file {path}")
+            if self.args.errors_to_ignore & IgnoreErrors.MISSING_POINT_ATTRIBUTES:
+                log.warn(msg)
+            else:
+                raise RuntimeError(msg)
         self.input_attributes = common
         supported = supported_output_attributes_for_format(
             self.args.output_format)

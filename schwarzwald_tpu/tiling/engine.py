@@ -286,10 +286,49 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
 
         if self.level_of_start_nodes is None:
             self.level_of_start_nodes = self._estimate_start_node_level(keys)
+            self._journal_string(
+                f"Level of start nodes: {self.level_of_start_nodes}")
 
         root = self._make_root(bounds)
-        for node, k, i in self._split_at_start_level(keys, ids, root):
+        start_nodes = list(self._split_at_start_level(keys, ids, root))
+        self._journal_start_nodes(start_nodes)
+        for node, k, i in start_nodes:
             self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+
+    @staticmethod
+    def _journal_string(message: str) -> None:
+        from ..util.config import global_config
+        from ..util.journal import JournalStore
+
+        cfg = global_config()
+        if not cfg.is_journaling_enabled:
+            return
+        store = JournalStore.global_store()
+        journal = store.get_journal("tiling_log")
+        if journal is None:
+            journal = store.new_journal("tiling_log").with_flat_type() \
+                .as_text(cfg.journal_directory).into_single_file().build()
+        journal.add_record(message)
+
+    def _journal_start_nodes(self, start_nodes) -> None:
+        """start_nodes graphviz journal (journal_start_nodes,
+        TilingAlgorithms.cpp:27-43, 1305-1312)."""
+        from ..util.config import global_config
+        from ..util.journal import JournalStore
+
+        cfg = global_config()
+        if not cfg.is_journaling_enabled:
+            return
+        store = JournalStore.global_store()
+        journal = store.get_journal("start_nodes")
+        if journal is None:
+            journal = store.new_journal("start_nodes").with_flat_type() \
+                .as_text(cfg.journal_directory).into_unique_files().build()
+        lines = ["digraph start_nodes {"]
+        for node, k, _ in start_nodes:
+            lines.append(f'  "{node.name}" [label="{node.name} - {k.size}"];')
+        lines.append("}")
+        journal.add_record("\n".join(lines))
 
     def _estimate_start_node_level(self, sorted_keys: np.ndarray) -> int:
         """estimate_start_node_level_in_octree (TilingAlgorithms.cpp:
