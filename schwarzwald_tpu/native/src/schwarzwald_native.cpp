@@ -40,20 +40,35 @@ void poisson_accept_mask(const double* positions, int64_t n,
   const double ext_x = node_max[0] - node_min[0];
   const double ext_y = node_max[1] - node_min[1];
   const double ext_z = node_max[2] - node_min[2];
-  // SparseGrid receives float-narrowed spacing; cellSizeFactor = 5.0 and
-  // squaredSpacing is the float32 product (SparseGrid.cpp:9-19).
+  // The ACCEPT RULE is exactly the reference's (no previously accepted
+  // point strictly within float32(spacing), SparseGrid.cpp:117-146 +
+  // GridCell::isDistant) — but the acceleration grid here uses cells of
+  // size ~spacing instead of the reference's 5x spacing
+  // (cellSizeFactor, SparseGrid.cpp:9). The accept set is independent of
+  // the grid (any +-1-cell neighborhood that covers radius `spacing` is
+  // equivalent), and spacing-sized cells scan ~100x less volume per query
+  // in saturated nodes. Verified bit-equal against the 5x-cell oracle.
   const float spacing_f = static_cast<float>(spacing);
-  const double cell = static_cast<double>(spacing_f) * 5.0;
-  const int64_t dim_x = (ext_x > 0 && cell > 0) ? static_cast<int64_t>(ext_x / cell) : 0;
-  const int64_t dim_y = (ext_y > 0 && cell > 0) ? static_cast<int64_t>(ext_y / cell) : 0;
-  const int64_t dim_z = (ext_z > 0 && cell > 0) ? static_cast<int64_t>(ext_z / cell) : 0;
+  const double cell = static_cast<double>(spacing_f);
+  const int64_t MAX_DIM = (1 << 20) - 1;  // key packing headroom
+  const int64_t dim_x = (ext_x > 0 && cell > 0)
+      ? std::min<int64_t>(static_cast<int64_t>(ext_x / cell), MAX_DIM) : 0;
+  const int64_t dim_y = (ext_y > 0 && cell > 0)
+      ? std::min<int64_t>(static_cast<int64_t>(ext_y / cell), MAX_DIM) : 0;
+  const int64_t dim_z = (ext_z > 0 && cell > 0)
+      ? std::min<int64_t>(static_cast<int64_t>(ext_z / cell), MAX_DIM) : 0;
   const double sq_spacing = static_cast<double>(spacing_f * spacing_f);
 
-  struct Cell {
-    std::vector<double> pts;  // x,y,z triples of accepted points
-  };
-  std::unordered_map<int64_t, Cell> cells;
-  cells.reserve(1024);
+  // Persistent scratch (clear() keeps capacity): accepted points live in a
+  // pooled arena chained per cell, avoiding per-call / per-cell allocation.
+  static std::mutex scratch_mutex;
+  std::lock_guard<std::mutex> scratch_guard(scratch_mutex);
+  static std::unordered_map<int64_t, int32_t> cell_head;
+  static std::vector<double> arena;      // x,y,z per accepted point
+  static std::vector<int32_t> next_link;  // chain within a cell
+  cell_head.clear();
+  arena.clear();
+  next_link.clear();
 
   const auto cell_key = [](int64_t i, int64_t j, int64_t k) -> int64_t {
     return (k << 40) | (j << 20) | i;  // SparseGrid.cpp:77
@@ -81,23 +96,34 @@ void poisson_accept_mask(const double* positions, int64_t n,
     const int64_t i_lo = std::max<int64_t>(ci - 1, 0), i_hi = std::min(ci + 1, max_i);
     const int64_t j_lo = std::max<int64_t>(cj - 1, 0), j_hi = std::min(cj + 1, max_j);
     const int64_t k_lo = std::max<int64_t>(ck - 1, 0), k_hi = std::min(ck + 1, max_k);
-    for (int64_t i = i_lo; i <= i_hi && distant; ++i)
+    for (int64_t k = k_lo; k <= k_hi && distant; ++k)
       for (int64_t j = j_lo; j <= j_hi && distant; ++j)
-        for (int64_t k = k_lo; k <= k_hi && distant; ++k) {
-          auto it = cells.find(cell_key(i, j, k));
-          if (it == cells.end()) continue;
-          const auto& pts = it->second.pts;
-          for (size_t t = 0; t < pts.size(); t += 3) {
-            const double dx = px - pts[t], dy = py - pts[t + 1], dz = pz - pts[t + 2];
-            if (dx * dx + dy * dy + dz * dz < sq_spacing) { distant = false; break; }
+        for (int64_t i = i_lo; i <= i_hi && distant; ++i) {
+          auto it = cell_head.find(cell_key(i, j, k));
+          if (it == cell_head.end()) continue;
+          for (int32_t t = it->second; t >= 0; t = next_link[t]) {
+            const double dx = px - arena[3 * t];
+            const double dy = py - arena[3 * t + 1];
+            const double dz = pz - arena[3 * t + 2];
+            if (dx * dx + dy * dy + dz * dz < sq_spacing) {
+              distant = false;
+              break;
+            }
           }
         }
 
     if (distant) {
-      auto& c = cells[cell_key(ci, cj, ck)];
-      c.pts.push_back(px);
-      c.pts.push_back(py);
-      c.pts.push_back(pz);
+      const int32_t t = static_cast<int32_t>(next_link.size());
+      arena.push_back(px);
+      arena.push_back(py);
+      arena.push_back(pz);
+      auto ins = cell_head.emplace(cell_key(ci, cj, ck), t);
+      if (ins.second) {
+        next_link.push_back(-1);
+      } else {
+        next_link.push_back(ins.first->second);
+        ins.first->second = t;
+      }
       out_mask[idx] = 1;
     }
   }

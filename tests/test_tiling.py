@@ -255,3 +255,56 @@ def test_adaptive_strategy_v2(rng):
     assert at_or_below
     total = sum(persistence.retrieve_points(n).count for n in at_or_below)
     assert total == 10000
+
+
+def test_deep_tree_rerooting_conserves_points(rng):
+    """Clustered points force candidate levels past the 21-level Morton
+    capacity (re-rooting, TilingAlgorithms.cpp:444-483): the engine must
+    re-derive keys below the node and keep every point exactly once."""
+    n = 3000
+    # all points inside one tiny cell so grid sampling recurses deep
+    center = np.array([10.0, 20.0, 30.0])
+    pos = center + rng.uniform(0, 1e-4, (n, 3))
+    buf = PointBuffer(pos.copy())
+    spacing = 64.0 / 2 ** 18  # cand(l) = 18 + l -> reroot from level 3
+    persistence, _ = run_tiler([buf], strategy=TilingStrategy.Accurate,
+                               sampling_name="RANDOM_GRID", spacing=spacing,
+                               max_points=100)
+    names = persistence.node_names()
+    total = sum(persistence.retrieve_points(n_).count for n_ in names)
+    assert total == n
+    assert max(len(n_) - 1 for n_ in names) <= 20
+    # deep nodes exist (recursion went past the re-root level)
+    assert max(len(n_) - 1 for n_ in names) > 3
+    got = np.concatenate([persistence.retrieve_points(n_).positions
+                          for n_ in names])
+    np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                  pos[np.lexsort(pos.T)])
+
+
+def test_multi_batch_rerooting(rng):
+    """Re-rooted nodes re-read cached points across batches without losing
+    or duplicating them."""
+    center = np.array([10.0, 20.0, 30.0])
+    spacing = 64.0 / 2 ** 18
+    p1 = center + rng.uniform(0, 1e-4, (1500, 3))
+    p2 = center + rng.uniform(0, 1e-4, (1500, 3))
+    persistence, _ = run_tiler(
+        [PointBuffer(p1.copy()), PointBuffer(p2.copy())],
+        strategy=TilingStrategy.Accurate, sampling_name="RANDOM_GRID",
+        spacing=spacing, max_points=100)
+    names = persistence.node_names()
+    total = sum(persistence.retrieve_points(n_).count for n_ in names)
+    assert total == 3000
+
+
+def test_spacing_too_small_raises(rng):
+    from schwarzwald_tpu.core.metadata import DatasetMetadata
+    from schwarzwald_tpu.process.tiler import Tiler
+
+    meta_params = TilerMetaParameters(spacing_at_root=64.0 / 2 ** 22)
+    md = DatasetMetadata()
+    md.add_file_metadata("f", 10, BOUNDS)
+    with pytest.raises(RuntimeError, match="spacing at root"):
+        Tiler(md, meta_params, SamplingStrategy("RANDOM_GRID"), None,
+              None, None, set())
