@@ -78,14 +78,60 @@ def _segment_fields(first, remaining, iota):
     return cell_start, before_in_cell, in_cell
 
 
+def _key_axis_bit(hi, lo, descent_level: int, axis: int):
+    """Bit of the given axis (0=x,1=y,2=z) at octant-descent level t: key
+    bit 3*(20-t) + (2-axis), from the (hi, lo) pair."""
+    pos = 3 * (20 - descent_level) + (2 - axis)
+    if pos >= 32:
+        return (hi >> (pos - 32)) & jnp.uint32(1)
+    return (lo >> pos) & jnp.uint32(1)
+
+
+def _cell_centers(hi, lo, depth: int, root_min, root_max):
+    """Per-point center of its depth-`depth` cell, by the same iterative
+    octant halving as the host (ops/indexing.bounds_from_prefixes /
+    get_octant_bounds): FP-exact on backends with true f64."""
+    n = hi.shape[0]
+    mins = [jnp.full(n, root_min[a], jnp.float64) for a in range(3)]
+    maxs = [jnp.full(n, root_max[a], jnp.float64) for a in range(3)]
+    for t in range(depth):
+        for a in range(3):
+            half = (maxs[a] - mins[a]) / 2
+            bit = _key_axis_bit(hi, lo, t, a).astype(jnp.float64)
+            mins[a] = mins[a] + bit * half
+            maxs[a] = mins[a] + half
+    return [mins[a] + (maxs[a] - mins[a]) / 2 for a in range(3)]
+
+
+def _pick_grid_center(hi, lo, positions, cand: int, remaining, iota,
+                      root_min, root_max):
+    """GRID_CENTER selection: remaining point closest to its cand-cell
+    center, first on ties (GridCenterSampling, Sampling.h:314-416)."""
+    cx, cy, cz = _cell_centers(hi, lo, cand + 1, root_min, root_max)
+    d = ((positions[:, 0] - cx) ** 2 + (positions[:, 1] - cy) ** 2
+         + (positions[:, 2] - cz) ** 2)
+    cand_first = _first_in_cell(hi, lo, cand + 1)
+    cell_id = jnp.cumsum(cand_first.astype(jnp.int32)) - 1
+    n = hi.shape[0]
+    masked = jnp.where(remaining, d, jnp.inf)
+    cell_min = jnp.full(n, jnp.inf).at[cell_id].min(masked)
+    is_min = remaining & (masked == cell_min[cell_id])
+    _, before_eq, _ = _segment_fields(cand_first, is_min, iota)
+    return is_min & (before_eq == 0)
+
+
 @functools.partial(jax.jit, static_argnames=("cands", "max_points",
-                                             "max_depth"))
-def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
-                              max_depth: int):
-    """Per-point octree assignment level for a Morton-sorted fresh batch.
+                                             "max_depth", "strategy"))
+def octree_select_grid(hi, lo, cands: tuple, max_points: int,
+                       max_depth: int, strategy: str = "RANDOM_GRID",
+                       positions=None, root_min=None, root_max=None):
+    """Per-point octree assignment level for a Morton-sorted fresh batch
+    under RANDOM_GRID or GRID_CENTER sampling.
 
     Returns int8 levels: 0 = unassigned (host fallback), otherwise
-    node_level + 2 (so root -1 -> 1).
+    node_level + 2 (so root -1 -> 1). GRID_CENTER needs positions +
+    root bounds; on TPU its f64 distances use the emulated f64 (exact on
+    the cpu backend, see ARCHITECTURE.md).
     """
     n = hi.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -111,6 +157,9 @@ def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
 
             if cand == -1:
                 pick = remaining & (before_node == 0)
+            elif strategy == "GRID_CENTER":
+                pick = _pick_grid_center(hi, lo, positions, cand, remaining,
+                                         iota, root_min, root_max)
             else:
                 cand_first = _first_in_cell(hi, lo, cand + 1)
                 _, before_cand, _ = _segment_fields(cand_first, remaining,
@@ -123,3 +172,9 @@ def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
         if is_terminal:
             break
     return out
+
+
+def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
+                              max_depth: int):
+    return octree_select_grid(hi, lo, cands, max_points, max_depth,
+                              strategy="RANDOM_GRID")
