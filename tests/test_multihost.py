@@ -1,0 +1,55 @@
+"""Multi-host planning layer tests (deterministic, single-process)."""
+import numpy as np
+
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.parallel import plan_multihost_tiling
+from schwarzwald_tpu.parallel.multihost import assign_files, owned_node_block
+
+
+def test_assign_files_partition_is_complete_and_disjoint():
+    files = [(f"f{i}.las", (i + 1) * 1000) for i in range(10)]
+    parts = [assign_files(files, p, 3) for p in range(3)]
+    all_assigned = [f for part in parts for f in part]
+    assert sorted(all_assigned) == sorted(f for f, _ in files)
+    assert len(set(all_assigned)) == 10
+    # size-balanced: max load within 2x of min
+    loads = [sum(c for f, c in files if f in part) for part in parts]
+    assert max(loads) <= 2 * min(loads)
+
+
+def test_assign_files_deterministic():
+    files = [(f"f{i}.las", 100) for i in range(7)]
+    assert assign_files(files, 1, 4) == assign_files(files, 1, 4)
+
+
+def test_owned_node_blocks_cover_level():
+    total = 8 ** 3
+    blocks = [owned_node_block(p, 5, 3) for p in range(5)]
+    assert blocks[0][0] == 0 and blocks[-1][1] == total
+    for (a, b), (c, d) in zip(blocks, blocks[1:]):
+        assert b == c  # contiguous, disjoint
+
+
+def test_plan_single_process():
+    files = [("a.las", 100), ("b.las", 300)]
+    bounds = AABB([0, 0, 0], [10, 20, 5])
+    plan = plan_multihost_tiling(files, bounds, start_level=3,
+                                 process_index=0, process_count=1)
+    assert plan.local_files == ["b.las", "a.las"] or \
+        sorted(plan.local_files) == ["a.las", "b.las"]
+    # cubic global bounds
+    ext = plan.global_bounds_cubic.extent()
+    assert ext[0] == ext[1] == ext[2] == 20
+    assert plan.owned_node_range == (0, 512)
+
+
+def test_plan_multi_process_split():
+    files = [(f"f{i}.las", 100) for i in range(8)]
+    bounds = AABB([0, 0, 0], [8, 8, 8])
+    plans = [plan_multihost_tiling(files, bounds, start_level=2,
+                                   process_index=p, process_count=4)
+             for p in range(4)]
+    covered = [f for p in plans for f in p.local_files]
+    assert sorted(covered) == sorted(f for f, _ in files)
+    assert plans[0].owned_node_range == (0, 16)
+    assert plans[3].owned_node_range == (48, 64)
