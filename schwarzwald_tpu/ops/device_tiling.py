@@ -103,6 +103,106 @@ def _cell_centers(hi, lo, depth: int, root_min, root_max):
     return [mins[a] + (maxs[a] - mins[a]) / 2 for a in range(3)]
 
 
+def jittered_static_config(root_extent_x: float, spacing_at_root: float,
+                           node_level: int):
+    """Static per-level JITTERED grid config, or None when unsupported
+    (grid < 16 cells raises in the reference; grid level >= 21 re-roots).
+    Mirrors JitteredSampling's setup (Sampling.h:620-693) with the node
+    extent computed as root_extent / 2^(level+1) (as
+    required_morton_index_depth does, Sampling.cpp:48-59); per-node ulp
+    differences from the exact bounds descent are possible at pow2
+    boundaries."""
+    import math
+
+    spacing = sampling.spacing_at_node_level(spacing_at_root, node_level)
+    node_extent_x = root_extent_x / math.pow(2, node_level + 1)
+    actual = sampling._prev_power_of_two(int(node_extent_x / spacing))
+    if actual < 16:
+        return None
+    levels = int(math.log2(actual))
+    grid_level = node_level + levels
+    if grid_level >= MAX_LEVELS:
+        return None
+    from .permutations import (NUM_PERMUTATIONS, PERMUTATIONS_16,
+                               PERMUTATIONS_32, PERMUTATIONS_64)
+
+    start = (3 * (node_level + 1)) % NUM_PERMUTATIONS
+    table = (PERMUTATIONS_16 if actual <= 16
+             else PERMUTATIONS_32 if actual <= 32 else PERMUTATIONS_64)
+    perms = (tuple(int(v) for v in table[start]),
+             tuple(int(v) for v in table[(start + 1) % NUM_PERMUTATIONS]),
+             tuple(int(v) for v in table[(start + 2) % NUM_PERMUTATIONS]))
+    return {"levels": levels, "grid_level": grid_level,
+            "actual": actual, "plen": min(actual, 64), "perms": perms}
+
+
+def _grid_coords_of_cell(hi, lo, node_level: int, levels: int):
+    """Per-point (gx, gy, gz) of its jitter-grid cell relative to its node:
+    the `levels` octant digits below the node, de-interleaved
+    (OctreeNodeIndex::to_grid_index semantics)."""
+    n = hi.shape[0]
+    gx = jnp.zeros(n, jnp.int32)
+    gy = jnp.zeros(n, jnp.int32)
+    gz = jnp.zeros(n, jnp.int32)
+    for j in range(levels):
+        t = node_level + 1 + j  # absolute descent level of this digit
+        shift = levels - 1 - j
+        gx = gx | (_key_axis_bit(hi, lo, t, 0).astype(jnp.int32) << shift)
+        gy = gy | (_key_axis_bit(hi, lo, t, 1).astype(jnp.int32) << shift)
+        gz = gz | (_key_axis_bit(hi, lo, t, 2).astype(jnp.int32) << shift)
+    return gx, gy, gz
+
+
+def _pick_jittered(hi, lo, positions, node_level: int, cfg, remaining, iota,
+                   root_min, root_max):
+    """JITTERED selection (Sampling.h:695-753): per jitter-grid cell, the
+    remaining point closest to the permutation-table target point."""
+    levels = cfg["levels"]
+    grid_level = cfg["grid_level"]
+    nmins, nmaxs = _node_min_max(hi, lo, node_level + 1, root_min, root_max)
+    node_extent_x = nmaxs[0] - nmins[0]
+    grid_cell_size = node_extent_x / cfg["actual"]
+    permutation_cell_size = grid_cell_size / cfg["actual"]
+    gx, gy, gz = _grid_coords_of_cell(hi, lo, node_level, levels)
+    p0 = jnp.asarray(cfg["perms"][0], jnp.int32)
+    p1 = jnp.asarray(cfg["perms"][1], jnp.int32)
+    p2 = jnp.asarray(cfg["perms"][2], jnp.int32)
+    plen = cfg["plen"]
+    px = (p0[(gy + gz) % plen] - 1).astype(jnp.float64)
+    py = (p1[(gx + gz) % plen] - 1).astype(jnp.float64)
+    pz = (p2[(gx + gy) % plen] - 1).astype(jnp.float64)
+    tx = nmins[0] + (gx.astype(jnp.float64) * grid_cell_size
+                     + px * permutation_cell_size)
+    ty = nmins[1] + (gy.astype(jnp.float64) * grid_cell_size
+                     + py * permutation_cell_size)
+    tz = nmins[2] + (gz.astype(jnp.float64) * grid_cell_size
+                     + pz * permutation_cell_size)
+    d = ((positions[:, 0] - tx) ** 2 + (positions[:, 1] - ty) ** 2
+         + (positions[:, 2] - tz) ** 2)
+    cell_first = _first_in_cell(hi, lo, grid_level + 1)
+    cell_id = jnp.cumsum(cell_first.astype(jnp.int32)) - 1
+    n = hi.shape[0]
+    masked = jnp.where(remaining, d, jnp.inf)
+    cell_min = jnp.full(n, jnp.inf).at[cell_id].min(masked)
+    is_min = remaining & (masked == cell_min[cell_id])
+    _, before_eq, _ = _segment_fields(cell_first, is_min, iota)
+    return is_min & (before_eq == 0)
+
+
+def _node_min_max(hi, lo, depth: int, root_min, root_max):
+    """Per-point min/max of its depth-`depth` node, iterative halving."""
+    n = hi.shape[0]
+    mins = [jnp.full(n, root_min[a], jnp.float64) for a in range(3)]
+    maxs = [jnp.full(n, root_max[a], jnp.float64) for a in range(3)]
+    for t in range(depth):
+        for a in range(3):
+            half = (maxs[a] - mins[a]) / 2
+            bit = _key_axis_bit(hi, lo, t, a).astype(jnp.float64)
+            mins[a] = mins[a] + bit * half
+            maxs[a] = mins[a] + half
+    return mins, maxs
+
+
 def _pick_grid_center(hi, lo, positions, cand: int, remaining, iota,
                       root_min, root_max):
     """GRID_CENTER selection: remaining point closest to its cand-cell
@@ -121,17 +221,20 @@ def _pick_grid_center(hi, lo, positions, cand: int, remaining, iota,
 
 
 @functools.partial(jax.jit, static_argnames=("cands", "max_points",
-                                             "max_depth", "strategy"))
+                                             "max_depth", "strategy",
+                                             "jit_cfgs"))
 def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                        max_depth: int, strategy: str = "RANDOM_GRID",
-                       positions=None, root_min=None, root_max=None):
+                       positions=None, root_min=None, root_max=None,
+                       jit_cfgs: tuple = None):
     """Per-point octree assignment level for a Morton-sorted fresh batch
-    under RANDOM_GRID or GRID_CENTER sampling.
+    under RANDOM_GRID, GRID_CENTER or JITTERED sampling.
 
     Returns int8 levels: 0 = unassigned (host fallback), otherwise
-    node_level + 2 (so root -1 -> 1). GRID_CENTER needs positions +
-    root bounds; on TPU its f64 distances use the emulated f64 (exact on
-    the cpu backend, see ARCHITECTURE.md).
+    node_level + 2 (so root -1 -> 1). GRID_CENTER/JITTERED need positions
+    + root bounds (and JITTERED the static per-level configs from
+    jittered_static_configs); on TPU their f64 distances use the emulated
+    f64 (exact on the cpu backend, see ARCHITECTURE.md).
     """
     n = hi.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -140,12 +243,19 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     max_level = min(MAX_LEVELS - 1, max_depth)
 
     for node_level in range(-1, max_level + 1):
-        cand = cands[node_level + 1]
-        requires_deeper = cand > node_level
-        is_terminal = (node_level >= max_level if requires_deeper
-                       else cand >= max_level)
-        if not is_terminal and cand >= MAX_LEVELS:
-            break  # re-rooting territory: host engine finishes these
+        if strategy == "JITTERED":
+            cfg = jit_cfgs[node_level + 1]
+            is_terminal = node_level >= max_level
+            if not is_terminal and cfg is None:
+                break  # <16 grid (reference raises) or >=21 grid level
+        else:
+            cfg = None
+            cand = cands[node_level + 1]
+            requires_deeper = cand > node_level
+            is_terminal = (node_level >= max_level if requires_deeper
+                           else cand >= max_level)
+            if not is_terminal and cand >= MAX_LEVELS:
+                break  # re-rooting territory: host engine finishes these
 
         if is_terminal:
             selected = remaining
@@ -155,14 +265,20 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                                                       iota)
             take_all = in_node <= max_points
 
-            if cand == -1:
+            if strategy == "JITTERED":
+                pick = _pick_jittered(hi, lo, positions, node_level,
+                                      dict(zip(("levels", "grid_level",
+                                                "actual", "plen", "perms"),
+                                               cfg)),
+                                      remaining, iota, root_min, root_max)
+            elif cand == -1:
                 pick = remaining & (before_node == 0)
             elif strategy == "GRID_CENTER":
                 pick = _pick_grid_center(hi, lo, positions, cand, remaining,
                                          iota, root_min, root_max)
             else:
-                cand_first = _first_in_cell(hi, lo, cand + 1)
-                _, before_cand, _ = _segment_fields(cand_first, remaining,
+                pick_first = _first_in_cell(hi, lo, cand + 1)
+                _, before_cand, _ = _segment_fields(pick_first, remaining,
                                                     iota)
                 pick = remaining & (before_cand == 0)
             selected = jnp.where(take_all, remaining, pick)
@@ -172,6 +288,19 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
         if is_terminal:
             break
     return out
+
+
+def jittered_static_configs(root_extent_x: float, spacing_at_root: float,
+                            max_depth: int) -> tuple:
+    """Hashable per-level JITTERED configs for octree_select_grid."""
+    out = []
+    for node_level in range(-1, min(MAX_LEVELS - 1, max_depth) + 1):
+        cfg = jittered_static_config(root_extent_x, spacing_at_root,
+                                     node_level)
+        out.append(None if cfg is None else
+                   (cfg["levels"], cfg["grid_level"], cfg["actual"],
+                    cfg["plen"], cfg["perms"]))
+    return tuple(out)
 
 
 def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,

@@ -151,3 +151,57 @@ def test_device_grid_center_matches_engine(on_cpu, rng):
             want = persistence.retrieve_points(name).positions
             np.testing.assert_array_equal(spos[idx[s:e]], want,
                                           err_msg=name)
+
+
+def test_device_jittered_matches_engine(on_cpu, rng):
+    import jax
+    import jax.numpy as jnp
+
+    n, spacing, max_points = 8000, 2.0, 100  # 64/2 = 32 cells at root
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, size=(n, 3))
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=spacing,
+                               max_points_per_node=max_points)
+    algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                 SamplingStrategy("JITTERED", max_points),
+                                 persistence, meta)
+    algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+
+    keys, cpos = indexing.index_points(pos.copy(), BOUNDS.min, BOUNDS.max)
+    order = indexing.sort_by_key(keys)
+    skeys, spos = keys[order], cpos[order]
+    hi = (skeys >> np.uint64(32)).astype(np.uint32)
+    lo = skeys.astype(np.uint32)
+    cands = tuple(device_tiling.candidate_levels(64.0, spacing, 100))
+    jcfgs = device_tiling.jittered_static_configs(64.0, spacing, 100)
+    with jax.default_device(on_cpu[0]):
+        levels = np.asarray(device_tiling.octree_select_grid(
+            jnp.asarray(hi), jnp.asarray(lo), cands, max_points, 100,
+            strategy="JITTERED", positions=jnp.asarray(spos),
+            root_min=jnp.asarray(BOUNDS.min),
+            root_max=jnp.asarray(BOUNDS.max), jit_cfgs=jcfgs))
+
+    # device sweep may leave deep points unassigned (grid < 16 cells);
+    # everything assigned must match the engine exactly
+    for lv in np.unique(levels):
+        if lv == 0:
+            continue
+        node_level = int(lv) - 2
+        mask = levels == lv
+        if node_level == -1:
+            want = persistence.retrieve_points("r").positions
+            np.testing.assert_array_equal(spos[mask], want)
+            continue
+        prefixes = morton.truncate_to_level(skeys[mask], node_level)
+        idx = np.flatnonzero(mask)
+        starts = np.flatnonzero(np.diff(prefixes, prepend=prefixes[0] + 1)
+                                .astype(bool))
+        bounds_list = np.append(starts, idx.size)
+        for s, e in zip(bounds_list[:-1], bounds_list[1:]):
+            name = "r" + morton.node_name_simple(int(prefixes[s]),
+                                                 node_level + 1)
+            # the sweep breaks BEFORE an unsupported level, so every
+            # assigned node is complete: exact equality
+            want = persistence.retrieve_points(name).positions
+            np.testing.assert_array_equal(spos[idx[s:e]], want, err_msg=name)
+    assert (levels > 0).sum() > 0.9 * n

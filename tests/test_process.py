@@ -187,3 +187,48 @@ def test_parse_threads():
     t = parse_threads("2 6")
     assert isinstance(t, FixedThreadCount)
     assert (t.num_threads_for_reading, t.num_threads_for_indexing) == (2, 6)
+
+
+def test_converter_cloud_js_input(tmp_path, rng):
+    """Potree v1 cloud.js properties parsing (parse_cloud_js,
+    ConverterProcess.cpp:146-187)."""
+    import json as _json
+
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+
+    src_dir = tmp_path / "potree"
+    src_dir.mkdir()
+    buf = PointBuffer(rng.uniform(1, 99, (500, 3)))
+    sink = BinaryPersistence(str(src_dir))
+    sink.persist_points(buf, BOUNDS, "r")
+    (src_dir / "cloud.js").write_text(_json.dumps({
+        "spacing": 5.0,
+        "boundingBox": {"lx": 0.0, "ly": 0.0, "lz": 0.0,
+                        "ux": 100.0, "uy": 100.0, "uz": 100.0}}))
+    out = tmp_path / "out3d"
+    rc = cli_main(["--converter", "-i", str(src_dir), "-o", str(out),
+                   "--output-format", "3DTILES"])
+    assert rc == 0
+    doc = json.load(open(out / "r.json"))
+    assert doc["root"]["geometricError"] == 5.0
+
+
+def test_corrupted_file_mid_read_ignored(tmp_path, rng):
+    """Truncated LAS: --ignore CORRUPTED_FILES drops the remainder and
+    finishes (PointSource.cpp:36-50 semantics)."""
+    good = tmp_path / "good.las"
+    bad = tmp_path / "bad.las"
+    write_test_las(good, rng, 3000, with_attrs=False)
+    write_test_las(bad, rng, 3000, with_attrs=False)
+    # truncate the bad file mid-records: header claims 3000 points
+    data = bad.read_bytes()
+    bad.write_bytes(data[:len(data) // 2])
+
+    out = tmp_path / "out"
+    rc = cli_main(["--tiler", "-i", str(good), str(bad), "-o", str(out),
+                   "--spacing", "8", "--sampling", "RANDOM_GRID",
+                   "--output-format", "BIN", "--ignore", "CORRUPTED_FILES"])
+    assert rc == 0
+    props = json.load(open(out / "properties.json"))
+    # full counts reported; the log reconciliation covers dropped points
+    assert props["source_properties"]["processed_points"] == 6000
