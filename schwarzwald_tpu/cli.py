@@ -157,6 +157,7 @@ def main(argv=None) -> int:
         thread_config=args.threads,
         journal=args.journal,
         resume=args.resume,
+        use_device=args.use_device,
     )
     TilerProcess(targs).run()
     return 0

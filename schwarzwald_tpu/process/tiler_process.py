@@ -63,6 +63,9 @@ class TilerArguments:
     # boundary — the on-disk octree is consistent between batches because
     # nodes are re-read + merged on every visit (TilingAlgorithms.cpp:50-109).
     resume: bool = False
+    # Device batch pipeline selection (None/auto/cpu/tpu); see
+    # TilerMetaParameters.use_device.
+    use_device: str | None = None
 
 
 @dataclasses.dataclass
@@ -272,6 +275,7 @@ class TilerProcess:
             tiling_strategy=TilingStrategy(self.args.tiling_strategy),
             shift_points_to_origin=shift_to_center,
             concurrency=max(1, concurrency),
+            use_device=self.args.use_device,
         )
 
         source = MultiReaderPointSource(files, self.args.errors_to_ignore)

@@ -255,6 +255,10 @@ class TilingAlgorithmBase:
 class TilingAlgorithmAccurate(TilingAlgorithmBase):
     """TilingAlgorithmV1 (ACCURATE): global sort, recurse from the root."""
 
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._any_batch_processed = False
+
     def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
         if not buffer.count:
             return
@@ -263,8 +267,81 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
         ids = arena.append(buffer)
         order = indexing.sort_by_key(keys)
         root = self._make_root(bounds)
+        if (self.meta.use_device and not self._any_batch_processed
+                and self._device_batch(arena, keys[order], ids[order],
+                                       root)):
+            self._any_batch_processed = True
+            return
+        self._any_batch_processed = True
         self._do_tiling_for_node(
             arena, NodeTask(root, root, keys[order], ids[order]))
+
+    def _device_batch(self, arena, sorted_keys, sorted_ids,
+                      root: NodeStructure) -> bool:
+        """First-batch fast path: the whole octree assignment in one device
+        jit (ops/device_tiling level-synchronous sweep) — valid only for
+        fresh nodes (no cached merges; later batches use the host engine).
+        Returns False to fall back (unsupported strategy / device error /
+        levels needing the re-root host path)."""
+        name = self.sampling_strategy.name
+        if name not in ("RANDOM_GRID", "GRID_CENTER", "JITTERED"):
+            return False
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops import device_tiling
+
+            backend = self.meta.use_device
+            dev = (jax.devices(backend)[0]
+                   if backend in ("cpu", "tpu") else jax.devices()[0])
+            root_ext_x = float(root.bounds.extent()[0])
+            cands = tuple(device_tiling.candidate_levels(
+                root_ext_x, root.max_spacing, root.max_depth))
+            hi = (sorted_keys >> np.uint64(32)).astype(np.uint32)
+            lo = sorted_keys.astype(np.uint32)
+            kwargs = {}
+            if name in ("GRID_CENTER", "JITTERED"):
+                kwargs["positions"] = jnp.asarray(
+                    arena.positions(sorted_ids))
+                kwargs["root_min"] = jnp.asarray(root.bounds.min)
+                kwargs["root_max"] = jnp.asarray(root.bounds.max)
+            if name == "JITTERED":
+                kwargs["jit_cfgs"] = device_tiling.jittered_static_configs(
+                    root_ext_x, root.max_spacing, root.max_depth)
+            with jax.default_device(dev):
+                levels = np.asarray(device_tiling.octree_select_grid(
+                    jnp.asarray(hi), jnp.asarray(lo), cands,
+                    self.meta.max_points_per_node, root.max_depth,
+                    strategy=name, **kwargs))
+            if (levels == 0).any():
+                return False  # re-root / unsupported depths: host handles
+        except Exception:
+            return False
+
+        # Persist: group by (level, node prefix) over the sorted order.
+        for lv in np.unique(levels):
+            node_level = int(lv) - 2
+            mask = levels == lv
+            idx = np.flatnonzero(mask)
+            if node_level == -1:
+                self.persistence.persist_points(
+                    arena.gather(sorted_ids[idx]), root.bounds, root.name)
+                self._report_indexed(idx.size)
+                continue
+            prefixes = morton.truncate_to_level(sorted_keys[mask],
+                                                node_level)
+            starts = indexing.run_starts(prefixes)
+            ends = np.append(starts[1:], idx.size)
+            from ..core.node import node_from_index
+            for s, e in zip(starts, ends):
+                node = node_from_index(int(prefixes[s]), node_level + 1,
+                                       root)
+                self.persistence.persist_points(
+                    arena.gather(sorted_ids[idx[s:e]]), node.bounds,
+                    node.name)
+                self._report_indexed(int(e - s))
+        return True
 
 
 class TilingAlgorithmFast(TilingAlgorithmBase):

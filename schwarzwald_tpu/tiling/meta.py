@@ -27,3 +27,7 @@ class TilerMetaParameters:
     # TilingAlgorithms.cpp:1294-1295); here it sizes the number of
     # independently processed start-node segments.
     concurrency: int = 8
+    # Device batch pipeline: None = host only; "auto"/"tpu"/"cpu" = run the
+    # first (fresh) batch's octree selection as the single-jit device sweep
+    # (ops/device_tiling) on that backend, host engine for revisits.
+    use_device: str | None = None

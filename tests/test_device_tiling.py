@@ -205,3 +205,47 @@ def test_device_jittered_matches_engine(on_cpu, rng):
             want = persistence.retrieve_points(name).positions
             np.testing.assert_array_equal(spos[idx[s:e]], want, err_msg=name)
     assert (levels > 0).sum() > 0.9 * n
+
+
+@pytest.mark.parametrize("strategy", ["RANDOM_GRID", "GRID_CENTER"])
+def test_engine_use_device_first_batch(on_cpu, rng, strategy):
+    """meta.use_device routes the first ACCURATE batch through the device
+    sweep; persisted nodes are identical to the host path."""
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, size=(6000, 3))
+
+    def run(use_device):
+        persistence = MemoryPersistence()
+        meta = TilerMetaParameters(spacing_at_root=8.0,
+                                   max_points_per_node=200,
+                                   use_device=use_device)
+        algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                     SamplingStrategy(strategy, 200),
+                                     persistence, meta)
+        algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+        return persistence
+
+    host = run(None)
+    dev = run("cpu")
+    assert set(host.node_names()) == set(dev.node_names())
+    for name in host.node_names():
+        np.testing.assert_array_equal(
+            dev.retrieve_points(name).positions,
+            host.retrieve_points(name).positions, err_msg=name)
+
+
+def test_engine_use_device_second_batch_host(on_cpu, rng):
+    """Later batches (cached merges) always use the host engine; totals
+    conserve."""
+    p1 = rng.uniform(BOUNDS.min, BOUNDS.max, size=(3000, 3))
+    p2 = rng.uniform(BOUNDS.min, BOUNDS.max, size=(3000, 3))
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=8.0, max_points_per_node=200,
+                               use_device="cpu")
+    algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                 SamplingStrategy("RANDOM_GRID", 200),
+                                 persistence, meta)
+    algo.process_batch(PointBuffer(p1.copy()), BOUNDS)
+    algo.process_batch(PointBuffer(p2.copy()), BOUNDS)
+    total = sum(persistence.retrieve_points(n_).count
+                for n_ in persistence.node_names())
+    assert total == 6000
