@@ -196,6 +196,9 @@ class TilingAlgorithmBase:
             ids = ids[result.order]
         taken = result.selected_count
 
+        if node_level_rel >= 16 and taken < 0.01 * ids.size:
+            self._dump_broken_node(arena, keys, ids, taken, node)
+
         self.persistence.persist_points(
             arena.gather(ids[:taken]), node.bounds, node.name)
         self._report_indexed(taken - cached_count)
@@ -371,6 +374,31 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         self._journal_start_nodes(start_nodes)
         for node, k, i in start_nodes:
             self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+
+    def _dump_broken_node(self, arena, keys, ids, taken: int,
+                          node: NodeStructure) -> None:
+        """Forensic dump when <1% of a deep node's points get taken
+        (potentially broken node, TilingAlgorithms.cpp:292-328)."""
+        import os
+
+        from ..util import log
+        from ..util.config import global_config
+
+        log.write_log(f"Discovered potentially broken node {node.name}")
+        path = os.path.join(global_config().root_directory,
+                            f"broken_{node.name}.txt")
+        try:
+            positions = arena.positions(ids)
+            with open(path, "w") as f:
+                f.write(f"Bounds:       {node.bounds}\n")
+                f.write(f"Points taken: {taken}\n")
+                f.write(f"Total points: {ids.size}\n\n")
+                for i in range(ids.size):
+                    tick = "[x]" if i < taken else "[ ]"
+                    f.write(f"{tick} {positions[i].tolist()} "
+                            f"[{int(keys[i]):016x}]\n")
+        except OSError as err:
+            log.warn(f"Could not dump broken node {node.name}: {err}")
 
     @staticmethod
     def _journal_string(message: str) -> None:
