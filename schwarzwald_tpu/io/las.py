@@ -21,7 +21,9 @@ from ..core.pointbuffer import PointBuffer
 
 HEADER_SIZE_12 = 227
 
-# Record layouts for point formats 0-3 (LAS 1.2 spec).
+# Record layouts for point formats 0-3 (LAS 1.2) and the extended
+# formats 6-8 (LAS 1.4): read support for both, write always 0-3
+# (matching LASPersistence, which emits LAS 1.2).
 _BASE_FIELDS = [
     ("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
     ("intensity", "<u2"), ("flags", "u1"), ("classification", "u1"),
@@ -29,9 +31,24 @@ _BASE_FIELDS = [
 ]
 _GPS_FIELD = [("gps_time", "<f8")]
 _RGB_FIELDS = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+# LAS 1.4 extended record (formats 6+): 15-bit return info, 16-bit scan
+# angle (0.006 degree units), gps time always present.
+_EXT_FIELDS = [
+    ("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+    ("intensity", "<u2"), ("flags", "u1"), ("flags2", "u1"),
+    ("classification", "u1"), ("user_data", "u1"), ("scan_angle", "<i2"),
+    ("point_source_id", "<u2"), ("gps_time", "<f8"),
+]
 
 
 def point_record_dtype(fmt: int) -> np.dtype:
+    if fmt >= 6:
+        fields = list(_EXT_FIELDS)
+        if fmt in (7, 8):
+            fields += _RGB_FIELDS
+        if fmt == 8:
+            fields += [("nir", "<u2")]
+        return np.dtype(fields)
     fields = list(_BASE_FIELDS)
     if fmt in (1, 3):
         fields += _GPS_FIELD
@@ -41,19 +58,20 @@ def point_record_dtype(fmt: int) -> np.dtype:
 
 
 def record_length_for_format(fmt: int) -> int:
-    return {0: 20, 1: 28, 2: 26, 3: 34}[fmt]
+    return {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}[fmt]
 
 
 def attributes_for_format(fmt: int) -> set:
-    """Attribute presence by point_data_format (LASFile.cpp:414-444)."""
+    """Attribute presence by point_data_format (LASFile.cpp:414-444;
+    extended formats 6-8 always carry GPS time)."""
     attrs = {PointAttribute.Position, PointAttribute.Intensity,
              PointAttribute.ReturnNumber, PointAttribute.NumberOfReturns,
              PointAttribute.ScanDirectionFlag, PointAttribute.EdgeOfFlightLine,
              PointAttribute.Classification, PointAttribute.ScanAngleRank,
              PointAttribute.UserData, PointAttribute.PointSourceID}
-    if fmt in (1, 3):
+    if fmt in (1, 3, 6, 7, 8):
         attrs.add(PointAttribute.GPSTime)
-    if fmt in (2, 3):
+    if fmt in (2, 3, 7, 8):
         attrs.add(PointAttribute.RGB)
     return attrs
 
@@ -118,10 +136,10 @@ class LASFile:
             self._laz = laz.LAZReader(path, self.header)
         else:
             self._laz = None
-            if self.header.point_data_format > 3:
+            if self.header.point_data_format not in (0, 1, 2, 3, 6, 7, 8):
                 raise ValueError(
                     f"Unsupported point data format "
-                    f"{self.header.point_data_format} (supported: 0-3)")
+                    f"{self.header.point_data_format} (supported: 0-3, 6-8)")
 
     @property
     def count(self) -> int:
@@ -252,28 +270,38 @@ def decode_records(records: np.ndarray, header: LASHeader,
     buf = PointBuffer(positions)
 
     flags = rec["flags"]
+    extended = fmt >= 6
     A = PointAttribute
     if A.Intensity in attributes:
         buf.set_column(A.Intensity, rec["intensity"].copy())
     if A.ReturnNumber in attributes:
-        buf.set_column(A.ReturnNumber, flags & 0x7)
+        buf.set_column(A.ReturnNumber,
+                       flags & 0xF if extended else flags & 0x7)
     if A.NumberOfReturns in attributes:
-        buf.set_column(A.NumberOfReturns, (flags >> 3) & 0x7)
+        buf.set_column(A.NumberOfReturns,
+                       (flags >> 4) & 0xF if extended else (flags >> 3) & 0x7)
+    dir_src = rec["flags2"] if extended else flags
     if A.ScanDirectionFlag in attributes:
-        buf.set_column(A.ScanDirectionFlag, (flags >> 6) & 0x1)
+        buf.set_column(A.ScanDirectionFlag, (dir_src >> 6) & 0x1)
     if A.EdgeOfFlightLine in attributes:
-        buf.set_column(A.EdgeOfFlightLine, (flags >> 7) & 0x1)
+        buf.set_column(A.EdgeOfFlightLine, (dir_src >> 7) & 0x1)
     if A.Classification in attributes:
         buf.set_column(A.Classification, rec["classification"].copy())
     if A.ScanAngleRank in attributes:
-        buf.set_column(A.ScanAngleRank, rec["scan_angle"].copy())
+        if extended:
+            # extended 16-bit angle in 0.006 degree units -> legacy i8 rank
+            # (laszip compatibility-mode conversion)
+            rank = np.clip(np.round(rec["scan_angle"] * 0.006), -128, 127)
+            buf.set_column(A.ScanAngleRank, rank.astype(np.int8))
+        else:
+            buf.set_column(A.ScanAngleRank, rec["scan_angle"].copy())
     if A.UserData in attributes:
         buf.set_column(A.UserData, rec["user_data"].copy())
     if A.PointSourceID in attributes:
         buf.set_column(A.PointSourceID, rec["point_source_id"].copy())
-    if A.GPSTime in attributes and fmt in (1, 3):
+    if A.GPSTime in attributes and fmt in (1, 3, 6, 7, 8):
         buf.set_column(A.GPSTime, rec["gps_time"].copy())
-    if A.RGB in attributes and fmt in (2, 3):
+    if A.RGB in attributes and fmt in (2, 3, 7, 8):
         rgb = np.empty((n, 3), dtype=np.uint8)
         # 16 -> 8 bit via >> 8 (LASFile.cpp:521-525)
         rgb[:, 0] = rec["red"] >> 8
@@ -304,28 +332,37 @@ def decode_records_into(records: np.ndarray, header: LASHeader,
     cols = out_buffer.columns
     end = offset + count
     flags = rec["flags"]
+    extended = fmt >= 6
+    dir_src = rec["flags2"] if extended else flags
     A = PointAttribute
     if A.Intensity in cols:
         cols[A.Intensity][offset:end] = rec["intensity"]
     if A.ReturnNumber in cols:
-        cols[A.ReturnNumber][offset:end] = flags & 0x7
+        cols[A.ReturnNumber][offset:end] = \
+            flags & 0xF if extended else flags & 0x7
     if A.NumberOfReturns in cols:
-        cols[A.NumberOfReturns][offset:end] = (flags >> 3) & 0x7
+        cols[A.NumberOfReturns][offset:end] = \
+            (flags >> 4) & 0xF if extended else (flags >> 3) & 0x7
     if A.ScanDirectionFlag in cols:
-        cols[A.ScanDirectionFlag][offset:end] = (flags >> 6) & 0x1
+        cols[A.ScanDirectionFlag][offset:end] = (dir_src >> 6) & 0x1
     if A.EdgeOfFlightLine in cols:
-        cols[A.EdgeOfFlightLine][offset:end] = (flags >> 7) & 0x1
+        cols[A.EdgeOfFlightLine][offset:end] = (dir_src >> 7) & 0x1
     if A.Classification in cols:
         cols[A.Classification][offset:end] = rec["classification"]
     if A.ScanAngleRank in cols:
-        cols[A.ScanAngleRank][offset:end] = rec["scan_angle"]
+        if extended:
+            cols[A.ScanAngleRank][offset:end] = np.clip(
+                np.round(rec["scan_angle"] * 0.006), -128, 127
+            ).astype(np.int8)
+        else:
+            cols[A.ScanAngleRank][offset:end] = rec["scan_angle"]
     if A.UserData in cols:
         cols[A.UserData][offset:end] = rec["user_data"]
     if A.PointSourceID in cols:
         cols[A.PointSourceID][offset:end] = rec["point_source_id"]
-    if A.GPSTime in cols and fmt in (1, 3):
+    if A.GPSTime in cols and fmt in (1, 3, 6, 7, 8):
         cols[A.GPSTime][offset:end] = rec["gps_time"]
-    if A.RGB in cols and fmt in (2, 3):
+    if A.RGB in cols and fmt in (2, 3, 7, 8):
         cols[A.RGB][offset:end, 0] = rec["red"] >> 8
         cols[A.RGB][offset:end, 1] = rec["green"] >> 8
         cols[A.RGB][offset:end, 2] = rec["blue"] >> 8

@@ -29,19 +29,19 @@ import jax.numpy as jnp
 from jax import lax
 
 MAX_LEVELS = 21
-_M16 = jnp.uint32(0x070000FF)
-_M8 = jnp.uint32(0x0700F00F)
-_M4 = jnp.uint32(0x430C30C3)
-_M2 = jnp.uint32(0x49249249)
 
 
 def expand_bits_by_3_u32(v: jnp.ndarray) -> jnp.ndarray:
-    """Spread the low 11 bits of each uint32 to every 3rd position."""
-    v = v & jnp.uint32(0x7FF)
-    v = (v | (v << 16)) & _M16
-    v = (v | (v << 8)) & _M8
-    v = (v | (v << 4)) & _M4
-    v = (v | (v << 2)) & _M2
+    """Spread the low 11 bits of each uint32 to every 3rd position.
+
+    Masks are python int literals (weakly typed) so the function is usable
+    inside Pallas kernels without captured-constant arrays.
+    """
+    v = v & 0x7FF
+    v = (v | (v << 16)) & 0x070000FF
+    v = (v | (v << 8)) & 0x0700F00F
+    v = (v | (v << 4)) & 0x430C30C3
+    v = (v | (v << 2)) & 0x49249249
     return v
 
 
@@ -52,9 +52,9 @@ def interleave21(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray):
     layout of calculate_morton_index (OctreeAlgorithms.h:64-87). The pair
     split is exact: lo = key bits 0..31, hi = bits 32..62.
     """
-    lo = (expand_bits_by_3_u32(z & jnp.uint32(0x7FF))
-          | (expand_bits_by_3_u32(y & jnp.uint32(0x7FF)) << 1)
-          | (expand_bits_by_3_u32(x & jnp.uint32(0x3FF)) << 2))
+    lo = (expand_bits_by_3_u32(z & 0x7FF)
+          | (expand_bits_by_3_u32(y & 0x7FF) << 1)
+          | (expand_bits_by_3_u32(x & 0x3FF) << 2))
     hi = (expand_bits_by_3_u32(x >> 10)
           | (expand_bits_by_3_u32(z >> 11) << 1)
           | (expand_bits_by_3_u32(y >> 11) << 2))

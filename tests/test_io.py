@@ -237,3 +237,51 @@ def test_las_persistence_roundtrip(tmp_path, rng):
     sink.persist_points(buf, BOUNDS, "r01")
     back = sink.retrieve_points("r01")
     np.testing.assert_allclose(back.positions, buf.positions, atol=0.001)
+
+
+def test_las14_extended_format_read(tmp_path, rng):
+    """Hand-built LAS 1.4 format-6/7 files read correctly (extended return
+    counts, 16-bit scan angle, always-present GPS time)."""
+    import struct
+
+    n = 100
+    for fmt, stride, with_rgb in ((6, 30, False), (7, 36, True)):
+        rec = np.zeros(n, dtype=las.point_record_dtype(fmt))
+        xyz = rng.integers(-10000, 10000, (n, 3)).astype(np.int32)
+        rec["x"], rec["y"], rec["z"] = xyz.T
+        rec["intensity"] = rng.integers(0, 65535, n)
+        rec["flags"] = (3 | (7 << 4))  # return 3 of 7
+        rec["flags2"] = (1 << 6) | (1 << 7)  # scan_dir + eofl
+        rec["classification"] = 42
+        rec["scan_angle"] = 5000  # 30 degrees in 0.006 units
+        rec["gps_time"] = 123.5
+        if with_rgb:
+            rec["red"] = 0x1200
+            rec["green"] = 0x3400
+            rec["blue"] = 0x5600
+
+        header = las.LASHeader(
+            version_major=1, version_minor=4, point_data_format=fmt,
+            point_record_length=stride, point_count=n,
+            points_by_return=(n, 0, 0, 0, 0),
+            scale=np.full(3, 0.01), offset=np.zeros(3),
+            mins=np.full(3, -100.0), maxs=np.full(3, 100.0))
+        raw = bytearray(las.build_header_bytes(header))
+        raw[24], raw[25] = 1, 4
+        path = tmp_path / f"ext{fmt}.las"
+        with open(path, "wb") as f:
+            f.write(bytes(raw))
+            f.write(rec.tobytes())
+
+        buf = las.read_las(str(path))
+        assert buf.count == n
+        np.testing.assert_allclose(buf.positions, xyz * 0.01, atol=1e-9)
+        assert (buf.get(A.ReturnNumber) == 3).all()
+        assert (buf.get(A.NumberOfReturns) == 7).all()
+        assert (buf.get(A.ScanDirectionFlag) == 1).all()
+        assert (buf.get(A.EdgeOfFlightLine) == 1).all()
+        assert (buf.get(A.Classification) == 42).all()
+        assert (buf.get(A.ScanAngleRank) == 30).all()
+        assert (buf.get(A.GPSTime) == 123.5).all()
+        if with_rgb:
+            np.testing.assert_array_equal(buf.get(A.RGB)[0], [0x12, 0x34, 0x56])
