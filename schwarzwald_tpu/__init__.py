@@ -22,3 +22,49 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 __version__ = "0.1.0"
+
+
+def tile(sources, output_directory, **options):
+    """High-level library entry point: tile LAS files into an octree.
+
+    Equivalent to the CLI --tiler mode; `options` accepts the
+    TilerArguments fields (spacing, diagonal_fraction, sampling_strategy,
+    tiling_strategy, output_format, max_points_per_node, use_device, ...).
+    Returns the PerformanceStats of the run.
+
+        import schwarzwald_tpu as sz
+        sz.tile(["cloud.las"], "out/", sampling_strategy="RANDOM_GRID",
+                output_format=sz.OutputFormat.CZM_3DTILES, spacing=0.5)
+    """
+    from .core.attributes import OutputFormat
+    from .process.tiler_process import TilerArguments, TilerProcess
+
+    if isinstance(sources, str):
+        sources = [sources]
+    fmt = options.get("output_format")
+    if isinstance(fmt, str):
+        options["output_format"] = OutputFormat(fmt)
+    if not options.get("spacing") and not options.get("diagonal_fraction"):
+        options["diagonal_fraction"] = 250
+    args = TilerArguments(sources=list(sources),
+                          output_directory=output_directory, **options)
+    return TilerProcess(args).run()
+
+
+def convert(source_folder, output_folder, output_format="3DTILES", **options):
+    """High-level converter entry point (CLI --converter mode)."""
+    from .process.converter import ConverterArguments, run_conversion
+
+    run_conversion(ConverterArguments(
+        source_folder=source_folder, output_folder=output_folder,
+        output_format=output_format, **options))
+
+
+def __getattr__(name):
+    if name == "OutputFormat":
+        from .core.attributes import OutputFormat
+        return OutputFormat
+    if name == "SamplingStrategy":
+        from .ops.sampling import SamplingStrategy
+        return SamplingStrategy
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -232,3 +232,19 @@ def test_corrupted_file_mid_read_ignored(tmp_path, rng):
     props = json.load(open(out / "properties.json"))
     # full counts reported; the log reconciliation covers dropped points
     assert props["source_properties"]["processed_points"] == 6000
+
+
+def test_library_api_tile_and_convert(tmp_path, rng):
+    """High-level package API: schwarzwald_tpu.tile / convert."""
+    import schwarzwald_tpu as sz
+
+    src = tmp_path / "in.las"
+    write_test_las(src, rng, 3000, with_attrs=False)
+    stats = sz.tile(str(src), str(tmp_path / "out"),
+                    sampling_strategy="RANDOM_GRID",
+                    output_format="BIN", spacing=8.0)
+    assert stats.points_processed == 3000
+    assert os.path.exists(tmp_path / "out" / "r.bin")
+    sz.convert(str(tmp_path / "out"), str(tmp_path / "conv"),
+               output_format="LAS")
+    assert os.path.exists(tmp_path / "conv" / "r.las")
