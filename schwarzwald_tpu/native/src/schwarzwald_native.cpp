@@ -78,12 +78,24 @@ void poisson_accept_mask(const double* positions, int64_t n,
   const int64_t max_j = dim_y > 0 ? dim_y - 1 : 0;
   const int64_t max_k = dim_z > 0 ? dim_z - 1 : 0;
 
+  // Morton-sorted candidates are spatially local: the point that rejected
+  // the previous candidate usually rejects the next one too. Checking it
+  // first short-circuits most queries in saturated nodes without changing
+  // the accept set (any conflicting accepted point suffices to reject).
+  double last_rx = 0, last_ry = 0, last_rz = 0;
+  bool have_last_rejector = false;
+
   for (int64_t idx = 0; idx < n; ++idx) {
     out_mask[idx] = 0;
     if (analyze_mask && !analyze_mask[idx]) continue;
     const double px = positions[idx * 3 + 0];
     const double py = positions[idx * 3 + 1];
     const double pz = positions[idx * 3 + 2];
+
+    if (have_last_rejector) {
+      const double dx = px - last_rx, dy = py - last_ry, dz = pz - last_rz;
+      if (dx * dx + dy * dy + dz * dz < sq_spacing) continue;
+    }
 
     const int64_t nx = (ext_x != 0) ? static_cast<int64_t>((dim_x * (px - node_min[0])) / ext_x) : 0;
     const int64_t ny = (ext_y != 0) ? static_cast<int64_t>((dim_y * (py - node_min[1])) / ext_y) : 0;
@@ -107,6 +119,10 @@ void poisson_accept_mask(const double* positions, int64_t n,
             const double dz = pz - arena[3 * t + 2];
             if (dx * dx + dy * dy + dz * dz < sq_spacing) {
               distant = false;
+              last_rx = arena[3 * t];
+              last_ry = arena[3 * t + 1];
+              last_rz = arena[3 * t + 2];
+              have_last_rejector = true;
               break;
             }
           }
