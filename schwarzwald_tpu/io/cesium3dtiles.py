@@ -15,9 +15,8 @@ import threading
 
 import numpy as np
 
-from ..core import morton
 from ..core.aabb import AABB, octant_bounds
-from ..core.attributes import PointAttribute, RGBMapping
+from ..core.attributes import RGBMapping
 from ..core.pointbuffer import PointBuffer
 from . import pnts
 from .tileset import Tileset, write_tileset_json

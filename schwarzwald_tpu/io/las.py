@@ -10,7 +10,6 @@ extension point mirrors pc::PointFile, core/io/PointcloudFile.h).
 from __future__ import annotations
 
 import dataclasses
-import os
 import struct
 
 import numpy as np

@@ -16,8 +16,6 @@ import json
 import os
 import shutil
 
-import numpy as np
-
 from ..core import morton, octree
 from ..core.aabb import AABB, bounds_from_octants
 from ..core.pointbuffer import PointBuffer

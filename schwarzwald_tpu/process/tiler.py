@@ -13,14 +13,12 @@ from __future__ import annotations
 import concurrent.futures
 import queue
 import threading
-import time
 
-from ..core.aabb import AABB
 from ..core.pointbuffer import PointBuffer
 from ..ops.sampling import SamplingStrategy
-from ..tiling import TilerMetaParameters, TilingStrategy, make_tiling_algorithm
+from ..tiling import TilerMetaParameters, make_tiling_algorithm
 from ..util.progress import LOADING, ThroughputSampler, Timer
-from .scheduler import AdaptiveThreadCount, FixedThreadCount, make_scheduler
+from .scheduler import AdaptiveThreadCount, make_scheduler
 
 MAX_OCTREE_LEVELS = 21
 

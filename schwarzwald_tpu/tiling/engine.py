@@ -25,7 +25,6 @@ behavior the surrounding code clearly intends.
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import numpy as np
 
