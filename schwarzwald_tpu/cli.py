@@ -158,6 +158,7 @@ def main(argv=None) -> int:
         journal=args.journal,
         resume=args.resume,
         use_device=args.use_device,
+        cache_size_bytes=args.cache_size or 0,
     )
     TilerProcess(targs).run()
     return 0

@@ -66,6 +66,9 @@ class TilerArguments:
     # Device batch pipeline selection (None/auto/cpu/tpu); see
     # TilerMetaParameters.use_device.
     use_device: str | None = None
+    # In-memory node cache size in bytes (--cache-size); see
+    # TilerMetaParameters.cache_size_bytes.
+    cache_size_bytes: int = 0
 
 
 @dataclasses.dataclass
@@ -276,6 +279,7 @@ class TilerProcess:
             shift_points_to_origin=shift_to_center,
             concurrency=max(1, concurrency),
             use_device=self.args.use_device,
+            cache_size_bytes=self.args.cache_size_bytes,
         )
 
         source = MultiReaderPointSource(files, self.args.errors_to_ignore)

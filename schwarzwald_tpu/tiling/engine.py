@@ -57,6 +57,18 @@ class TilingAlgorithmBase:
         self.persistence = persistence
         self.meta = meta
         self.progress = progress_reporter
+        # LRU node cache over the persisted node contents (lossless sinks
+        # only: lossy sinks must re-read quantized points for parity).
+        self._node_cache = None
+        if meta.cache_size_bytes and persistence.is_lossless:
+            from ..core.lru_cache import LRUCache
+            self._node_cache = LRUCache(meta.cache_size_bytes)
+
+    def _persist_node(self, points: PointBuffer, bounds: AABB,
+                      name: str) -> None:
+        self.persistence.persist_points(points, bounds, name)
+        if self._node_cache is not None and points.count:
+            self._node_cache.put(name, points)
 
     # -- helpers ------------------------------------------------------------
 
@@ -70,11 +82,18 @@ class TilingAlgorithmBase:
         if self.progress is not None and count:
             self.progress.increment("indexing", count)
 
+    def _retrieve_node(self, name: str) -> PointBuffer:
+        if self._node_cache is not None:
+            cached = self._node_cache.try_get(name)
+            if cached is not None:
+                return cached
+        return self.persistence.retrieve_points(name)
+
     def _read_cached_points(self, node: NodeStructure, arena: PointArena):
         """read_pnts_from_disk (TilingAlgorithms.cpp:50-109): fetch the
         node's previously persisted points and re-derive their Morton keys
         below the node's own prefix to dodge FP boundary errors."""
-        cached = self.persistence.retrieve_points(node.name)
+        cached = self._retrieve_node(node.name)
         if not cached.count:
             return None, None
         ids = arena.append(cached)
@@ -172,8 +191,8 @@ class TilingAlgorithmBase:
             [task.ids, cached_ids])
         if ids.size == 0:
             return
-        self.persistence.persist_points(
-            arena.gather(ids), task.node.bounds, task.node.name)
+        self._persist_node(arena.gather(ids), task.node.bounds,
+                           task.node.name)
         self._report_indexed(ids.size - cached_count)
 
     def _tile_internal_node(self, arena, keys, ids, node: NodeStructure,
@@ -198,8 +217,8 @@ class TilingAlgorithmBase:
         if node_level_rel >= 16 and taken < 0.01 * ids.size:
             self._dump_broken_node(arena, keys, ids, taken, node)
 
-        self.persistence.persist_points(
-            arena.gather(ids[:taken]), node.bounds, node.name)
+        self._persist_node(arena.gather(ids[:taken]), node.bounds,
+                           node.name)
         self._report_indexed(taken - cached_count)
 
         return self._split_into_child_tasks(keys[taken:], ids[taken:],
@@ -327,8 +346,8 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
             mask = levels == lv
             idx = np.flatnonzero(mask)
             if node_level == -1:
-                self.persistence.persist_points(
-                    arena.gather(sorted_ids[idx]), root.bounds, root.name)
+                self._persist_node(arena.gather(sorted_ids[idx]),
+                                   root.bounds, root.name)
                 self._report_indexed(idx.size)
                 continue
             prefixes = morton.truncate_to_level(sorted_keys[mask],
@@ -339,9 +358,8 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
             for s, e in zip(starts, ends):
                 node = node_from_index(int(prefixes[s]), node_level + 1,
                                        root)
-                self.persistence.persist_points(
-                    arena.gather(sorted_ids[idx[s:e]]), node.bounds,
-                    node.name)
+                self._persist_node(arena.gather(sorted_ids[idx[s:e]]),
+                                   node.bounds, node.name)
                 self._report_indexed(int(e - s))
         return True
 
@@ -511,7 +529,7 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         for octant in range(8):
             child_name = "r" + morton.node_name_simple(
                 (node_key << 3) | octant, levels + 1)
-            child_points = self.persistence.retrieve_points(child_name)
+            child_points = self._retrieve_node(child_name)
             if child_points.count:
                 buffers.append(child_points)
         if not buffers:
@@ -535,7 +553,7 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             data = data.take(result.order)
         selected = data.slice(0, result.selected_count)
         if selected.count:
-            self.persistence.persist_points(selected, node.bounds, node.name)
+            self._persist_node(selected.copy(), node.bounds, node.name)
 
 
 class TilingAlgorithmAdaptive(TilingAlgorithmFast):

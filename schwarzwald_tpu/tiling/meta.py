@@ -31,3 +31,9 @@ class TilerMetaParameters:
     # first (fresh) batch's octree selection as the single-jit device sweep
     # (ops/device_tiling) on that backend, host engine for revisits.
     use_device: str | None = None
+    # In-memory node cache (bytes) backing the per-visit cached-point
+    # re-reads. The reference parses --cache-size but never wires its
+    # LRUCache into the main path (SURVEY §2.3); here it skips the
+    # disk read-back for hot nodes. Only active with LOSSLESS persistence
+    # (lossy sinks must re-read quantized points for parity). 0 = off.
+    cache_size_bytes: int = 0

@@ -308,3 +308,42 @@ def test_spacing_too_small_raises(rng):
     with pytest.raises(RuntimeError, match="spacing at root"):
         Tiler(md, meta_params, SamplingStrategy("RANDOM_GRID"), None,
               None, None, set())
+
+
+def test_node_cache_identical_results(rng):
+    """--cache-size node cache must not change any output: multi-batch runs
+    with and without the cache produce identical node contents, while the
+    cached run skips persistence re-reads."""
+    batches_pos = [rng.uniform(BOUNDS.min, BOUNDS.max, (3000, 3))
+                   for _ in range(3)]
+
+    class CountingMemory(MemoryPersistence):
+        retrievals = 0
+
+        def retrieve_points(self, name):
+            CountingMemory.retrievals += 1
+            return super().retrieve_points(name)
+
+    def run(cache_bytes):
+        CountingMemory.retrievals = 0
+        persistence = CountingMemory()
+        meta = TilerMetaParameters(spacing_at_root=8.0,
+                                   max_points_per_node=300,
+                                   cache_size_bytes=cache_bytes,
+                                   concurrency=4)
+        algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                     SamplingStrategy("RANDOM_GRID", 300),
+                                     persistence, meta)
+        for pos in batches_pos:
+            algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+        algo.finalize(BOUNDS)
+        return persistence, CountingMemory.retrievals
+
+    plain, n_plain = run(0)
+    cached, n_cached = run(512 << 20)
+    assert set(plain.node_names()) == set(cached.node_names())
+    for name in plain.node_names():
+        np.testing.assert_array_equal(cached.retrieve_points(name).positions,
+                                      plain.retrieve_points(name).positions,
+                                      err_msg=name)
+    assert n_cached < n_plain  # the cache actually absorbed re-reads
