@@ -65,7 +65,6 @@ def run_tiler(src: str, out: str) -> float:
 def device_encode_sort_rate() -> float:
     """Steady-state device (TPU) Morton interleave + sort rate, pts/s."""
     try:
-        import jax
         import jax.numpy as jnp
         from schwarzwald_tpu.ops import device
 
@@ -73,12 +72,17 @@ def device_encode_sort_rate() -> float:
         rng = np.random.default_rng(0)
         coords = [jnp.asarray(rng.integers(0, 1 << 21, n).astype(np.uint32))
                   for _ in range(3)]
-        batch = device.encode_sort_grid(*coords, level=3)
-        jax.block_until_ready(batch)
-        t0 = time.perf_counter()
-        batch = device.encode_sort_grid(*coords, level=3)
-        jax.block_until_ready(batch)
-        return n / (time.perf_counter() - t0)
+        np.asarray(device.encode_sort_grid(*coords, level=3).key_hi)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            batch = device.encode_sort_grid(*coords, level=3)
+            # force a real device->host materialization (the axon tunnel's
+            # block_until_ready can return before execution is observable)
+            np.asarray(batch.key_hi)
+            np.asarray(batch.order)
+            times.append(time.perf_counter() - t0)
+        return n / sorted(times)[1]  # median
     except Exception:
         return 0.0
 
