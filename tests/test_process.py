@@ -248,3 +248,28 @@ def test_library_api_tile_and_convert(tmp_path, rng):
     sz.convert(str(tmp_path / "out"), str(tmp_path / "conv"),
                output_format="LAS")
     assert os.path.exists(tmp_path / "conv" / "r.las")
+
+
+def test_cli_use_device_equivalent_output(tmp_path, rng):
+    """--use-device cpu produces byte-identical BIN nodes to the host path
+    for a single-batch ACCURATE run."""
+    import filecmp
+
+    src = tmp_path / "in.las"
+    write_test_las(src, rng, 4000, with_attrs=False)
+    outs = {}
+    for label, extra in (("host", []), ("dev", ["--use-device", "cpu"])):
+        out = tmp_path / label
+        rc = cli_main(["--tiler", "-i", str(src), "-o", str(out),
+                       "--spacing", "8", "--sampling", "RANDOM_GRID",
+                       "--output-format", "BIN",
+                       "--tiling-strategy", "ACCURATE"] + extra)
+        assert rc == 0
+        outs[label] = out
+    host_files = sorted(f for f in os.listdir(outs["host"])
+                        if f.endswith(".bin"))
+    dev_files = sorted(f for f in os.listdir(outs["dev"])
+                       if f.endswith(".bin"))
+    assert host_files == dev_files and host_files
+    for f in host_files:
+        assert filecmp.cmp(outs["host"] / f, outs["dev"] / f, shallow=False), f
