@@ -131,6 +131,11 @@ def convert_to_3dtiles(args: ConverterArguments, bounds: AABB,
             return
         if transform is not None:
             buf.positions = transform.transform_positions(buf.positions)
+        # .pnts stores f32 positions RELATIVE to RTC_CENTER: re-center before
+        # the f32 cast (absolute UTM-scale coords would lose precision and
+        # render displaced by +offset). Reference re-centers per node via
+        # setOriginToSmallestPoint (ConverterProcess.cpp:517).
+        buf.positions = buf.positions - offset
         write_pnts(os.path.join(args.output_folder, name + ".pnts"), buf,
                    {PointAttribute.Position, PointAttribute.RGB,
                     PointAttribute.Intensity}, offset)

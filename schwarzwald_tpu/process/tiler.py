@@ -197,8 +197,14 @@ class Tiler:
         from ..util.trace import trace_span
 
         class _Slot:
-            buffer = None
-            keys = None
+            def __init__(self):
+                self.buffer = None
+                self.keys = None
+                # Released by the index loop only after process_batch is done
+                # with the slot's views — the consumer-side semaphore of the
+                # reference's swap handshake (Tiler.cpp:543-551). Without it
+                # the reader could refill a slot the indexer still reads.
+                self.free = threading.Semaphore(1)
 
         slots = [_Slot(), _Slot()]
         slot_box = {"idx": 0}
@@ -207,21 +213,24 @@ class Tiler:
             if self.point_source.supports_region_reads:
                 slot = slots[slot_box["idx"]]
                 slot_box["idx"] ^= 1
-                return self._read_batch_into_slot(read_c, slot)
-            return self._read_batch(read_c)
+                slot.free.acquire()
+                return self._read_batch_into_slot(read_c, slot), slot
+            return self._read_batch(read_c), None
 
         def reader():
             try:
                 while True:
                     with trace_span("read_batch", "read"), Timer() as t:
-                        batch = read_next_batch(concurrency_box["read"])
+                        batch, slot = read_next_batch(concurrency_box["read"])
                     if batch is None:
+                        if slot is not None:
+                            slot.free.release()
                         handoff.put(None)
                         return
                     read_sampler.push_sample(batch.count, t.seconds)
                     # snapshot after this batch's reads, before next start
                     handoff.put((batch,
-                                 self.point_source.cursor_positions()))
+                                 self.point_source.cursor_positions(), slot))
             except BaseException as err:  # propagate to the index loop
                 handoff.put(err)
 
@@ -250,12 +259,16 @@ class Tiler:
                 break
             if isinstance(item, BaseException):
                 raise item
-            batch, cursor_snapshot = item
+            batch, cursor_snapshot, slot = item
             read_c, index_c = scheduler.get_read_and_index_concurrency(
                 self.point_source.max_parallelism())
             concurrency_box["read"] = read_c
             with trace_span("index_batch", "index"), Timer() as t:
-                self.algorithm.process_batch(batch, self.bounds)
+                try:
+                    self.algorithm.process_batch(batch, self.bounds)
+                finally:
+                    if slot is not None:
+                        slot.free.release()
             index_sampler.push_sample(batch.count, t.seconds)
             points_processed += batch.count
             if self.checkpoint_callback is not None:

@@ -320,6 +320,9 @@ class TilerProcess:
                 "points_processed": resumed_points + points_processed,
                 "level_of_start_nodes":
                     getattr(algorithm, "level_of_start_nodes", None),
+                "start_nodes_used": sorted(
+                    list(t) for t in
+                    getattr(algorithm, "_start_nodes_used", ())),
             }
             tmp = state_path + ".tmp"
             with open(tmp, "w") as f:
@@ -334,6 +337,10 @@ class TilerProcess:
             if level is not None and hasattr(tiler.algorithm,
                                              "level_of_start_nodes"):
                 tiler.algorithm.level_of_start_nodes = int(level)
+            if hasattr(tiler.algorithm, "_start_nodes_used"):
+                tiler.algorithm._start_nodes_used.update(
+                    (int(k), int(lv)) for k, lv in
+                    resume_state.get("start_nodes_used", ()))
             self.progress.increment(INDEXING, resumed_points)
             self.progress.increment(LOADING, resumed_points)
 

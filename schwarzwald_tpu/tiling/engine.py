@@ -224,6 +224,32 @@ class TilingAlgorithmBase:
         return self._split_into_child_tasks(keys[taken:], ids[taken:],
                                             node, root, node_level_rel)
 
+    def _dump_broken_node(self, arena, keys, ids, taken: int,
+                          node: NodeStructure) -> None:
+        """Forensic dump when <1% of a deep node's points get taken
+        (potentially broken node, TilingAlgorithms.cpp:292-328). On the
+        base class: every algorithm's _tile_internal_node can hit this."""
+        import os
+
+        from ..util import log
+        from ..util.config import global_config
+
+        log.write_log(f"Discovered potentially broken node {node.name}")
+        path = os.path.join(global_config().root_directory,
+                            f"broken_{node.name}.txt")
+        try:
+            positions = arena.positions(ids)
+            with open(path, "w") as f:
+                f.write(f"Bounds:       {node.bounds}\n")
+                f.write(f"Points taken: {taken}\n")
+                f.write(f"Total points: {ids.size}\n\n")
+                for i in range(ids.size):
+                    tick = "[x]" if i < taken else "[ ]"
+                    f.write(f"{tick} {positions[i].tolist()} "
+                            f"[{int(keys[i]):016x}]\n")
+        except OSError as err:
+            log.warn(f"Could not dump broken node {node.name}: {err}")
+
     def _split_into_child_tasks(self, keys, ids, node: NodeStructure,
                                 root: NodeStructure, node_level_rel: int):
         """split_range_into_child_nodes (TilingAlgorithms.cpp:116-162), with
@@ -288,7 +314,12 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
         ids = arena.append(buffer)
         order = indexing.sort_by_key(keys)
         root = self._make_root(bounds)
+        # The device fast path persists node contents computed from this
+        # batch alone; it must never overwrite nodes persisted by an earlier
+        # (resumed / pre-populated) run — under ACCURATE the root is always
+        # written, so its existence detects any prior output.
         if (self.meta.use_device and not self._any_batch_processed
+                and not self.persistence.node_exists("r")
                 and self._device_batch(arena, keys[order], ids[order],
                                        root)):
             self._any_batch_processed = True
@@ -371,6 +402,11 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self.level_of_start_nodes: int | None = None
+        # (key, levels) of every start node ever tiled — makes finalize
+        # O(start nodes used) instead of probing 8**level names
+        # (checkpointed for --resume so a resumed run reconstructs the
+        # ancestors of nodes written by the interrupted run too).
+        self._start_nodes_used: set[tuple] = set()
 
     def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
         if not buffer.count:
@@ -389,33 +425,12 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         root = self._make_root(bounds)
         start_nodes = list(self._split_at_start_level(keys, ids, root))
         self._journal_start_nodes(start_nodes)
+        level = self.level_of_start_nodes
         for node, k, i in start_nodes:
+            if level > 0:
+                self._start_nodes_used.add(
+                    (morton.parse_node_name(node.name)[0], level))
             self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
-
-    def _dump_broken_node(self, arena, keys, ids, taken: int,
-                          node: NodeStructure) -> None:
-        """Forensic dump when <1% of a deep node's points get taken
-        (potentially broken node, TilingAlgorithms.cpp:292-328)."""
-        import os
-
-        from ..util import log
-        from ..util.config import global_config
-
-        log.write_log(f"Discovered potentially broken node {node.name}")
-        path = os.path.join(global_config().root_directory,
-                            f"broken_{node.name}.txt")
-        try:
-            positions = arena.positions(ids)
-            with open(path, "w") as f:
-                f.write(f"Bounds:       {node.bounds}\n")
-                f.write(f"Points taken: {taken}\n")
-                f.write(f"Total points: {ids.size}\n\n")
-                for i in range(ids.size):
-                    tick = "[x]" if i < taken else "[ ]"
-                    f.write(f"{tick} {positions[i].tolist()} "
-                            f"[{int(keys[i]):016x}]\n")
-        except OSError as err:
-            log.warn(f"Could not dump broken node {node.name}: {err}")
 
     @staticmethod
     def _journal_string(message: str) -> None:
@@ -499,18 +514,15 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         return node
 
     def finalize(self, bounds: AABB) -> None:
-        """reconstruct_left_out_nodes (TilingAlgorithms.cpp:1717-1784)."""
+        """reconstruct_left_out_nodes (TilingAlgorithms.cpp:1717-1784),
+        walking up from the start nodes actually tiled rather than probing
+        all 8**level possible names."""
         if self.level_of_start_nodes is None or self.level_of_start_nodes == 0:
             return
-        level = self.level_of_start_nodes
         root = self._make_root(bounds)
 
         to_reconstruct: set[tuple] = set()
-        for idx in range(8 ** level):
-            name = "r" + morton.node_name_simple(idx, level)
-            if not self.persistence.node_exists(name):
-                continue
-            key, lv = idx, level
+        for key, lv in self._start_nodes_used:
             while lv > 0:
                 key >>= 3
                 lv -= 1
@@ -566,10 +578,6 @@ class TilingAlgorithmAdaptive(TilingAlgorithmFast):
     across batches with differing start depths (the reference's
     reconstruct_* pass, :1113-1190, re-samples skipped nodes from their
     children the same way)."""
-
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self._start_nodes_used: set[tuple] = set()
 
     def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
         if not buffer.count:

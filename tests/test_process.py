@@ -172,6 +172,18 @@ def test_converter_bin_to_3dtiles(tmp_path, rng):
     assert rc == 0
     assert os.path.exists(converted / "r.json")
     assert os.path.exists(converted / "r.pnts")
+    # Position round trip: pnts positions are RTC-relative; absolute
+    # positions (pos + RTC_CENTER) must match the source node points.
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    from schwarzwald_tpu.io.pnts import read_pnts
+    src_pts = BinaryPersistence(str(tiled)).retrieve_points("r").positions
+    buf, rtc = read_pnts(str(converted / "r.pnts"))
+    np.testing.assert_allclose(rtc, BOUNDS.center())
+    got = buf.positions + rtc
+    np.testing.assert_allclose(np.sort(got, axis=0),
+                               np.sort(src_pts, axis=0), atol=1e-4)
+    # and the re-centered coordinates stay small (f32-precision safe)
+    assert np.abs(buf.positions).max() <= 100.0
 
 
 def test_parse_memory_size():

@@ -347,3 +347,86 @@ def test_node_cache_identical_results(rng):
                                       plain.retrieve_points(name).positions,
                                       err_msg=name)
     assert n_cached < n_plain  # the cache actually absorbed re-reads
+
+
+def test_accurate_broken_node_dump(tmp_path, rng):
+    """The <1%-take forensic dump must work under ACCURATE too
+    (_dump_broken_node lives on the base class; it used to be defined only
+    on TilingAlgorithmFast and crashed with AttributeError)."""
+    from schwarzwald_tpu.core.node import NodeStructure
+    from schwarzwald_tpu.tiling.arena import PointArena
+    from schwarzwald_tpu.util.config import configure
+
+    configure(str(tmp_path), False)
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=4.0, max_points_per_node=100,
+                               concurrency=1)
+    algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                 SamplingStrategy("RANDOM_GRID", 100),
+                                 persistence, meta)
+    # 300 identical points at a deep node: the grid sampler takes 1 (<1%)
+    n = 300
+    buf = PointBuffer(np.tile(np.array([[1.0, 1.0, 1.0]]), (n, 1)))
+    arena = PointArena()
+    ids = arena.append(buf)
+    keys = np.zeros(n, dtype=np.uint64)
+    root = algo._make_root(BOUNDS)
+    name = "r" + "0" * 17
+    bounds = BOUNDS
+    for _ in range(17):
+        bounds = octant_bounds(0, bounds)
+    node = NodeStructure(name=name, morton_key=0, bounds=bounds, level=16,
+                         max_spacing=4.0 / 2 ** 17, max_depth=100)
+    algo._tile_internal_node(arena, keys, ids, node, root, 0)
+    assert (tmp_path / f"broken_{name}.txt").exists()
+
+
+def test_fast_finalize_at_level_six(rng):
+    """finalize at the estimator's MAX_LEVEL must reconstruct ancestors from
+    the start nodes actually used (not probe 8**6 possible names)."""
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=1.0, max_points_per_node=100,
+                               concurrency=4)
+    algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                 SamplingStrategy("RANDOM_GRID", 100),
+                                 persistence, meta)
+    algo.level_of_start_nodes = 6
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, (4000, 3))
+    algo.process_batch(PointBuffer(pos), BOUNDS)
+    assert algo._start_nodes_used
+    assert all(lv == 6 for _, lv in algo._start_nodes_used)
+    algo.finalize(BOUNDS)
+    # every ancestor level of every used start node now exists
+    for key, lv in algo._start_nodes_used:
+        while lv > 0:
+            key >>= 3
+            lv -= 1
+            name = ("r" + morton.node_name_simple(key, lv)) if lv else "r"
+            assert persistence.node_exists(name), name
+    # point conservation: nodes at the start level and deeper hold all points
+    deep = [n for n in persistence.node_names() if len(n) - 1 >= 6]
+    total = sum(persistence.retrieve_points(n).count for n in deep)
+    assert total == 4000
+
+
+def test_accurate_device_path_gated_on_existing_output(rng):
+    """--use-device + pre-populated output (resume): the device fast path
+    must NOT run — it would overwrite previously persisted nodes with
+    contents computed from the new batch alone."""
+    persistence = MemoryPersistence()
+    meta = TilerMetaParameters(spacing_at_root=8.0, max_points_per_node=300,
+                               concurrency=1, use_device="cpu")
+    algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                 SamplingStrategy("RANDOM_GRID", 300),
+                                 persistence, meta)
+    # simulate a previous run's root node
+    prior = PointBuffer(rng.uniform(BOUNDS.min, BOUNDS.max, (50, 3)))
+    persistence.persist_points(prior, BOUNDS, "r")
+
+    calls = []
+    algo._device_batch = lambda *a, **k: calls.append(1) or True
+    algo.process_batch(PointBuffer(
+        rng.uniform(BOUNDS.min, BOUNDS.max, (2000, 3))), BOUNDS)
+    assert not calls  # fell back to the host merge path
+    # prior points were merged, not overwritten: r holds >= 50 positions
+    assert persistence.retrieve_points("r").count >= 50
