@@ -90,6 +90,7 @@ class LASHeader:
     offset_to_point_data: int = HEADER_SIZE_12
     header_size: int = HEADER_SIZE_12
     is_compressed: bool = False
+    n_vlrs: int = 0
 
     def bounds(self) -> AABB:
         return AABB(self.mins, self.maxs)
@@ -102,6 +103,7 @@ def parse_header(raw: bytes) -> LASHeader:
     h.version_major, h.version_minor = raw[24], raw[25]
     h.header_size = struct.unpack_from("<H", raw, 94)[0]
     h.offset_to_point_data = struct.unpack_from("<I", raw, 96)[0]
+    h.n_vlrs = struct.unpack_from("<I", raw, 100)[0]
     fmt = raw[104]
     # LAZ files set bit 7 of the point data format.
     h.is_compressed = bool(fmt & 0x80)
@@ -184,14 +186,18 @@ class LASFile:
         lib = native.las_codec()
         stride = h.point_record_length
         nbytes = count * stride
-        scratch = getattr(self, "_records_scratch", None)
-        if scratch is None or scratch.size < nbytes:
-            scratch = np.empty(nbytes, dtype=np.uint8)
-            self._records_scratch = scratch
-        with open(self.path, "rb") as f:
-            f.seek(h.offset_to_point_data + start * stride)
-            f.readinto(memoryview(scratch[:nbytes]))
-        records = scratch[:nbytes]
+        if self._laz is not None:
+            records = np.ascontiguousarray(
+                self._laz.read_records(start, count))
+        else:
+            scratch = getattr(self, "_records_scratch", None)
+            if scratch is None or scratch.size < nbytes:
+                scratch = np.empty(nbytes, dtype=np.uint8)
+                self._records_scratch = scratch
+            with open(self.path, "rb") as f:
+                f.seek(h.offset_to_point_data + start * stride)
+                f.readinto(memoryview(scratch[:nbytes]))
+            records = scratch[:nbytes]
 
         pos_region = out_buffer.positions[offset:offset + count]
         keys_region = out_keys[offset:offset + count]
@@ -439,6 +445,7 @@ def build_header_bytes(header: LASHeader) -> bytes:
     raw[58:58 + len(software)] = software
     struct.pack_into("<H", raw, 94, HEADER_SIZE_12)
     struct.pack_into("<I", raw, 96, header.offset_to_point_data)
+    struct.pack_into("<I", raw, 100, header.n_vlrs)
     raw[104] = header.point_data_format
     struct.pack_into("<H", raw, 105, header.point_record_length)
     struct.pack_into("<I", raw, 107, min(header.point_count, 0xFFFFFFFF))

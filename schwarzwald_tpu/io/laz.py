@@ -1,25 +1,277 @@
-"""LAZ (compressed LAS) support gate.
+"""LAZ (compressed LAS) read/write via the native LASzip-compatible codec.
 
-The reference links LASzip (core/io/LASFile.cpp wraps laszip_api.h). A
-LASzip-compatible arithmetic codec is a native component planned for this
-framework's native/ tree; until it lands, LAZ paths raise a clear error so
-uncompressed LAS flows are unaffected.
+The reference wraps the LASzip library (schwarzwald/core/io/LASFile.cpp:
+446-560, laszip_api.h; writer in core/io/LASPersistence.cpp). Here the
+codec itself is implemented in native/src/laz.cpp (arithmetic coder +
+POINT10/GPSTIME11/RGB12/BYTE v2 item compressors, chunked stream +
+compressed chunk table); this module handles the LAS-side framing: the
+laszip VLR (record 22204), header patching, and chunk-granular random
+access through the chunk table.
 """
 from __future__ import annotations
 
+import struct
+
+import numpy as np
+
+LASZIP_USER_ID = b"laszip encoded\x00\x00"
+LASZIP_RECORD_ID = 22204
+VLR_HEADER_SIZE = 54
+
+COMPRESSOR_POINTWISE = 1
+COMPRESSOR_POINTWISE_CHUNKED = 2
+COMPRESSOR_LAYERED_CHUNKED = 3  # LAS 1.4 formats 6+ (not yet supported)
+
+ITEM_BYTE = 0
+ITEM_POINT10 = 6
+ITEM_GPSTIME11 = 7
+ITEM_RGB12 = 8
+
+DEFAULT_CHUNK_SIZE = 50_000
+
+_BASE_SIZE = {ITEM_POINT10: 20, ITEM_GPSTIME11: 8, ITEM_RGB12: 6}
+
 
 class LAZNotAvailableError(RuntimeError):
-    def __init__(self, path: str = ""):
+    def __init__(self, detail: str = ""):
         super().__init__(
-            f"LAZ (compressed LAS) support requires the native LASzip codec, "
-            f"which is not available in this build{': ' + path if path else ''}. "
-            f"Use uncompressed LAS, or BIN/BINZ / 3DTILES outputs.")
+            f"LAZ support unavailable: {detail or 'native codec missing'}")
+
+
+class LaszipVlr:
+    """Parsed laszip VLR payload."""
+
+    def __init__(self, compressor: int, chunk_size: int, items):
+        self.compressor = compressor
+        self.chunk_size = chunk_size
+        self.items = items  # list of (type, size, version)
+
+    @property
+    def record_length(self) -> int:
+        return sum(size for _, size, _ in self.items)
+
+    def item_arrays(self):
+        types = np.array([t for t, _, _ in self.items], dtype=np.uint16)
+        sizes = np.array([s for _, s, _ in self.items], dtype=np.int32)
+        return types, sizes
+
+
+def items_for_point_format(fmt: int, record_length: int):
+    """The laszip item decomposition of LAS point formats 0-5."""
+    if fmt not in (0, 1, 2, 3):
+        raise LAZNotAvailableError(
+            f"LAZ write supports point formats 0-3, got {fmt}")
+    items = [(ITEM_POINT10, 20, 2)]
+    if fmt in (1, 3):
+        items.append((ITEM_GPSTIME11, 8, 2))
+    if fmt in (2, 3):
+        items.append((ITEM_RGB12, 6, 2))
+    base = sum(size for _, size, _ in items)
+    if record_length > base:
+        items.append((ITEM_BYTE, record_length - base, 2))
+    elif record_length < base:
+        raise ValueError(
+            f"record length {record_length} below format {fmt} base {base}")
+    return items
+
+
+def build_laszip_vlr(items, chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
+    payload = struct.pack(
+        "<HHBBHIIqqH",
+        COMPRESSOR_POINTWISE_CHUNKED,  # compressor
+        0,                             # coder: arithmetic
+        2, 2, 0,                       # version 2.2r0 item compressors
+        0,                             # options
+        chunk_size,
+        -1, -1,                        # no special EVLRs
+        len(items))
+    for item_type, size, version in items:
+        payload += struct.pack("<HHH", item_type, size, version)
+    header = struct.pack("<H16sHH32s", 0, LASZIP_USER_ID, LASZIP_RECORD_ID,
+                         len(payload), b"schwarzwald_tpu laz codec")
+    return header + payload
+
+
+def parse_vlrs(raw: bytes, header_size: int, n_vlrs: int,
+               offset_to_point_data: int):
+    """Yield (user_id, record_id, payload) for each VLR."""
+    pos = header_size
+    for _ in range(n_vlrs):
+        if pos + VLR_HEADER_SIZE > offset_to_point_data:
+            break
+        _, user_id, record_id, length = struct.unpack_from(
+            "<H16sHH", raw, pos)
+        payload = raw[pos + VLR_HEADER_SIZE:pos + VLR_HEADER_SIZE + length]
+        yield user_id, record_id, payload
+        pos += VLR_HEADER_SIZE + length
+
+
+def parse_laszip_vlr(payload: bytes) -> LaszipVlr:
+    (compressor, coder, _vmaj, _vmin, _vrev, _options, chunk_size,
+     _evlrs, _evlr_off, num_items) = struct.unpack_from("<HHBBHIIqqH",
+                                                        payload, 0)
+    if coder != 0:
+        raise LAZNotAvailableError(f"unsupported entropy coder {coder}")
+    items = []
+    pos = 34
+    for _ in range(num_items):
+        item_type, size, version = struct.unpack_from("<HHH", payload, pos)
+        items.append((item_type, size, version))
+        pos += 6
+    return LaszipVlr(compressor, chunk_size, items)
+
+
+def _native():
+    from .. import native
+
+    lib = native.las_codec()
+    if lib is None:
+        raise LAZNotAvailableError("native codec failed to load")
+    return lib
 
 
 class LAZReader:
+    """Chunk-granular random access over a chunked LAZ point stream.
+
+    Mirrors the read side of the reference's LASzip usage
+    (las_read_points_into, core/io/LASFile.cpp:579+), with the chunk table
+    enabling seeks: read_records(start, count) decodes only the chunks
+    covering [start, start+count)."""
+
     def __init__(self, path, header):
-        raise LAZNotAvailableError(str(path))
+        self.path = str(path)
+        self.header = header
+        with open(self.path, "rb") as f:
+            raw = f.read(header.offset_to_point_data)
+        n_vlrs = struct.unpack_from("<I", raw, 100)[0]
+        vlr = None
+        for user_id, record_id, payload in parse_vlrs(
+                raw, header.header_size, n_vlrs, header.offset_to_point_data):
+            if record_id == LASZIP_RECORD_ID and \
+                    user_id.rstrip(b"\x00") == b"laszip encoded":
+                vlr = parse_laszip_vlr(payload)
+                break
+        if vlr is None:
+            raise LAZNotAvailableError(f"{path}: no laszip VLR found")
+        if vlr.compressor == COMPRESSOR_LAYERED_CHUNKED:
+            raise LAZNotAvailableError(
+                f"{path}: layered (LAS 1.4 format 6+) LAZ not supported yet")
+        if vlr.compressor not in (COMPRESSOR_POINTWISE,
+                                  COMPRESSOR_POINTWISE_CHUNKED):
+            raise LAZNotAvailableError(
+                f"{path}: unknown compressor {vlr.compressor}")
+        for item_type, _, version in vlr.items:
+            if item_type not in (ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11,
+                                 ITEM_RGB12) or version != 2:
+                raise LAZNotAvailableError(
+                    f"{path}: unsupported item {item_type} v{version} "
+                    "(POINT10/GPSTIME11/RGB12/BYTE v2 supported)")
+        if vlr.record_length != header.point_record_length:
+            raise ValueError(
+                f"{path}: laszip items sum to {vlr.record_length} bytes but "
+                f"header says {header.point_record_length}")
+        self.vlr = vlr
+        self._lib = _native()
+        self._types, self._sizes = vlr.item_arrays()
+        self._cache: tuple | None = None  # (start_point, records)
+
+        n = header.point_count
+        if vlr.compressor == COMPRESSOR_POINTWISE:
+            # ancient unchunked stream: one chunk holding every point,
+            # no chunk-table offset prefix
+            self.chunk_size = max(1, n)
+            self._data_start = header.offset_to_point_data
+            self._chunk_starts = np.zeros(1, dtype=np.int64)
+            return
+
+        self.chunk_size = vlr.chunk_size
+        self._data_start = header.offset_to_point_data + 8
+        with open(self.path, "rb") as f:
+            f.seek(header.offset_to_point_data)
+            table_offset = struct.unpack("<q", f.read(8))[0]
+            if table_offset == -1:
+                # non-seekable writer: actual offset stored in the last
+                # 8 bytes of the file
+                f.seek(-8, 2)
+                table_offset = struct.unpack("<q", f.read(8))[0]
+            f.seek(0, 2)
+            file_end = f.tell()
+            f.seek(table_offset)
+            table = np.frombuffer(f.read(file_end - table_offset),
+                                  dtype=np.uint8)
+        n_chunks_bound = n // max(1, self.chunk_size) + 2
+        sizes = self._lib.laz_read_chunk_table(table, n_chunks_bound)
+        self._chunk_starts = np.zeros(sizes.size, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=self._chunk_starts[1:])
+
+    def read_records(self, start: int, count: int) -> np.ndarray:
+        """Raw (decompressed) LAS records for points [start, start+count)."""
+        n = self.header.point_count
+        count = max(0, min(count, n - start))
+        rl = self.vlr.record_length
+        if count == 0:
+            return np.empty(0, dtype=np.uint8)
+        if self._cache is not None:
+            cstart, crecords = self._cache
+            cend = cstart + crecords.size // rl
+            if cstart <= start and start + count <= cend:
+                lo = (start - cstart) * rl
+                return crecords[lo:lo + count * rl]
+
+        cs = self.chunk_size
+        c0 = start // cs
+        c1 = (start + count - 1) // cs + 1
+        c1 = min(c1, self._chunk_starts.size)
+        first_point = c0 * cs
+        n_points = min((c1 - c0) * cs, n - first_point)
+        byte_lo = self._data_start + int(self._chunk_starts[c0])
+        if c1 < self._chunk_starts.size:
+            byte_hi = self._data_start + int(self._chunk_starts[c1])
+        else:
+            byte_hi = None  # through the last chunk: read to table/EOF
+        with open(self.path, "rb") as f:
+            f.seek(byte_lo)
+            data = np.frombuffer(
+                f.read((byte_hi - byte_lo) if byte_hi else -1),
+                dtype=np.uint8)
+        records = self._lib.laz_decode_points(
+            data, n_points, cs, self._types, self._sizes, rl)
+        self._cache = (first_point, records)
+        lo = (start - first_point) * rl
+        return records[lo:lo + count * rl]
 
 
-def write_laz(path, header, records):
-    raise LAZNotAvailableError(str(path))
+def write_laz(path, header, records: np.ndarray,
+              chunk_size: int = DEFAULT_CHUNK_SIZE) -> None:
+    """Write a chunked LAZ file: patched LAS header + laszip VLR +
+    compressed point stream (the write side of LASPersistence.cpp)."""
+    from .las import build_header_bytes
+
+    lib = _native()
+    fmt = header.point_data_format
+    rl = header.point_record_length
+    items = items_for_point_format(fmt, rl)
+    vlr_bytes = build_laszip_vlr(items, chunk_size)
+
+    raw = np.ascontiguousarray(records).view(np.uint8).reshape(-1)
+    types = np.array([t for t, _, _ in items], dtype=np.uint16)
+    sizes = np.array([s for _, s, _ in items], dtype=np.int32)
+    stream = lib.laz_encode_stream(raw, rl, chunk_size, types, sizes)
+
+    import dataclasses
+    patched = dataclasses.replace(
+        header,
+        point_data_format=fmt | 0x80,
+        offset_to_point_data=header.header_size + len(vlr_bytes),
+        n_vlrs=1)
+    # the stored chunk-table offset is an ABSOLUTE file position
+    # (laszip stores stream->tell()); the encoder wrote it relative to
+    # the stream start
+    rel = struct.unpack("<q", stream[:8].tobytes())[0]
+    stream = stream.copy()
+    stream[:8] = np.frombuffer(
+        struct.pack("<q", rel + patched.offset_to_point_data), dtype=np.uint8)
+    with open(path, "wb") as f:
+        f.write(build_header_bytes(patched))
+        f.write(vlr_bytes)
+        f.write(stream.tobytes())

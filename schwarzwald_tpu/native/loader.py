@@ -7,7 +7,9 @@ import subprocess
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "src", "schwarzwald_native.cpp")
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_SRCS = [os.path.join(_SRC_DIR, "schwarzwald_native.cpp"),
+         os.path.join(_SRC_DIR, "laz.cpp")]
 _BUILD_DIR = os.path.join(os.path.dirname(__file__), "build")
 _SO = os.path.join(_BUILD_DIR, "libschwarzwald_native.so")
 
@@ -15,16 +17,19 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
 _i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 
 
 def _ensure_built() -> str:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+    if os.path.exists(_SO) and all(
+            os.path.getmtime(_SO) >= os.path.getmtime(src) for src in _SRCS):
         return _SO
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-           "-fopenmp", "-o", _SO, _SRC]
+           "-fopenmp", "-o", _SO] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except subprocess.CalledProcessError:
@@ -51,6 +56,17 @@ class NativeLib:
         lib.las_encode.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             _f64p, _f64p] + [ctypes.c_void_p] * 9
+        lib.laz_decode_points.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _u16p, _i32p, ctypes.c_int32, _u8p]
+        lib.laz_decode_points.restype = ctypes.c_int64
+        lib.laz_encode_stream.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int32,
+            _u16p, _i32p, ctypes.c_int32, _u8p, ctypes.c_int64]
+        lib.laz_encode_stream.restype = ctypes.c_int64
+        lib.laz_read_chunk_table.argtypes = [
+            _u8p, ctypes.c_int64, _u32p, ctypes.c_int64]
+        lib.laz_read_chunk_table.restype = ctypes.c_int64
 
     def poisson_accept_mask(self, positions, node_min, node_max, spacing,
                             analyze_mask=None) -> np.ndarray:
@@ -143,6 +159,55 @@ class NativeLib:
             self._ptr(classification), self._ptr(scan_angle),
             self._ptr(user_data), self._ptr(point_source_id),
             self._ptr(gps_time), self._ptr(rgb8), self._ptr(rgb16))
+
+    def laz_decode_points(self, data: np.ndarray, n_points: int,
+                          chunk_size: int, item_types: np.ndarray,
+                          item_sizes: np.ndarray,
+                          record_length: int) -> np.ndarray:
+        """Decode complete chunks starting at data[0] into raw records."""
+        out = np.empty(n_points * record_length, dtype=np.uint8)
+        rc = self._lib.laz_decode_points(
+            np.ascontiguousarray(data, dtype=np.uint8), data.size,
+            n_points, chunk_size,
+            np.ascontiguousarray(item_types, dtype=np.uint16),
+            np.ascontiguousarray(item_sizes, dtype=np.int32),
+            item_types.size, out)
+        if rc < 0:
+            raise ValueError(f"LAZ decode failed (code {rc})")
+        return out
+
+    def laz_encode_stream(self, records: np.ndarray,
+                          record_length: int, chunk_size: int,
+                          item_types: np.ndarray,
+                          item_sizes: np.ndarray) -> np.ndarray:
+        """Raw records -> complete chunked LAZ point-data stream."""
+        records = np.ascontiguousarray(records, dtype=np.uint8)
+        n_points = records.size // record_length
+        item_types = np.ascontiguousarray(item_types, dtype=np.uint16)
+        item_sizes = np.ascontiguousarray(item_sizes, dtype=np.int32)
+        capacity = records.size + records.size // 4 + 65536 \
+            + (n_points // max(1, chunk_size) + 1) * (record_length + 32)
+        while True:
+            out = np.empty(capacity, dtype=np.uint8)
+            rc = self._lib.laz_encode_stream(
+                records, n_points, chunk_size, item_types, item_sizes,
+                item_types.size, out, capacity)
+            if rc == -1:
+                capacity *= 2
+                continue
+            if rc < 0:
+                raise ValueError(f"LAZ encode failed (code {rc})")
+            return out[:rc]
+
+    def laz_read_chunk_table(self, data: np.ndarray,
+                             max_chunks: int) -> np.ndarray:
+        sizes = np.empty(max_chunks, dtype=np.uint32)
+        rc = self._lib.laz_read_chunk_table(
+            np.ascontiguousarray(data, dtype=np.uint8), data.size,
+            sizes, max_chunks)
+        if rc < 0:
+            raise ValueError(f"LAZ chunk table read failed (code {rc})")
+        return sizes[:rc]
 
     def las_encode(self, records: np.ndarray, stride: int, fmt: int,
                    scale, offset, *, positions=None, intensity=None,

@@ -1,0 +1,1519 @@
+// LASzip-compatible LAZ codec (point formats 0-5 item set: POINT10,
+// GPSTIME11, RGB12, BYTE — all at item version 2, compressor 2 "pointwise
+// chunked").
+//
+// This is an original implementation of the open LASzip compression scheme
+// (Isenburg, "LASzip: lossless compression of LiDAR data", PE&RS 2013; the
+// format is specified by the laszip VLR and the published algorithm). The
+// reference framework links the LASzip library (schwarzwald/core/io/
+// LASFile.cpp:446-560 wraps laszip_api.h); here the codec is implemented
+// directly so the framework reads and writes interoperable .laz without any
+// external dependency.
+//
+// Structure:
+//   - arithmetic coder (Said's FastAC variant as specified by LASzip:
+//     32-bit base/length, DM_LengthShift 15, BM_LengthShift 13)
+//   - adaptive symbol / bit models
+//   - IntegerCompressor (k-interval corrector coding)
+//   - item codecs v2 for POINT10 / GPSTIME11 / RGB12 / BYTE
+//   - chunked stream framing + compressed chunk table
+//
+// Exposed as a C API consumed via ctypes (native/loader.py).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace laz {
+
+typedef uint8_t U8;
+typedef uint16_t U16;
+typedef uint32_t U32;
+typedef uint64_t U64;
+typedef int8_t I8;
+typedef int16_t I16;
+typedef int32_t I32;
+typedef int64_t I64;
+
+static const U32 AC_MaxLength = 0xFFFFFFFFu;
+static const U32 AC_MinLength = 0x01000000u;
+static const int BM_LengthShift = 13;
+static const U32 BM_MaxCount = 1u << BM_LengthShift;
+static const int DM_LengthShift = 15;
+static const U32 DM_MaxCount = 1u << DM_LengthShift;
+
+static inline U8 u8_fold(I32 n) { return (U8)(n & 0xFF); }
+static inline U8 u8_clamp(I32 n) {
+  return (U8)(n <= 0 ? 0 : (n >= 255 ? 255 : n));
+}
+static inline U32 u32_zero_bit_0(U32 n) { return n & 0xFFFFFFFEu; }
+static inline I32 i32_quantize(float n) {
+  return n >= 0.0f ? (I32)(n + 0.5f) : (I32)(n - 0.5f);
+}
+
+// ---------------------------------------------------------------------------
+// adaptive models
+// ---------------------------------------------------------------------------
+
+struct ArithmeticModel {
+  U32 symbols = 0;
+  U32 last_symbol = 0;
+  U32 total_count = 0;
+  U32 update_cycle = 0;
+  U32 symbols_until_update = 0;
+  std::vector<U32> distribution;
+  std::vector<U32> symbol_count;
+  // decode-side acceleration table; identical coding either way
+  std::vector<U32> decoder_table;
+  U32 table_size = 0;
+  U32 table_shift = 0;
+
+  void create(U32 n, bool for_decode) {
+    symbols = n;
+    last_symbol = n - 1;
+    distribution.assign(n, 0);
+    symbol_count.assign(n, 0);
+    if (for_decode && n > 16) {
+      U32 table_bits = 3;
+      while (n > (1u << (table_bits + 2))) ++table_bits;
+      table_size = 1u << table_bits;
+      table_shift = DM_LengthShift - table_bits;
+      decoder_table.assign(table_size + 2, 0);
+    } else {
+      table_size = table_shift = 0;
+      decoder_table.clear();
+    }
+    init_model();
+  }
+
+  void init_model() {
+    total_count = 0;
+    update_cycle = symbols;
+    for (U32 k = 0; k < symbols; k++) symbol_count[k] = 1;
+    update();
+    symbols_until_update = update_cycle = (symbols + 6) >> 1;
+  }
+
+  void update() {
+    if ((total_count += update_cycle) > DM_MaxCount) {
+      total_count = 0;
+      for (U32 n = 0; n < symbols; n++)
+        total_count += (symbol_count[n] = (symbol_count[n] + 1) >> 1);
+    }
+    U32 sum = 0, s = 0;
+    U32 scale = 0x80000000u / total_count;
+    if (table_size == 0) {
+      for (U32 k = 0; k < symbols; k++) {
+        distribution[k] = (scale * sum) >> (31 - DM_LengthShift);
+        sum += symbol_count[k];
+      }
+    } else {
+      for (U32 k = 0; k < symbols; k++) {
+        distribution[k] = (scale * sum) >> (31 - DM_LengthShift);
+        sum += symbol_count[k];
+        U32 w = distribution[k] >> table_shift;
+        while (s < w) decoder_table[++s] = k - 1;
+      }
+      decoder_table[0] = 0;
+      while (s <= table_size) decoder_table[++s] = symbols - 1;
+    }
+    update_cycle = (5 * update_cycle) >> 2;
+    U32 max_cycle = (symbols + 6) << 3;
+    if (update_cycle > max_cycle) update_cycle = max_cycle;
+    symbols_until_update = update_cycle;
+  }
+};
+
+struct ArithmeticBitModel {
+  U32 bit_0_count = 1, bit_count = 2;
+  U32 bit_0_prob = 1u << (BM_LengthShift - 1);
+  U32 update_cycle = 4, bits_until_update = 4;
+
+  void init_model() {
+    bit_0_count = 1;
+    bit_count = 2;
+    bit_0_prob = 1u << (BM_LengthShift - 1);
+    update_cycle = bits_until_update = 4;
+  }
+
+  void update() {
+    if ((bit_count += update_cycle) > BM_MaxCount) {
+      bit_count = (bit_count + 1) >> 1;
+      bit_0_count = (bit_0_count + 1) >> 1;
+      if (bit_0_count == bit_count) ++bit_count;
+    }
+    U32 scale = 0x80000000u / bit_count;
+    bit_0_prob = (bit_0_count * scale) >> (31 - BM_LengthShift);
+    update_cycle = (5 * update_cycle) >> 2;
+    if (update_cycle > 64) update_cycle = 64;
+    bits_until_update = update_cycle;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// encoder / decoder
+// ---------------------------------------------------------------------------
+
+struct ArithmeticEncoder {
+  std::vector<U8>* out = nullptr;
+  size_t start = 0;
+  U32 base = 0, length = AC_MaxLength;
+  bool error = false;
+
+  void init(std::vector<U8>* buf) {
+    out = buf;
+    start = buf->size();
+    base = 0;
+    length = AC_MaxLength;
+    error = false;
+  }
+
+  inline void propagate_carry() {
+    size_t p = out->size();
+    while (p > start && (*out)[p - 1] == 0xFFu) {
+      (*out)[p - 1] = 0;
+      --p;
+    }
+    if (p > start)
+      (*out)[p - 1] += 1;
+    else
+      error = true;  // cannot happen for a valid coder state
+  }
+
+  inline void renorm() {
+    do {
+      out->push_back((U8)(base >> 24));
+      base <<= 8;
+    } while ((length <<= 8) < AC_MinLength);
+  }
+
+  void encode_bit(ArithmeticBitModel& m, U32 bit) {
+    U32 x = m.bit_0_prob * (length >> BM_LengthShift);
+    if (bit == 0) {
+      length = x;
+      ++m.bit_0_count;
+    } else {
+      U32 init_base = base;
+      base += x;
+      length -= x;
+      if (init_base > base) propagate_carry();
+    }
+    if (length < AC_MinLength) renorm();
+    if (--m.bits_until_update == 0) m.update();
+  }
+
+  void encode_symbol(ArithmeticModel& m, U32 sym) {
+    U32 x, init_base = base;
+    if (sym == m.last_symbol) {
+      x = m.distribution[sym] * (length >> DM_LengthShift);
+      base += x;
+      length -= x;
+    } else {
+      x = m.distribution[sym] * (length >>= DM_LengthShift);
+      base += x;
+      length = m.distribution[sym + 1] * length - x;
+    }
+    if (init_base > base) propagate_carry();
+    if (length < AC_MinLength) renorm();
+    ++m.symbol_count[sym];
+    if (--m.symbols_until_update == 0) m.update();
+  }
+
+  void write_bits(U32 bits, U32 sym) {
+    if (bits > 19) {
+      write_short((U16)(sym & 0xFFFFu));
+      sym >>= 16;
+      bits -= 16;
+    }
+    U32 init_base = base;
+    base += sym * (length >>= bits);
+    if (init_base > base) propagate_carry();
+    if (length < AC_MinLength) renorm();
+  }
+
+  void write_short(U16 sym) {
+    U32 init_base = base;
+    base += (U32)sym * (length >>= 16);
+    if (init_base > base) propagate_carry();
+    if (length < AC_MinLength) renorm();
+  }
+
+  void write_int(U32 sym) {
+    write_short((U16)(sym & 0xFFFFu));
+    write_short((U16)(sym >> 16));
+  }
+
+  void done() {
+    U32 init_base = base;
+    bool one_more_byte;
+    if (length > 2 * AC_MinLength) {
+      base += AC_MinLength;
+      length = AC_MinLength >> 1;  // renorm flushes 1 byte
+      one_more_byte = true;        // -> pad 3 zeros (decoder reads 4 ahead)
+    } else {
+      base += AC_MinLength >> 1;
+      length = AC_MinLength >> 9;  // renorm flushes 2 bytes
+      one_more_byte = false;       // -> pad 2 zeros
+    }
+    if (init_base > base) propagate_carry();
+    renorm();
+    out->push_back(0);
+    out->push_back(0);
+    if (one_more_byte) out->push_back(0);
+  }
+};
+
+struct ArithmeticDecoder {
+  const U8* data = nullptr;
+  size_t pos = 0, end = 0;
+  U32 value = 0, length = AC_MaxLength;
+  bool overrun = false;
+
+  inline U32 get_byte() {
+    if (pos < end) return data[pos++];
+    overrun = true;
+    return 0;
+  }
+
+  void init(const U8* d, size_t n) {
+    data = d;
+    pos = 0;
+    end = n;
+    overrun = false;
+    reinit();
+  }
+
+  void reinit() {  // at a chunk boundary: reads 4 bytes
+    length = AC_MaxLength;
+    value = (get_byte() << 24) | (get_byte() << 16) | (get_byte() << 8) |
+            get_byte();
+  }
+
+  inline void renorm() {
+    do {
+      value = (value << 8) | get_byte();
+    } while ((length <<= 8) < AC_MinLength);
+  }
+
+  U32 decode_bit(ArithmeticBitModel& m) {
+    U32 x = m.bit_0_prob * (length >> BM_LengthShift);
+    U32 sym = (value >= x);
+    if (sym == 0) {
+      length = x;
+      ++m.bit_0_count;
+    } else {
+      value -= x;
+      length -= x;
+    }
+    if (length < AC_MinLength) renorm();
+    if (--m.bits_until_update == 0) m.update();
+    return sym;
+  }
+
+  U32 decode_symbol(ArithmeticModel& m) {
+    U32 n, sym, x, y = length;
+    if (!m.decoder_table.empty()) {
+      U32 dv = value / (length >>= DM_LengthShift);
+      U32 t = dv >> m.table_shift;
+      sym = m.decoder_table[t];
+      n = m.decoder_table[t + 1] + 1;
+      while (n > sym + 1) {
+        U32 k = (sym + n) >> 1;
+        if (m.distribution[k] > dv)
+          n = k;
+        else
+          sym = k;
+      }
+      x = m.distribution[sym] * length;
+      if (sym != m.last_symbol) y = m.distribution[sym + 1] * length;
+    } else {
+      x = sym = 0;
+      length >>= DM_LengthShift;
+      U32 k = (n = m.symbols) >> 1;
+      do {
+        U32 z = length * m.distribution[k];
+        if (z > value) {
+          n = k;
+          y = z;
+        } else {
+          sym = k;
+          x = z;
+        }
+      } while ((k = (sym + n) >> 1) != sym);
+    }
+    value -= x;
+    length = y - x;
+    if (length < AC_MinLength) renorm();
+    ++m.symbol_count[sym];
+    if (--m.symbols_until_update == 0) m.update();
+    return sym;
+  }
+
+  U32 read_bits(U32 bits) {
+    if (bits > 19) {
+      U32 tmp = read_short();
+      bits -= 16;
+      U32 tmp1 = read_bits(bits) << 16;
+      return tmp1 | tmp;
+    }
+    U32 sym = value / (length >>= bits);
+    value -= length * sym;
+    if (length < AC_MinLength) renorm();
+    return sym;
+  }
+
+  U32 read_short() {
+    U32 sym = value / (length >>= 16);
+    value -= length * sym;
+    if (length < AC_MinLength) renorm();
+    return (U16)sym;
+  }
+
+  U32 read_int() {
+    U32 lo = read_short();
+    U32 hi = read_short();
+    return (hi << 16) | lo;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// IntegerCompressor: corrector coded as interval index k + location within
+// ---------------------------------------------------------------------------
+
+struct IntegerCompressor {
+  ArithmeticEncoder* enc = nullptr;
+  ArithmeticDecoder* dec = nullptr;
+  U32 bits, contexts, bits_high;
+  U32 corr_bits;
+  U32 corr_range;
+  I32 corr_min, corr_max;
+  U32 k = 0;
+  std::vector<ArithmeticModel> mBits;        // contexts models (corr_bits+1)
+  ArithmeticBitModel mCorrector0;
+  std::vector<ArithmeticModel> mCorrector;   // [1..corr_bits]
+  bool created = false;
+
+  void setup(U32 bits_, U32 contexts_, U32 bits_high_ = 8, U32 range_ = 0) {
+    bits = bits_;
+    contexts = contexts_;
+    bits_high = bits_high_;
+    U32 range = range_;
+    if (range) {
+      corr_bits = 0;
+      corr_range = range;
+      while (range) {
+        range >>= 1;
+        corr_bits++;
+      }
+      if (corr_range == (1u << (corr_bits - 1))) corr_bits--;
+      corr_min = -(I32)(corr_range / 2);
+      corr_max = corr_min + (I32)corr_range - 1;
+    } else if (bits && bits < 32) {
+      corr_bits = bits;
+      corr_range = 1u << bits;
+      corr_min = -(I32)(corr_range / 2);
+      corr_max = corr_min + (I32)corr_range - 1;
+    } else {
+      corr_bits = 32;
+      corr_range = 0;
+      corr_min = (I32)0x80000000;
+      corr_max = (I32)0x7FFFFFFF;
+    }
+    created = false;
+  }
+
+  void init_models(bool for_decode) {
+    if (!created) {
+      mBits.resize(contexts);
+      for (U32 i = 0; i < contexts; i++)
+        mBits[i].create(corr_bits + 1, for_decode);
+      mCorrector.resize(corr_bits + 1);
+      for (U32 i = 1; i <= corr_bits; i++)
+        mCorrector[i].create(i <= bits_high ? (1u << i) : (1u << bits_high),
+                             for_decode);
+      created = true;
+    } else {
+      for (U32 i = 0; i < contexts; i++) mBits[i].init_model();
+      for (U32 i = 1; i <= corr_bits; i++) mCorrector[i].init_model();
+    }
+    mCorrector0.init_model();
+  }
+
+  void compress(I32 pred, I32 real, U32 context) {
+    I32 corr = (I32)((U32)real - (U32)pred);
+    if (corr < corr_min)
+      corr = (I32)((U32)corr + corr_range);
+    else if (corr > corr_max)
+      corr = (I32)((U32)corr - corr_range);
+    write_corrector(corr, mBits[context]);
+  }
+
+  I32 decompress(I32 pred, U32 context) {
+    I32 real = (I32)((U32)pred + (U32)read_corrector(mBits[context]));
+    if (corr_range) {
+      if (real < 0)
+        real = (I32)((U32)real + corr_range);
+      else if ((U32)real >= corr_range)
+        real = (I32)((U32)real - corr_range);
+    }
+    return real;
+  }
+
+  U32 get_k() const { return k; }
+
+  void write_corrector(I32 c, ArithmeticModel& model) {
+    // find the tightest interval [-(2^k - 1), +2^k] containing c
+    k = 0;
+    U32 c1 = (c <= 0 ? (U32)(-(I64)c) : (U32)(c - 1));
+    while (c1) {
+      c1 >>= 1;
+      k++;
+    }
+    enc->encode_symbol(model, k);
+    if (k) {
+      if (k < 32) {
+        if (c >= 0)
+          c -= 1;  // [2^(k-1)+1 .. 2^k] -> [2^(k-1) .. 2^k - 1]
+        else
+          c += (I32)((1u << k) - 1);  // [-(2^k-1) .. -2^(k-1)] -> [0 ..)
+        if (k <= bits_high) {
+          enc->encode_symbol(mCorrector[k], (U32)c);
+        } else {
+          U32 k1 = k - bits_high;
+          U32 clow = (U32)c & ((1u << k1) - 1);
+          enc->encode_symbol(mCorrector[k], (U32)c >> k1);
+          enc->write_bits(k1, clow);
+        }
+      }
+    } else {
+      enc->encode_bit(mCorrector0, (U32)c);
+    }
+  }
+
+  I32 read_corrector(ArithmeticModel& model) {
+    I32 c;
+    k = dec->decode_symbol(model);
+    if (k) {
+      if (k < 32) {
+        if (k <= bits_high) {
+          c = (I32)dec->decode_symbol(mCorrector[k]);
+        } else {
+          U32 k1 = k - bits_high;
+          c = (I32)dec->decode_symbol(mCorrector[k]);
+          c = (I32)(((U32)c << k1) | dec->read_bits(k1));
+        }
+        if (c >= (I32)(1u << (k - 1)))
+          c += 1;
+        else
+          c -= (I32)((1u << k) - 1);
+      } else {
+        c = corr_min;
+      }
+    } else {
+      c = (I32)dec->decode_bit(mCorrector0);
+    }
+    return c;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// streaming median of 5 (POINT10 dx/dy prediction)
+// ---------------------------------------------------------------------------
+
+struct StreamingMedian5 {
+  I32 values[5];
+  bool high;
+
+  void init() {
+    values[0] = values[1] = values[2] = values[3] = values[4] = 0;
+    high = true;
+  }
+
+  inline void add(I32 v) {
+    if (high) {
+      if (v < values[2]) {
+        values[4] = values[3];
+        values[3] = values[2];
+        if (v < values[0]) {
+          values[2] = values[1];
+          values[1] = values[0];
+          values[0] = v;
+        } else if (v < values[1]) {
+          values[2] = values[1];
+          values[1] = v;
+        } else {
+          values[2] = v;
+        }
+      } else {
+        if (v < values[3]) {
+          values[4] = values[3];
+          values[3] = v;
+        } else {
+          values[4] = v;
+        }
+        high = false;
+      }
+    } else {
+      if (values[2] < v) {
+        values[0] = values[1];
+        values[1] = values[2];
+        if (values[4] < v) {
+          values[2] = values[3];
+          values[3] = values[4];
+          values[4] = v;
+        } else if (values[3] < v) {
+          values[2] = values[3];
+          values[3] = v;
+        } else {
+          values[2] = v;
+        }
+      } else {
+        if (values[1] < v) {
+          values[0] = values[1];
+          values[1] = v;
+        } else {
+          values[0] = v;
+        }
+        high = true;
+      }
+    }
+  }
+
+  I32 get() const { return values[2]; }
+};
+
+// ---------------------------------------------------------------------------
+// POINT10 v2
+// ---------------------------------------------------------------------------
+
+static const U8 number_return_map[8][8] = {
+    {15, 14, 13, 12, 11, 10, 9, 8}, {14, 0, 1, 3, 6, 10, 10, 9},
+    {13, 1, 2, 4, 7, 11, 11, 10},   {12, 3, 4, 5, 8, 12, 12, 11},
+    {11, 6, 7, 8, 9, 13, 13, 12},   {10, 10, 11, 12, 13, 14, 14, 13},
+    {9, 10, 11, 12, 13, 14, 15, 14}, {8, 9, 10, 11, 12, 13, 14, 15}};
+
+static const U8 number_return_level[8][8] = {
+    {0, 1, 2, 3, 4, 5, 6, 7}, {1, 0, 1, 2, 3, 4, 5, 6},
+    {2, 1, 0, 1, 2, 3, 4, 5}, {3, 2, 1, 0, 1, 2, 3, 4},
+    {4, 3, 2, 1, 0, 1, 2, 3}, {5, 4, 3, 2, 1, 0, 1, 2},
+    {6, 5, 4, 3, 2, 1, 0, 1}, {7, 6, 5, 4, 3, 2, 1, 0}};
+
+// raw point10 record accessors (20-byte little-endian layout)
+static inline I32 rd_i32(const U8* p) {
+  U32 v;
+  std::memcpy(&v, p, 4);
+  return (I32)v;
+}
+static inline U16 rd_u16(const U8* p) {
+  U16 v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+static inline void wr_i32(U8* p, I32 v) { std::memcpy(p, &v, 4); }
+static inline void wr_u16(U8* p, U16 v) { std::memcpy(p, &v, 2); }
+
+struct Point10v2 {
+  bool for_decode;
+  ArithmeticEncoder* enc = nullptr;
+  ArithmeticDecoder* dec = nullptr;
+
+  ArithmeticModel m_changed_values;
+  IntegerCompressor ic_intensity;
+  ArithmeticModel m_scan_angle_rank[2];
+  IntegerCompressor ic_point_source_id;
+  std::vector<ArithmeticModel> m_bit_byte;          // 256, lazily created
+  std::vector<ArithmeticModel> m_classification;    // 256, lazily created
+  std::vector<ArithmeticModel> m_user_data;         // 256, lazily created
+  std::vector<U8> created_bit_byte, created_classification, created_user_data;
+  IntegerCompressor ic_dx, ic_dy, ic_z;
+
+  StreamingMedian5 last_x_diff_median5[16];
+  StreamingMedian5 last_y_diff_median5[16];
+  U16 last_intensity[16];
+  I32 last_height[8];
+  U8 last_item[20];
+
+  void create(bool decode_side, ArithmeticEncoder* e, ArithmeticDecoder* d) {
+    for_decode = decode_side;
+    enc = e;
+    dec = d;
+    m_changed_values.create(64, for_decode);
+    ic_intensity.setup(16, 4);
+    ic_intensity.enc = e;
+    ic_intensity.dec = d;
+    m_scan_angle_rank[0].create(256, for_decode);
+    m_scan_angle_rank[1].create(256, for_decode);
+    ic_point_source_id.setup(16, 1);
+    ic_point_source_id.enc = e;
+    ic_point_source_id.dec = d;
+    m_bit_byte.resize(256);
+    m_classification.resize(256);
+    m_user_data.resize(256);
+    created_bit_byte.assign(256, 0);
+    created_classification.assign(256, 0);
+    created_user_data.assign(256, 0);
+    ic_dx.setup(32, 2);
+    ic_dx.enc = e;
+    ic_dx.dec = d;
+    ic_dy.setup(32, 22);
+    ic_dy.enc = e;
+    ic_dy.dec = d;
+    ic_z.setup(32, 20);
+    ic_z.enc = e;
+    ic_z.dec = d;
+  }
+
+  void init(const U8* item) {
+    for (int i = 0; i < 16; i++) {
+      last_x_diff_median5[i].init();
+      last_y_diff_median5[i].init();
+      last_intensity[i] = 0;
+    }
+    for (int i = 0; i < 8; i++) last_height[i] = 0;
+    m_changed_values.init_model();
+    ic_intensity.init_models(for_decode);
+    m_scan_angle_rank[0].init_model();
+    m_scan_angle_rank[1].init_model();
+    ic_point_source_id.init_models(for_decode);
+    for (int i = 0; i < 256; i++) {
+      if (created_bit_byte[i]) m_bit_byte[i].init_model();
+      if (created_classification[i]) m_classification[i].init_model();
+      if (created_user_data[i]) m_user_data[i].init_model();
+    }
+    ic_dx.init_models(for_decode);
+    ic_dy.init_models(for_decode);
+    ic_z.init_models(for_decode);
+    std::memcpy(last_item, item, 20);
+    last_item[12] = 0;  // but set intensity to zero
+    last_item[13] = 0;
+  }
+
+  inline ArithmeticModel& lazy(std::vector<ArithmeticModel>& models,
+                               std::vector<U8>& flags, U8 ctx) {
+    if (!flags[ctx]) {
+      models[ctx].create(256, for_decode);
+      flags[ctx] = 1;
+    }
+    return models[ctx];
+  }
+
+  void write(const U8* item) {
+    U32 r = item[14] & 0x7;
+    U32 n = (item[14] >> 3) & 0x7;
+    U32 m = number_return_map[n][r];
+    U32 l = number_return_level[n][r];
+
+    U16 intensity = rd_u16(item + 12);
+    I32 changed_values =
+        (((last_item[14] != item[14]) ? 1 : 0) << 5) |
+        (((last_intensity[m] != intensity) ? 1 : 0) << 4) |
+        (((last_item[15] != item[15]) ? 1 : 0) << 3) |
+        (((last_item[16] != item[16]) ? 1 : 0) << 2) |
+        (((last_item[17] != item[17]) ? 1 : 0) << 1) |
+        ((rd_u16(last_item + 18) != rd_u16(item + 18)) ? 1 : 0);
+    enc->encode_symbol(m_changed_values, (U32)changed_values);
+
+    if (changed_values & 32)
+      enc->encode_symbol(lazy(m_bit_byte, created_bit_byte, last_item[14]),
+                         item[14]);
+    if (changed_values & 16) {
+      ic_intensity.compress(last_intensity[m], intensity, m < 3 ? m : 3);
+      last_intensity[m] = intensity;
+    }
+    if (changed_values & 8)
+      enc->encode_symbol(
+          lazy(m_classification, created_classification, last_item[15]),
+          item[15]);
+    if (changed_values & 4)
+      enc->encode_symbol(m_scan_angle_rank[(item[14] >> 6) & 1],
+                         u8_fold((I32)item[16] - (I32)last_item[16]));
+    if (changed_values & 2)
+      enc->encode_symbol(lazy(m_user_data, created_user_data, last_item[17]),
+                         item[17]);
+    if (changed_values & 1)
+      ic_point_source_id.compress(rd_u16(last_item + 18), rd_u16(item + 18),
+                                  0);
+
+    // x
+    I32 median = last_x_diff_median5[m].get();
+    I32 diff = (I32)((U32)rd_i32(item) - (U32)rd_i32(last_item));
+    ic_dx.compress(median, diff, n == 1);
+    last_x_diff_median5[m].add(diff);
+    // y
+    U32 k_bits = ic_dx.get_k();
+    median = last_y_diff_median5[m].get();
+    diff = (I32)((U32)rd_i32(item + 4) - (U32)rd_i32(last_item + 4));
+    ic_dy.compress(median, diff,
+                   (n == 1 ? 1 : 0) +
+                       (k_bits < 20 ? u32_zero_bit_0(k_bits) : 20));
+    last_y_diff_median5[m].add(diff);
+    // z
+    k_bits = (ic_dx.get_k() + ic_dy.get_k()) / 2;
+    ic_z.compress(last_height[l], rd_i32(item + 8),
+                  (n == 1 ? 1 : 0) +
+                      (k_bits < 18 ? u32_zero_bit_0(k_bits) : 18));
+    last_height[l] = rd_i32(item + 8);
+
+    std::memcpy(last_item, item, 20);
+  }
+
+  void read(U8* item) {
+    U32 r, n, m, l;
+    U32 changed_values = dec->decode_symbol(m_changed_values);
+
+    if (changed_values) {
+      if (changed_values & 32) {
+        U8 b = last_item[14];
+        last_item[14] =
+            (U8)dec->decode_symbol(lazy(m_bit_byte, created_bit_byte, b));
+      }
+      r = last_item[14] & 0x7;
+      n = (last_item[14] >> 3) & 0x7;
+      m = number_return_map[n][r];
+      l = number_return_level[n][r];
+
+      if (changed_values & 16) {
+        U16 v = (U16)ic_intensity.decompress(last_intensity[m],
+                                             m < 3 ? m : 3);
+        wr_u16(last_item + 12, v);
+        last_intensity[m] = v;
+      } else {
+        wr_u16(last_item + 12, last_intensity[m]);
+      }
+      if (changed_values & 8) {
+        U8 b = last_item[15];
+        last_item[15] = (U8)dec->decode_symbol(
+            lazy(m_classification, created_classification, b));
+      }
+      if (changed_values & 4) {
+        I32 val = (I32)dec->decode_symbol(
+            m_scan_angle_rank[(last_item[14] >> 6) & 1]);
+        last_item[16] = u8_fold(val + (I32)last_item[16]);
+      }
+      if (changed_values & 2) {
+        U8 b = last_item[17];
+        last_item[17] =
+            (U8)dec->decode_symbol(lazy(m_user_data, created_user_data, b));
+      }
+      if (changed_values & 1) {
+        U16 v = (U16)ic_point_source_id.decompress(rd_u16(last_item + 18), 0);
+        wr_u16(last_item + 18, v);
+      }
+    } else {
+      r = last_item[14] & 0x7;
+      n = (last_item[14] >> 3) & 0x7;
+      m = number_return_map[n][r];
+      l = number_return_level[n][r];
+    }
+
+    // x
+    I32 median = last_x_diff_median5[m].get();
+    I32 diff = ic_dx.decompress(median, n == 1);
+    wr_i32(last_item, (I32)((U32)rd_i32(last_item) + (U32)diff));
+    last_x_diff_median5[m].add(diff);
+    // y
+    U32 k_bits = ic_dx.get_k();
+    median = last_y_diff_median5[m].get();
+    diff = ic_dy.decompress(median,
+                            (n == 1 ? 1 : 0) +
+                                (k_bits < 20 ? u32_zero_bit_0(k_bits) : 20));
+    wr_i32(last_item + 4, (I32)((U32)rd_i32(last_item + 4) + (U32)diff));
+    last_y_diff_median5[m].add(diff);
+    // z
+    k_bits = (ic_dx.get_k() + ic_dy.get_k()) / 2;
+    I32 z = ic_z.decompress(last_height[l],
+                            (n == 1 ? 1 : 0) +
+                                (k_bits < 18 ? u32_zero_bit_0(k_bits) : 18));
+    wr_i32(last_item + 8, z);
+    last_height[l] = z;
+
+    std::memcpy(item, last_item, 20);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// GPSTIME11 v2
+// ---------------------------------------------------------------------------
+
+static const I32 GPSTIME_MULTI = 500;
+static const I32 GPSTIME_MULTI_MINUS = -10;
+static const I32 GPSTIME_MULTI_UNCHANGED =
+    GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 1;  // 511
+static const I32 GPSTIME_MULTI_CODE_FULL =
+    GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 2;  // 512
+static const I32 GPSTIME_MULTI_TOTAL =
+    GPSTIME_MULTI - GPSTIME_MULTI_MINUS + 6;  // 516
+
+struct GpsTime11v2 {
+  bool for_decode;
+  ArithmeticEncoder* enc = nullptr;
+  ArithmeticDecoder* dec = nullptr;
+
+  ArithmeticModel m_gpstime_multi;
+  ArithmeticModel m_gpstime_0diff;
+  IntegerCompressor ic_gpstime;
+
+  U32 last = 0, next = 0;
+  U64 last_gpstime[4];
+  I32 last_gpstime_diff[4];
+  I32 multi_extreme_counter[4];
+
+  void create(bool decode_side, ArithmeticEncoder* e, ArithmeticDecoder* d) {
+    for_decode = decode_side;
+    enc = e;
+    dec = d;
+    m_gpstime_multi.create(GPSTIME_MULTI_TOTAL, for_decode);
+    m_gpstime_0diff.create(6, for_decode);
+    ic_gpstime.setup(32, 9);
+    ic_gpstime.enc = e;
+    ic_gpstime.dec = d;
+  }
+
+  void init(const U8* item) {
+    last = 0;
+    next = 0;
+    for (int i = 0; i < 4; i++) {
+      last_gpstime_diff[i] = 0;
+      multi_extreme_counter[i] = 0;
+      last_gpstime[i] = 0;
+    }
+    m_gpstime_multi.init_model();
+    m_gpstime_0diff.init_model();
+    ic_gpstime.init_models(for_decode);
+    std::memcpy(&last_gpstime[0], item, 8);
+  }
+
+  void write(const U8* item) {
+    U64 this_u64;
+    std::memcpy(&this_u64, item, 8);
+    I64 this_i64 = (I64)this_u64;
+
+    for (;;) {
+      if (last_gpstime_diff[last] == 0) {
+        if (this_i64 == (I64)last_gpstime[last]) {
+          enc->encode_symbol(m_gpstime_0diff, 0);  // unchanged
+          return;
+        }
+        I64 curr_diff_64 = this_i64 - (I64)last_gpstime[last];
+        I32 curr_diff = (I32)curr_diff_64;
+        if (curr_diff_64 == (I64)curr_diff) {
+          enc->encode_symbol(m_gpstime_0diff, 1);  // 32-bit diff
+          ic_gpstime.compress(0, curr_diff, 0);
+          last_gpstime_diff[last] = curr_diff;
+          multi_extreme_counter[last] = 0;
+          last_gpstime[last] = this_u64;
+          return;
+        }
+        // the difference is huge: maybe another sequence fits
+        U32 i;
+        for (i = 1; i < 4; i++) {
+          I64 other_diff_64 = this_i64 - (I64)last_gpstime[(last + i) & 3];
+          I32 other_diff = (I32)other_diff_64;
+          if (other_diff_64 == (I64)other_diff) {
+            enc->encode_symbol(m_gpstime_0diff, i + 2);  // switch sequence
+            last = (last + i) & 3;
+            break;
+          }
+        }
+        if (i < 4) continue;  // retry in the switched sequence
+        // start a new sequence
+        enc->encode_symbol(m_gpstime_0diff, 2);
+        ic_gpstime.compress((I32)(last_gpstime[last] >> 32),
+                            (I32)(this_u64 >> 32), 8);
+        enc->write_int((U32)this_u64);
+        next = (next + 1) & 3;
+        last = next;
+        last_gpstime_diff[last] = 0;
+        multi_extreme_counter[last] = 0;
+        last_gpstime[last] = this_u64;
+        return;
+      } else {
+        if (this_i64 == (I64)last_gpstime[last]) {
+          enc->encode_symbol(m_gpstime_multi, GPSTIME_MULTI_UNCHANGED);
+          return;
+        }
+        I64 curr_diff_64 = this_i64 - (I64)last_gpstime[last];
+        I32 curr_diff = (I32)curr_diff_64;
+        if (curr_diff_64 == (I64)curr_diff) {
+          float multi_f =
+              (float)curr_diff / (float)last_gpstime_diff[last];
+          I32 multi = i32_quantize(multi_f);
+          if (multi == 1) {
+            enc->encode_symbol(m_gpstime_multi, 1);
+            ic_gpstime.compress(last_gpstime_diff[last], curr_diff, 1);
+            multi_extreme_counter[last] = 0;
+          } else if (multi > 0) {
+            if (multi < GPSTIME_MULTI) {
+              enc->encode_symbol(m_gpstime_multi, (U32)multi);
+              if (multi < 10)
+                ic_gpstime.compress(multi * last_gpstime_diff[last],
+                                    curr_diff, 2);
+              else
+                ic_gpstime.compress(multi * last_gpstime_diff[last],
+                                    curr_diff, 3);
+            } else {
+              enc->encode_symbol(m_gpstime_multi, (U32)GPSTIME_MULTI);
+              ic_gpstime.compress(GPSTIME_MULTI * last_gpstime_diff[last],
+                                  curr_diff, 4);
+              if (++multi_extreme_counter[last] > 3) {
+                last_gpstime_diff[last] = curr_diff;
+                multi_extreme_counter[last] = 0;
+              }
+            }
+          } else if (multi < 0) {
+            if (multi > GPSTIME_MULTI_MINUS) {
+              enc->encode_symbol(m_gpstime_multi,
+                                 (U32)(GPSTIME_MULTI - multi));
+              ic_gpstime.compress(multi * last_gpstime_diff[last], curr_diff,
+                                  5);
+            } else {
+              enc->encode_symbol(
+                  m_gpstime_multi,
+                  (U32)(GPSTIME_MULTI - GPSTIME_MULTI_MINUS));
+              ic_gpstime.compress(
+                  GPSTIME_MULTI_MINUS * last_gpstime_diff[last], curr_diff,
+                  6);
+              if (++multi_extreme_counter[last] > 3) {
+                last_gpstime_diff[last] = curr_diff;
+                multi_extreme_counter[last] = 0;
+              }
+            }
+          } else {
+            enc->encode_symbol(m_gpstime_multi, 0);
+            ic_gpstime.compress(0, curr_diff, 7);
+            if (++multi_extreme_counter[last] > 3) {
+              last_gpstime_diff[last] = curr_diff;
+              multi_extreme_counter[last] = 0;
+            }
+          }
+          last_gpstime[last] = this_u64;
+          return;
+        }
+        // the difference is huge: maybe another sequence fits
+        U32 i;
+        for (i = 1; i < 4; i++) {
+          I64 other_diff_64 = this_i64 - (I64)last_gpstime[(last + i) & 3];
+          I32 other_diff = (I32)other_diff_64;
+          if (other_diff_64 == (I64)other_diff) {
+            enc->encode_symbol(m_gpstime_multi,
+                               (U32)(GPSTIME_MULTI_CODE_FULL + (I32)i));
+            last = (last + i) & 3;
+            break;
+          }
+        }
+        if (i < 4) continue;  // retry in the switched sequence
+        enc->encode_symbol(m_gpstime_multi, (U32)GPSTIME_MULTI_CODE_FULL);
+        ic_gpstime.compress((I32)(last_gpstime[last] >> 32),
+                            (I32)(this_u64 >> 32), 8);
+        enc->write_int((U32)this_u64);
+        next = (next + 1) & 3;
+        last = next;
+        last_gpstime_diff[last] = 0;
+        multi_extreme_counter[last] = 0;
+        last_gpstime[last] = this_u64;
+        return;
+      }
+    }
+  }
+
+  void read(U8* item) {
+    for (;;) {
+      if (last_gpstime_diff[last] == 0) {
+        I32 multi = (I32)dec->decode_symbol(m_gpstime_0diff);
+        if (multi == 1) {
+          last_gpstime_diff[last] = ic_gpstime.decompress(0, 0);
+          last_gpstime[last] =
+              (U64)((I64)last_gpstime[last] + last_gpstime_diff[last]);
+          multi_extreme_counter[last] = 0;
+        } else if (multi == 2) {
+          next = (next + 1) & 3;
+          U64 hi = (U64)(U32)ic_gpstime.decompress(
+              (I32)(last_gpstime[last] >> 32), 8);
+          last_gpstime[next] = (hi << 32) | (U64)dec->read_int();
+          last = next;
+          last_gpstime_diff[last] = 0;
+          multi_extreme_counter[last] = 0;
+        } else if (multi > 2) {
+          last = (last + (U32)(multi - 2)) & 3;
+          continue;  // re-read in the switched sequence
+        }
+        break;
+      } else {
+        I32 multi = (I32)dec->decode_symbol(m_gpstime_multi);
+        if (multi == 1) {
+          last_gpstime[last] = (U64)(
+              (I64)last_gpstime[last] +
+              ic_gpstime.decompress(last_gpstime_diff[last], 1));
+          multi_extreme_counter[last] = 0;
+        } else if (multi < GPSTIME_MULTI_UNCHANGED) {
+          I32 gpstime_diff;
+          if (multi == 0) {
+            gpstime_diff = ic_gpstime.decompress(0, 7);
+            if (++multi_extreme_counter[last] > 3) {
+              last_gpstime_diff[last] = gpstime_diff;
+              multi_extreme_counter[last] = 0;
+            }
+          } else if (multi < GPSTIME_MULTI) {
+            if (multi < 10)
+              gpstime_diff = ic_gpstime.decompress(
+                  multi * last_gpstime_diff[last], 2);
+            else
+              gpstime_diff = ic_gpstime.decompress(
+                  multi * last_gpstime_diff[last], 3);
+          } else if (multi == GPSTIME_MULTI) {
+            gpstime_diff = ic_gpstime.decompress(
+                GPSTIME_MULTI * last_gpstime_diff[last], 4);
+            if (++multi_extreme_counter[last] > 3) {
+              last_gpstime_diff[last] = gpstime_diff;
+              multi_extreme_counter[last] = 0;
+            }
+          } else {
+            multi = GPSTIME_MULTI - multi;
+            if (multi > GPSTIME_MULTI_MINUS) {
+              gpstime_diff = ic_gpstime.decompress(
+                  multi * last_gpstime_diff[last], 5);
+            } else {
+              gpstime_diff = ic_gpstime.decompress(
+                  GPSTIME_MULTI_MINUS * last_gpstime_diff[last], 6);
+              if (++multi_extreme_counter[last] > 3) {
+                last_gpstime_diff[last] = gpstime_diff;
+                multi_extreme_counter[last] = 0;
+              }
+            }
+          }
+          last_gpstime[last] =
+              (U64)((I64)last_gpstime[last] + gpstime_diff);
+        } else if (multi == GPSTIME_MULTI_CODE_FULL) {
+          next = (next + 1) & 3;
+          U64 hi = (U64)(U32)ic_gpstime.decompress(
+              (I32)(last_gpstime[last] >> 32), 8);
+          last_gpstime[next] = (hi << 32) | (U64)dec->read_int();
+          last = next;
+          last_gpstime_diff[last] = 0;
+          multi_extreme_counter[last] = 0;
+        } else if (multi > GPSTIME_MULTI_CODE_FULL) {
+          last = (last + (U32)(multi - GPSTIME_MULTI_CODE_FULL)) & 3;
+          continue;  // re-read in the switched sequence
+        }
+        break;
+      }
+    }
+    std::memcpy(item, &last_gpstime[last], 8);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// RGB12 v2
+// ---------------------------------------------------------------------------
+
+struct Rgb12v2 {
+  bool for_decode;
+  ArithmeticEncoder* enc = nullptr;
+  ArithmeticDecoder* dec = nullptr;
+
+  ArithmeticModel m_byte_used;
+  ArithmeticModel m_rgb_diff[6];
+  U16 last_item[3];
+
+  void create(bool decode_side, ArithmeticEncoder* e, ArithmeticDecoder* d) {
+    for_decode = decode_side;
+    enc = e;
+    dec = d;
+    m_byte_used.create(128, for_decode);
+    for (int i = 0; i < 6; i++) m_rgb_diff[i].create(256, for_decode);
+  }
+
+  void init(const U8* item) {
+    m_byte_used.init_model();
+    for (int i = 0; i < 6; i++) m_rgb_diff[i].init_model();
+    std::memcpy(last_item, item, 6);
+  }
+
+  void write(const U8* raw) {
+    U16 item[3];
+    std::memcpy(item, raw, 6);
+    I32 diff_l = 0, diff_h = 0, corr;
+    U32 sym = (((last_item[0] & 0x00FF) != (item[0] & 0x00FF)) ? 1u : 0u) << 0;
+    sym |= (((last_item[0] & 0xFF00) != (item[0] & 0xFF00)) ? 1u : 0u) << 1;
+    sym |= (((last_item[1] & 0x00FF) != (item[1] & 0x00FF)) ? 1u : 0u) << 2;
+    sym |= (((last_item[1] & 0xFF00) != (item[1] & 0xFF00)) ? 1u : 0u) << 3;
+    sym |= (((last_item[2] & 0x00FF) != (item[2] & 0x00FF)) ? 1u : 0u) << 4;
+    sym |= (((last_item[2] & 0xFF00) != (item[2] & 0xFF00)) ? 1u : 0u) << 5;
+    sym |= ((((item[0] & 0x00FF) != (item[1] & 0x00FF)) ||
+             ((item[0] & 0x00FF) != (item[2] & 0x00FF)) ||
+             ((item[0] & 0xFF00) != (item[1] & 0xFF00)) ||
+             ((item[0] & 0xFF00) != (item[2] & 0xFF00)))
+                ? 1u
+                : 0u)
+           << 6;
+    enc->encode_symbol(m_byte_used, sym);
+    if (sym & (1u << 0)) {
+      diff_l = (I32)(item[0] & 255) - (I32)(last_item[0] & 255);
+      enc->encode_symbol(m_rgb_diff[0], u8_fold(diff_l));
+    }
+    if (sym & (1u << 1)) {
+      diff_h = (I32)(item[0] >> 8) - (I32)(last_item[0] >> 8);
+      enc->encode_symbol(m_rgb_diff[1], u8_fold(diff_h));
+    }
+    if (sym & (1u << 6)) {
+      if (sym & (1u << 2)) {
+        corr = (I32)(item[1] & 255) -
+               (I32)u8_clamp(diff_l + (last_item[1] & 255));
+        enc->encode_symbol(m_rgb_diff[2], u8_fold(corr));
+      }
+      if (sym & (1u << 4)) {
+        diff_l = (diff_l + (I32)(item[1] & 255) - (I32)(last_item[1] & 255)) /
+                 2;
+        corr = (I32)(item[2] & 255) -
+               (I32)u8_clamp(diff_l + (last_item[2] & 255));
+        enc->encode_symbol(m_rgb_diff[4], u8_fold(corr));
+      }
+      if (sym & (1u << 3)) {
+        corr = (I32)(item[1] >> 8) -
+               (I32)u8_clamp(diff_h + (last_item[1] >> 8));
+        enc->encode_symbol(m_rgb_diff[3], u8_fold(corr));
+      }
+      if (sym & (1u << 5)) {
+        diff_h = (diff_h + (I32)(item[1] >> 8) - (I32)(last_item[1] >> 8)) / 2;
+        corr = (I32)(item[2] >> 8) -
+               (I32)u8_clamp(diff_h + (last_item[2] >> 8));
+        enc->encode_symbol(m_rgb_diff[5], u8_fold(corr));
+      }
+    }
+    std::memcpy(last_item, item, 6);
+  }
+
+  void read(U8* raw) {
+    U16 item[3];
+    U8 corr;
+    I32 diff = 0;
+    U32 sym = dec->decode_symbol(m_byte_used);
+    if (sym & (1u << 0)) {
+      corr = (U8)dec->decode_symbol(m_rgb_diff[0]);
+      item[0] = (U16)u8_fold((I32)corr + (last_item[0] & 255));
+    } else {
+      item[0] = last_item[0] & 0xFF;
+    }
+    if (sym & (1u << 1)) {
+      corr = (U8)dec->decode_symbol(m_rgb_diff[1]);
+      item[0] |= ((U16)u8_fold((I32)corr + (last_item[0] >> 8))) << 8;
+    } else {
+      item[0] |= (last_item[0] & 0xFF00);
+    }
+    if (sym & (1u << 6)) {
+      diff = (I32)(item[0] & 0x00FF) - (I32)(last_item[0] & 0x00FF);
+      if (sym & (1u << 2)) {
+        corr = (U8)dec->decode_symbol(m_rgb_diff[2]);
+        item[1] =
+            (U16)u8_fold((I32)corr + u8_clamp(diff + (last_item[1] & 255)));
+      } else {
+        item[1] = last_item[1] & 0xFF;
+      }
+      if (sym & (1u << 4)) {
+        corr = (U8)dec->decode_symbol(m_rgb_diff[4]);
+        diff = (diff + (I32)(item[1] & 0x00FF) - (I32)(last_item[1] & 0x00FF)) /
+               2;
+        item[2] =
+            (U16)u8_fold((I32)corr + u8_clamp(diff + (last_item[2] & 255)));
+      } else {
+        item[2] = last_item[2] & 0xFF;
+      }
+      diff = (I32)(item[0] >> 8) - (I32)(last_item[0] >> 8);
+      if (sym & (1u << 3)) {
+        corr = (U8)dec->decode_symbol(m_rgb_diff[3]);
+        item[1] |=
+            ((U16)u8_fold((I32)corr + u8_clamp(diff + (last_item[1] >> 8))))
+            << 8;
+      } else {
+        item[1] |= (last_item[1] & 0xFF00);
+      }
+      if (sym & (1u << 5)) {
+        corr = (U8)dec->decode_symbol(m_rgb_diff[5]);
+        diff = (diff + (I32)(item[1] >> 8) - (I32)(last_item[1] >> 8)) / 2;
+        item[2] |=
+            ((U16)u8_fold((I32)corr + u8_clamp(diff + (last_item[2] >> 8))))
+            << 8;
+      } else {
+        item[2] |= (last_item[2] & 0xFF00);
+      }
+    } else {
+      item[1] = item[0];
+      item[2] = item[0];
+    }
+    std::memcpy(last_item, item, 6);
+    std::memcpy(raw, item, 6);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// BYTE v2 (extra bytes)
+// ---------------------------------------------------------------------------
+
+struct Byte_v2 {
+  bool for_decode;
+  ArithmeticEncoder* enc = nullptr;
+  ArithmeticDecoder* dec = nullptr;
+  U32 number = 0;
+  std::vector<ArithmeticModel> m_byte;
+  std::vector<U8> last_item;
+
+  void create(U32 n, bool decode_side, ArithmeticEncoder* e,
+              ArithmeticDecoder* d) {
+    for_decode = decode_side;
+    enc = e;
+    dec = d;
+    number = n;
+    m_byte.resize(n);
+    for (U32 i = 0; i < n; i++) m_byte[i].create(256, for_decode);
+    last_item.assign(n, 0);
+  }
+
+  void init(const U8* item) {
+    for (U32 i = 0; i < number; i++) m_byte[i].init_model();
+    std::memcpy(last_item.data(), item, number);
+  }
+
+  void write(const U8* item) {
+    for (U32 i = 0; i < number; i++) {
+      I32 diff = (I32)item[i] - (I32)last_item[i];
+      enc->encode_symbol(m_byte[i], u8_fold(diff));
+    }
+    std::memcpy(last_item.data(), item, number);
+  }
+
+  void read(U8* item) {
+    for (U32 i = 0; i < number; i++) {
+      I32 corr = (I32)dec->decode_symbol(m_byte[i]);
+      last_item[i] = u8_fold(corr + (I32)last_item[i]);
+    }
+    std::memcpy(item, last_item.data(), number);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// item set for a point record
+// ---------------------------------------------------------------------------
+
+enum ItemType : U16 {
+  ITEM_BYTE = 0,
+  ITEM_POINT10 = 6,
+  ITEM_GPSTIME11 = 7,
+  ITEM_RGB12 = 8,
+};
+
+struct ItemSet {
+  ArithmeticEncoder* enc = nullptr;
+  ArithmeticDecoder* dec = nullptr;
+  bool for_decode;
+  bool has_point10 = false, has_gpstime = false, has_rgb = false;
+  Point10v2 point10;
+  GpsTime11v2 gpstime;
+  Rgb12v2 rgb;
+  Byte_v2 extra;
+  U32 off_point10 = 0, off_gpstime = 0, off_rgb = 0, off_extra = 0;
+  U32 n_extra = 0;
+  U32 record_length = 0;
+
+  // returns 0 on success, negative error
+  int create(const U16* types, const I32* sizes, I32 num_items,
+             bool decode_side, ArithmeticEncoder* e, ArithmeticDecoder* d) {
+    for_decode = decode_side;
+    enc = e;
+    dec = d;
+    U32 off = 0;
+    for (I32 i = 0; i < num_items; i++) {
+      switch (types[i]) {
+        case ITEM_POINT10:
+          if (sizes[i] != 20) return -2;
+          has_point10 = true;
+          off_point10 = off;
+          point10.create(decode_side, e, d);
+          break;
+        case ITEM_GPSTIME11:
+          if (sizes[i] != 8) return -2;
+          has_gpstime = true;
+          off_gpstime = off;
+          gpstime.create(decode_side, e, d);
+          break;
+        case ITEM_RGB12:
+          if (sizes[i] != 6) return -2;
+          has_rgb = true;
+          off_rgb = off;
+          rgb.create(decode_side, e, d);
+          break;
+        case ITEM_BYTE:
+          if (sizes[i] <= 0) return -2;
+          n_extra = (U32)sizes[i];
+          off_extra = off;
+          extra.create(n_extra, decode_side, e, d);
+          break;
+        default:
+          return -2;  // unsupported item (e.g. WAVEPACKET13, POINT14)
+      }
+      off += (U32)sizes[i];
+    }
+    record_length = off;
+    return 0;
+  }
+
+  void init(const U8* item) {
+    if (has_point10) point10.init(item + off_point10);
+    if (has_gpstime) gpstime.init(item + off_gpstime);
+    if (has_rgb) rgb.init(item + off_rgb);
+    if (n_extra) extra.init(item + off_extra);
+  }
+
+  void write(const U8* item) {
+    if (has_point10) point10.write(item + off_point10);
+    if (has_gpstime) gpstime.write(item + off_gpstime);
+    if (has_rgb) rgb.write(item + off_rgb);
+    if (n_extra) extra.write(item + off_extra);
+  }
+
+  void read(U8* item) {
+    if (has_point10) point10.read(item + off_point10);
+    if (has_gpstime) gpstime.read(item + off_gpstime);
+    if (has_rgb) rgb.read(item + off_rgb);
+    if (n_extra) extra.read(item + off_extra);
+  }
+};
+
+}  // namespace laz
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+using namespace laz;
+
+extern "C" {
+
+// Decode a sequence of complete chunks starting at `data` (the first byte of
+// a chunk, i.e. AFTER the 8-byte chunk table offset). Writes
+// n_points * record_length bytes to out. Returns bytes consumed, or negative
+// on error (-2 unsupported item, -3 stream overrun).
+int64_t laz_decode_points(const uint8_t* data, int64_t n_bytes,
+                          int64_t n_points, int32_t chunk_size,
+                          const uint16_t* item_types,
+                          const int32_t* item_sizes, int32_t num_items,
+                          uint8_t* out) {
+  ArithmeticDecoder dec;
+  ItemSet items;
+  int rc = items.create(item_types, item_sizes, num_items, true, nullptr,
+                        &dec);
+  if (rc) return rc;
+  const U32 rl = items.record_length;
+
+  dec.data = data;
+  dec.pos = 0;
+  dec.end = (size_t)n_bytes;
+
+  int64_t done = 0;
+  while (done < n_points) {
+    int64_t count = n_points - done;
+    if (chunk_size > 0 && count > chunk_size) count = chunk_size;
+    // raw first point
+    if (dec.pos + rl > dec.end) return -3;
+    std::memcpy(out + done * rl, data + dec.pos, rl);
+    dec.pos += rl;
+    items.init(out + done * rl);
+    dec.reinit();  // reads the decoder's 4-byte lookahead
+    for (int64_t i = 1; i < count; i++) {
+      items.read(out + (done + i) * rl);
+      if (dec.overrun) return -3;
+    }
+    done += count;
+  }
+  if (dec.overrun) return -3;
+  return (int64_t)dec.pos;
+}
+
+// Encode n_points raw records as a complete chunked LAZ point-data stream:
+// [u64 chunk table offset][chunks][chunk table]. Returns bytes written, or
+// -1 if out_capacity is insufficient, -2 unsupported item.
+int64_t laz_encode_stream(const uint8_t* records, int64_t n_points,
+                          int32_t chunk_size, const uint16_t* item_types,
+                          const int32_t* item_sizes, int32_t num_items,
+                          uint8_t* out, int64_t out_capacity) {
+  ArithmeticEncoder enc;
+  ItemSet items;
+  int rc = items.create(item_types, item_sizes, num_items, false, &enc,
+                        nullptr);
+  if (rc) return rc;
+  const U32 rl = items.record_length;
+  if (chunk_size <= 0) chunk_size = 50000;
+
+  std::vector<U8> buf;
+  buf.reserve((size_t)(n_points ? n_points : 1) * rl / 3 + 1024);
+  buf.resize(8, 0);  // chunk table offset placeholder
+
+  std::vector<U32> chunk_bytes;
+  int64_t done = 0;
+  while (done < n_points) {
+    int64_t count = n_points - done;
+    if (count > chunk_size) count = chunk_size;
+    size_t chunk_start = buf.size();
+    // raw first point
+    buf.insert(buf.end(), records + done * rl, records + (done + 1) * rl);
+    items.init(records + done * rl);
+    enc.init(&buf);
+    for (int64_t i = 1; i < count; i++)
+      items.write(records + (done + i) * rl);
+    enc.done();
+    if (enc.error) return -4;
+    chunk_bytes.push_back((U32)(buf.size() - chunk_start));
+    done += count;
+  }
+
+  // chunk table (version, count, then sizes delta-coded with an
+  // IntegerCompressor over context 1)
+  U64 table_offset = (U64)buf.size();
+  std::memcpy(buf.data(), &table_offset, 8);
+  U32 version = 0;
+  U32 number_chunks = (U32)chunk_bytes.size();
+  buf.insert(buf.end(), (U8*)&version, (U8*)&version + 4);
+  buf.insert(buf.end(), (U8*)&number_chunks, (U8*)&number_chunks + 4);
+  if (number_chunks > 0) {
+    enc.init(&buf);
+    IntegerCompressor ic;
+    ic.setup(32, 2);
+    ic.enc = &enc;
+    ic.init_models(false);
+    for (U32 i = 0; i < number_chunks; i++)
+      ic.compress(i ? (I32)chunk_bytes[i - 1] : 0, (I32)chunk_bytes[i], 1);
+    enc.done();
+    if (enc.error) return -4;
+  }
+
+  if ((int64_t)buf.size() > out_capacity) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+// Read a compressed chunk table located at `data` (first byte = u32
+// version). Writes up to max_chunks chunk byte-sizes to out_sizes. Returns
+// the number of chunks, or negative on error.
+int64_t laz_read_chunk_table(const uint8_t* data, int64_t n_bytes,
+                             uint32_t* out_sizes, int64_t max_chunks) {
+  if (n_bytes < 8) return -3;
+  U32 version, number_chunks;
+  std::memcpy(&version, data, 4);
+  std::memcpy(&number_chunks, data + 4, 4);
+  if (version != 0) return -4;
+  if ((int64_t)number_chunks > max_chunks) return -5;
+  if (number_chunks == 0) return 0;
+  ArithmeticDecoder dec;
+  dec.init(data + 8, (size_t)(n_bytes - 8));
+  IntegerCompressor ic;
+  ic.setup(32, 2);
+  ic.dec = &dec;
+  ic.init_models(true);
+  for (U32 i = 0; i < number_chunks; i++) {
+    out_sizes[i] =
+        (U32)ic.decompress(i ? (I32)out_sizes[i - 1] : 0, 1);
+    if (dec.overrun) return -3;
+  }
+  return (int64_t)number_chunks;
+}
+
+}  // extern "C"

@@ -1,0 +1,254 @@
+"""LAZ codec tests: native round trips per item type, chunk-table random
+access, LAS<->LAZ file equality, and the formerly-gated ENTWINE_LAZ /
+converter LAZ flows end-to-end.
+
+The reference reads and writes LAZ through the LASzip library
+(schwarzwald/core/io/LASFile.cpp:446-560, LASPersistence.cpp); these tests
+pin the native reimplementation (native/src/laz.cpp) to the same format:
+chunked compressor (2), item versions 2, 50k default chunks.
+"""
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from schwarzwald_tpu import native
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.attributes import PointAttribute
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io import las, laz
+
+A = PointAttribute
+BOUNDS = AABB([0.0, 0.0, 0.0], [100.0, 100.0, 100.0])
+
+
+def lib():
+    codec = native.las_codec()
+    if codec is None:
+        pytest.skip("native codec unavailable")
+    return codec
+
+
+def synth_records(rng, n, fmt):
+    """Correlated synthetic records shaped like real LiDAR streams."""
+    rec = np.zeros(n, dtype=las.point_record_dtype(fmt))
+    rec["x"] = np.cumsum(rng.integers(-50, 60, n)).astype(np.int32)
+    rec["y"] = np.cumsum(rng.integers(-40, 45, n)).astype(np.int32)
+    rec["z"] = (100000 + np.cumsum(rng.integers(-8, 8, n))).astype(np.int32)
+    rec["intensity"] = (500 + np.cumsum(rng.integers(-9, 10, n))
+                        ).astype(np.uint16)
+    rn = rng.integers(1, 4, n)
+    nr = np.maximum(rn, rng.integers(1, 4, n))
+    rec["flags"] = (rn | (nr << 3) | (rng.integers(0, 2, n) << 6)
+                    ).astype(np.uint8)
+    rec["classification"] = rng.integers(0, 6, n).astype(np.uint8)
+    rec["scan_angle"] = rng.integers(-30, 30, n).astype(np.int8)
+    rec["user_data"] = rng.integers(0, 3, n).astype(np.uint8)
+    rec["point_source_id"] = rng.integers(100, 104, n).astype(np.uint16)
+    if fmt in (1, 3):
+        rec["gps_time"] = 250000.0 + np.cumsum(rng.uniform(0, 1e-4, n))
+    if fmt in (2, 3):
+        base = rng.integers(0, 65536, 3)
+        for i, c in enumerate(("red", "green", "blue")):
+            rec[c] = (base[i] + np.cumsum(rng.integers(-300, 300, n))
+                      ).astype(np.uint16)
+    return rec
+
+
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3])
+def test_native_stream_round_trip(rng, fmt):
+    codec = lib()
+    n = 120_000  # > 2 chunks
+    raw = synth_records(rng, n, fmt).view(np.uint8).reshape(-1)
+    rl = las.record_length_for_format(fmt)
+    items = laz.items_for_point_format(fmt, rl)
+    types = np.array([t for t, _, _ in items], dtype=np.uint16)
+    sizes = np.array([s for _, s, _ in items], dtype=np.int32)
+
+    stream = codec.laz_encode_stream(raw, rl, 50_000, types, sizes)
+    assert stream.size < raw.size  # actually compresses correlated data
+
+    back = codec.laz_decode_points(stream[8:], n, 50_000, types, sizes, rl)
+    np.testing.assert_array_equal(back, raw)
+
+    # chunk table: offsets partition the stream exactly
+    table_off = struct.unpack("<q", stream[:8].tobytes())[0]
+    chunk_sizes = codec.laz_read_chunk_table(stream[table_off:], 100)
+    assert chunk_sizes.size == 3
+    assert chunk_sizes.sum() == table_off - 8
+
+
+def test_native_extra_bytes_round_trip(rng):
+    codec = lib()
+    n = 10_000
+    rl = 20 + 5  # point10 + 5 extra bytes
+    base = synth_records(rng, n, 0).view(np.uint8).reshape(n, 20)
+    extra = rng.integers(0, 4, (n, 5)).astype(np.uint8)
+    raw = np.concatenate([base, extra], axis=1).reshape(-1)
+    types = np.array([laz.ITEM_POINT10, laz.ITEM_BYTE], dtype=np.uint16)
+    sizes = np.array([20, 5], dtype=np.int32)
+    stream = codec.laz_encode_stream(raw, rl, 50_000, types, sizes)
+    back = codec.laz_decode_points(stream[8:], n, 50_000, types, sizes, rl)
+    np.testing.assert_array_equal(back, raw)
+
+
+def test_gps_time_sequences_round_trip(rng):
+    """Interleaved time sequences + exact repeats + huge jumps exercise the
+    GPSTIME11 multi-sequence machinery."""
+    codec = lib()
+    n = 30_000
+    rec = synth_records(rng, n, 1)
+    t = np.empty(n)
+    seq_a = 100000.0 + np.arange(n) * 1e-5
+    seq_b = 900000.0 + np.arange(n) * 2e-5
+    t[0::3] = seq_a[0::3]
+    t[1::3] = seq_b[1::3]
+    t[2::3] = t[1::3][: (n - 2) // 3 + 1]  # exact repeats
+    rec["gps_time"] = t
+    raw = rec.view(np.uint8).reshape(-1)
+    types = np.array([6, 7], dtype=np.uint16)
+    sizes = np.array([20, 8], dtype=np.int32)
+    stream = codec.laz_encode_stream(raw, 28, 50_000, types, sizes)
+    back = codec.laz_decode_points(stream[8:], n, 50_000, types, sizes, 28)
+    np.testing.assert_array_equal(back, raw)
+
+
+def make_buffer(rng, n, with_gps=True, with_rgb=True):
+    buf = PointBuffer(rng.uniform(BOUNDS.min + 1, BOUNDS.max - 1, (n, 3)))
+    buf.set_column(A.Intensity, rng.integers(0, 65535, n, dtype=np.uint16))
+    buf.set_column(A.Classification, rng.integers(0, 10, n, dtype=np.uint8))
+    buf.set_column(A.ReturnNumber, rng.integers(1, 4, n, dtype=np.uint8))
+    buf.set_column(A.NumberOfReturns, np.full(n, 3, dtype=np.uint8))
+    if with_gps:
+        buf.set_column(A.GPSTime, 1000.0 + np.sort(rng.uniform(0, 10, n)))
+    if with_rgb:
+        buf.set_column(A.RGB, rng.integers(0, 255, (n, 3), dtype=np.uint8))
+    return buf
+
+
+def test_write_laz_read_back_equals_las(tmp_path, rng):
+    """A .laz written by write_las(compressed=True) decodes identically to
+    the .las written from the same buffer."""
+    buf = make_buffer(rng, 60_000)
+    las.write_las(str(tmp_path / "a.las"), buf, BOUNDS)
+    las.write_las(str(tmp_path / "a.laz"), buf, BOUNDS, compressed=True)
+    assert (tmp_path / "a.laz").stat().st_size \
+        < (tmp_path / "a.las").stat().st_size
+
+    plain = las.read_las(str(tmp_path / "a.las"))
+    packed = las.read_las(str(tmp_path / "a.laz"))
+    np.testing.assert_array_equal(packed.positions, plain.positions)
+    for attr in (A.Intensity, A.Classification, A.RGB, A.GPSTime,
+                 A.ReturnNumber, A.NumberOfReturns):
+        np.testing.assert_array_equal(packed.get(attr), plain.get(attr),
+                                      err_msg=str(attr))
+
+
+def test_laz_reader_random_access(tmp_path, rng):
+    buf = make_buffer(rng, 120_000, with_rgb=False)
+    path = str(tmp_path / "r.laz")
+    las.write_las(path, buf, BOUNDS, compressed=True)
+    f = las.LASFile(path)
+    assert f.header.is_compressed
+    full = f.read_points(0, f.count).positions
+    # arbitrary (non chunk aligned) windows
+    for start, count in [(0, 10), (49_999, 2), (50_000, 50_000),
+                         (99_990, 30_000), (119_999, 1), (7_123, 61_000)]:
+        got = f.read_points(start, count).positions
+        want = full[start:start + min(count, f.count - start)]
+        np.testing.assert_array_equal(got, want, err_msg=f"{start}+{count}")
+
+
+def test_laz_fused_read_path(tmp_path, rng):
+    """The fused decode+Morton-index read path must work from LAZ input."""
+    buf = make_buffer(rng, 30_000, with_gps=False, with_rgb=False)
+    path = str(tmp_path / "f.laz")
+    las.write_las(path, buf, BOUNDS, compressed=True)
+    f = las.LASFile(path)
+    center = BOUNDS.center()
+    fused = f.read_points_fused(0, f.count, f.attributes(), False, center,
+                                BOUNDS.min, BOUNDS.max)
+    plain = f.read_points(0, f.count)
+    from schwarzwald_tpu.ops import indexing
+    keys, clamped = indexing.index_points(plain.positions, BOUNDS.min,
+                                          BOUNDS.max)
+    np.testing.assert_array_equal(fused.morton_keys, keys)
+    np.testing.assert_array_equal(fused.positions, clamped)
+
+
+def test_cli_tiler_laz_input_matches_las(tmp_path, rng):
+    """Same cloud via .las and .laz inputs -> identical octrees."""
+    from schwarzwald_tpu.cli import main as cli_main
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+
+    buf = make_buffer(rng, 20_000, with_gps=False, with_rgb=False)
+    las.write_las(str(tmp_path / "in.las"), buf, BOUNDS)
+    las.write_las(str(tmp_path / "in.laz"), buf, BOUNDS, compressed=True)
+    outs = {}
+    for ext in ("las", "laz"):
+        out = tmp_path / f"out_{ext}"
+        rc = cli_main(["--tiler", "-i", str(tmp_path / f"in.{ext}"),
+                       "-o", str(out), "--spacing", "5",
+                       "--max-points-per-node", "1000",
+                       "--sampling", "RANDOM_GRID", "--output-format", "BIN"])
+        assert rc == 0
+        sink = BinaryPersistence(str(out))
+        outs[ext] = {name[:-4]: sink.retrieve_points(name[:-4]).positions
+                     for name in os.listdir(out) if name.endswith(".bin")}
+    assert outs["las"].keys() == outs["laz"].keys()
+    for name, pos in outs["las"].items():
+        np.testing.assert_array_equal(outs["laz"][name], pos, err_msg=name)
+
+
+def test_cli_tiler_entwine_laz_end_to_end(tmp_path, rng):
+    """ENTWINE_LAZ (the Potree-standard output) end-to-end: ept.json says
+    laszip, node files are valid .laz, and points survive the round trip
+    within LAS quantization."""
+    import json
+
+    from schwarzwald_tpu.cli import main as cli_main
+
+    buf = make_buffer(rng, 8_000, with_gps=False, with_rgb=False)
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    las.write_las(str(src), buf, BOUNDS)
+    # ACCURATE: no finalize-time ancestor reconstruction, so stored points
+    # are conserved exactly (FAST duplicates sampled points into ancestors
+    # by design, matching reconstruct_single_node,
+    # TilingAlgorithms.cpp:1661-1715)
+    rc = cli_main(["--tiler", "-i", str(src), "-o", str(out),
+                   "--spacing", "10", "--max-points-per-node", "500",
+                   "--sampling", "RANDOM_GRID", "--tiling-strategy",
+                   "ACCURATE", "--output-format", "ENTWINE_LAZ"])
+    assert rc == 0
+    ept = json.load(open(out / "ept.json"))
+    assert ept["dataType"] == "laszip"
+    root_file = out / "ept-data" / "0-0-0-0.laz"
+    assert root_file.exists()
+    node = las.read_las(str(root_file))
+    assert node.count > 0
+    # all decoded points fall inside the node bounds (quantization slack)
+    assert (node.positions >= BOUNDS.min - 0.01).all()
+    assert (node.positions <= BOUNDS.max + 0.01).all()
+    # conservation: every input point appears exactly once across ept-data
+    total = sum(las.read_las(str(out / "ept-data" / f)).count
+                for f in os.listdir(out / "ept-data"))
+    assert total == 8_000
+
+
+def test_converter_laz_output(tmp_path, rng):
+    from schwarzwald_tpu.cli import main as cli_main
+
+    buf = make_buffer(rng, 5_000, with_gps=False, with_rgb=False)
+    las.write_las(str(tmp_path / "in.las"), buf, BOUNDS)
+    tiled = tmp_path / "tiled"
+    conv = tmp_path / "conv"
+    cli_main(["--tiler", "-i", str(tmp_path / "in.las"), "-o", str(tiled),
+              "--spacing", "10", "--sampling", "RANDOM_GRID",
+              "--output-format", "BIN"])
+    rc = cli_main(["--converter", "-i", str(tiled), "-o", str(conv),
+                   "--output-format", "LAZ"])
+    assert rc == 0
+    assert (conv / "r.laz").exists()
+    assert las.read_las(str(conv / "r.laz")).count > 0
