@@ -108,6 +108,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use-device", default=None, choices=["auto", "cpu", "tpu"],
                    help="Device batch pipeline selection (TPU-native runs "
                         "Morton encode + sort + grid sampling on device)")
+    p.add_argument("--multichip", type=int, default=0,
+                   help="Shard every batch's sort + octree split across an "
+                        "N-device mesh (lossless all_to_all point exchange; "
+                        "FAST semantics at the mesh ownership level)")
+    p.add_argument("--multihost", type=int, nargs=2, default=None,
+                   metavar=("INDEX", "COUNT"),
+                   help="Run as host INDEX of COUNT over a shared output "
+                        "filesystem (per-host file assignment, octree-block "
+                        "ownership, filesystem point exchange)")
     return p
 
 
@@ -159,6 +168,9 @@ def main(argv=None) -> int:
         resume=args.resume,
         use_device=args.use_device,
         cache_size_bytes=args.cache_size or 0,
+        multichip=args.multichip,
+        multihost_index=args.multihost[0] if args.multihost else 0,
+        multihost_count=args.multihost[1] if args.multihost else 1,
     )
     TilerProcess(targs).run()
     return 0

@@ -220,11 +220,12 @@ def make_sharded_encode_sort(mesh, level: int = 3):
         hist = jnp.zeros((8 ** level,), jnp.int32).at[cells].add(1)
         hist = lax.psum(hist, axis)
 
-        # Destination device = contiguous block of level-3 cells. Block
-        # partitioning keeps each destination's points contiguous in the
-        # locally sorted order (Morton order), so slots are computable with
-        # a prefix sum (and collectives exchange contiguous runs).
-        dest = (_cells_at_level(hi, 3).astype(jnp.int32) * n_dev) // 512
+        # Destination device = contiguous block of level-`level` cells.
+        # Block partitioning keeps each destination's points contiguous in
+        # the locally sorted order (Morton order), so slots are computable
+        # with a prefix sum (and collectives exchange contiguous runs).
+        dest = (_cells_at_level(hi, level).astype(jnp.int32) * n_dev) \
+            // (8 ** level)
         send_hi = jnp.full((n_dev, capacity), 0xFFFFFFFF, jnp.uint32)
         send_lo = jnp.full((n_dev, capacity), 0xFFFFFFFF, jnp.uint32)
         counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(1)
@@ -253,3 +254,171 @@ def make_sharded_encode_sort(mesh, level: int = 3):
         in_specs=(P(axis, None), P(), P()),
         out_specs=(P(), P(axis), P(axis), P(axis)),
         **_check_kw)
+
+
+# ---------------------------------------------------------------------------
+# Production multi-device exchange: two-phase, payload-carrying, lossless
+# ---------------------------------------------------------------------------
+
+
+def _shard_map_compat():
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    params = inspect.signature(shard_map).parameters
+    kw = {"check_vma": False} if "check_vma" in params else {"check_rep": False}
+    return shard_map, kw
+
+
+class ShardedExchange:
+    """The production multi-device batch exchange (SURVEY §2.5 TPU-native
+    communication plan): points travel as (key_hi, key_lo, point_id)
+    triples to the device owning their octree block.
+
+    Two phases so that NO point is ever dropped (the capacity of the
+    all_to_all is data-dependent, but XLA shapes are static):
+
+      phase 1 (`counts`):  per-device stable sort by key + exact global
+          start-node histogram (psum) + per-destination send counts.
+      phase 2 (`exchange`): jitted per capacity bucket (next power of two of
+          the true max count, so recompiles are logarithmically bounded);
+          scatters each device's contiguous destination runs into
+          (n_dev, capacity) buffers, all_to_all over the mesh axis, then a
+          stable merge. Equal keys keep global batch order: shards are
+          contiguous batch spans, receive buffers are concatenated in
+          source order, and the merge sort is stable — so the result is
+          bit-identical to a single-device stable sort of the whole batch.
+
+    Ownership: level-`level` Morton cells striped in contiguous blocks over
+    the device axis — the multi-chip analogue of the FAST strategy's fixed
+    start-node level (TilingAlgorithms.cpp:1473-1535).
+    """
+
+    SENTINEL = 0xFFFFFFFF  # valid keys have hi <= 0x7FFFFFFF (63-bit keys)
+
+    def __init__(self, mesh, level: int = 3):
+        from jax.sharding import PartitionSpec as P
+
+        shard_map, check_kw = _shard_map_compat()
+        self.mesh = mesh
+        self.level = level
+        self.n_dev = int(mesh.devices.size)
+        n_dev = self.n_dev
+        n_cells = 8 ** level
+        axis = "dp"
+
+        def counts_step(hi, lo, ids):
+            hi, lo, ids = lax.sort((hi, lo, ids), num_keys=2, is_stable=True)
+            valid = ids >= 0  # host padding carries id -1
+            cells = _cells_at_level(hi, level)
+            # padding keys are sentinels whose cell is out of range; a
+            # masked add keeps them out (OOB scatter indices clip under jit)
+            hist = jnp.zeros((n_cells,), jnp.int32).at[cells].add(
+                valid.astype(jnp.int32))
+            hist = lax.psum(hist, axis)
+            dest = (cells.astype(jnp.int32) * n_dev) // n_cells
+            counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
+                valid.astype(jnp.int32))
+            return hi, lo, ids, counts, hist
+
+        self._counts = shard_map(
+            counts_step, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+            **check_kw)
+
+        self._exchange_cache = {}
+
+        def make_exchange(capacity: int):
+            def exchange_step(hi, lo, ids):
+                n_local = hi.shape[0]
+                cells = _cells_at_level(hi, level)
+                valid = ids >= 0
+                dest = (cells.astype(jnp.int32) * n_dev) // n_cells
+                counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
+                    valid.astype(jnp.int32))
+                starts = jnp.concatenate(
+                    [jnp.zeros(1, jnp.int32),
+                     jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+                # position within the contiguous destination run; padding
+                # (invalid) entries sit at the end of the sorted order and
+                # are scattered out of bounds, which mode="drop" discards
+                rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+                slot = jnp.where(valid, rank - starts[dest], capacity)
+                dest = jnp.where(valid, dest, 0)
+                send_hi = jnp.full((n_dev, capacity), self.SENTINEL,
+                                   jnp.uint32)
+                send_lo = jnp.full((n_dev, capacity), self.SENTINEL,
+                                   jnp.uint32)
+                send_id = jnp.full((n_dev, capacity), -1, jnp.int32)
+                send_hi = send_hi.at[dest, slot].set(hi, mode="drop")
+                send_lo = send_lo.at[dest, slot].set(lo, mode="drop")
+                send_id = send_id.at[dest, slot].set(ids, mode="drop")
+                recv_hi = lax.all_to_all(send_hi, axis, 0, 0, tiled=False)
+                recv_lo = lax.all_to_all(send_lo, axis, 0, 0, tiled=False)
+                recv_id = lax.all_to_all(send_id, axis, 0, 0, tiled=False)
+                # stable merge: receive buffers flatten in source order
+                m_hi, m_lo, m_id = lax.sort(
+                    (recv_hi.reshape(-1), recv_lo.reshape(-1),
+                     recv_id.reshape(-1)), num_keys=2, is_stable=True)
+                owned = jnp.sum(m_hi != jnp.uint32(self.SENTINEL),
+                                dtype=jnp.int32).reshape(1)
+                del n_local
+                return m_hi, m_lo, m_id, owned
+
+            return shard_map(
+                exchange_step, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                **check_kw)
+
+        self._make_exchange = make_exchange
+
+    def _pad(self, arr, fill):
+        import numpy as np
+
+        n = arr.shape[0]
+        per = -(-n // self.n_dev)
+        total = per * self.n_dev
+        if total == n:
+            return arr
+        return np.concatenate(
+            [arr, np.full(total - n, fill, dtype=arr.dtype)])
+
+    def route(self, keys_u64, ids):
+        """Route a host batch: returns (owned_keys_u64, owned_ids) per
+        device, exactly partitioned by ownership block, globally sorted
+        within each device, no points dropped."""
+        import numpy as np
+
+        hi = self._pad((keys_u64 >> np.uint64(32)).astype(np.uint32),
+                       self.SENTINEL)
+        lo = self._pad(keys_u64.astype(np.uint32), self.SENTINEL)
+        ids32 = self._pad(np.asarray(ids, dtype=np.int32), -1)
+
+        with self.mesh:
+            s_hi, s_lo, s_id, counts, hist = self._counts(hi, lo, ids32)
+            max_count = int(np.asarray(counts).max())
+            capacity = 1
+            while capacity < max_count:
+                capacity <<= 1
+            exchange = self._exchange_cache.get(capacity)
+            if exchange is None:
+                exchange = self._make_exchange(capacity)
+                self._exchange_cache[capacity] = exchange
+            m_hi, m_lo, m_id, owned = exchange(s_hi, s_lo, s_id)
+
+        m_hi = np.asarray(m_hi).reshape(self.n_dev, -1)
+        m_lo = np.asarray(m_lo).reshape(self.n_dev, -1)
+        m_id = np.asarray(m_id).reshape(self.n_dev, -1)
+        owned = np.asarray(owned).reshape(-1)
+        results = []
+        for d in range(self.n_dev):
+            k = int(owned[d])
+            keys = (m_hi[d, :k].astype(np.uint64) << np.uint64(32)) \
+                | m_lo[d, :k].astype(np.uint64)
+            results.append((keys, m_id[d, :k].astype(np.int64)))
+        return results, np.asarray(hist)

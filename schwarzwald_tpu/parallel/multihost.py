@@ -123,3 +123,211 @@ def plan_multihost_tiling(files_with_counts, local_bounds: AABB,
         owned_node_range=owned_node_block(process_index, process_count,
                                           start_level),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filesystem-coordinated multi-host execution
+# ---------------------------------------------------------------------------
+#
+# A real multi-host run needs points read by host A but owned by host B to
+# reach B. Within a pod slice that is the ICI all_to_all
+# (parallel.multidevice); ACROSS hosts this framework uses the shared
+# persistence filesystem as the transport (the role DCN plays in SURVEY
+# §2.5): each host spills foreign points as lossless BIN batches into a
+# per-owner exchange directory, and barriers are marker files. This needs
+# no network runtime beyond the shared filesystem every multi-host tiling
+# deployment already requires for its output.
+
+
+class MultiHostCoordinator:
+    """Exchange directory + barrier protocol for one tiling run.
+
+    Protocol per host i (of n):
+      1. tile own files; spill points of foreign start nodes to
+         .mh-exchange/to_<owner>/from<i>_<seq>.bin
+      2. touch spills_done_<i>; wait for all spills_done_*
+      3. ingest every to_<i>/ spill as a normal batch (all its points land
+         in host i's owned start nodes); write start_nodes_<i>.json
+      4. touch subtree_done_<i>; host 0 waits for all subtree_done_*,
+         unions the manifests and reconstructs the shared ancestors
+    """
+
+    POLL_SECONDS = 0.2
+
+    def __init__(self, output_directory: str, process_index: int,
+                 process_count: int, timeout: float = 3600.0):
+        import os
+
+        self.dir = os.path.join(output_directory, ".mh-exchange")
+        self.process_index = process_index
+        self.process_count = process_count
+        self.timeout = timeout
+        os.makedirs(os.path.join(self.dir, f"to_{process_index}"),
+                    exist_ok=True)
+
+    def spill_dir(self, owner: int) -> str:
+        import os
+
+        path = os.path.join(self.dir, f"to_{owner}")
+        os.makedirs(path, exist_ok=True)
+        return path
+
+    def mark(self, phase: str) -> None:
+        import os
+
+        open(os.path.join(self.dir, f"{phase}_{self.process_index}"),
+             "w").close()
+
+    def wait_all(self, phase: str) -> None:
+        self._wait(phase, list(range(self.process_count)))
+
+    def wait_one(self, phase: str, host: int) -> None:
+        self._wait(phase, [host])
+
+    def _wait(self, phase: str, hosts) -> None:
+        import os
+        import time
+
+        deadline = time.monotonic() + self.timeout
+        while True:
+            missing = [i for i in hosts
+                       if not os.path.exists(
+                           os.path.join(self.dir, f"{phase}_{i}"))]
+            if not missing:
+                return
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"multi-host barrier '{phase}' timed out waiting for "
+                    f"hosts {missing}")
+            time.sleep(self.POLL_SECONDS)
+
+    def write_manifest(self, start_nodes_used) -> None:
+        import json
+        import os
+
+        with open(os.path.join(
+                self.dir, f"start_nodes_{self.process_index}.json"),
+                "w") as f:
+            json.dump(sorted([int(k), int(lv)] for k, lv in
+                             start_nodes_used), f)
+
+    def union_manifests(self) -> set:
+        import json
+        import os
+
+        out = set()
+        for i in range(self.process_count):
+            path = os.path.join(self.dir, f"start_nodes_{i}.json")
+            if os.path.exists(path):
+                out.update((int(k), int(lv)) for k, lv in
+                           json.load(open(path)))
+        return out
+
+    def cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+class TilingAlgorithmMultiHost:
+    """FAST-semantics tiling of this host's owned octree block, spilling
+    foreign points through the coordinator. Wraps a TilingAlgorithmFast
+    pinned to the plan's start level."""
+
+    def __init__(self, sampling_strategy, persistence, meta,
+                 plan: MultiHostPlan, coordinator: MultiHostCoordinator,
+                 progress_reporter=None):
+        from ..io.bin_persistence import BinaryPersistence
+        from ..tiling.engine import TilingAlgorithmFast
+
+        self.plan = plan
+        self.coordinator = coordinator
+        self.inner = TilingAlgorithmFast(sampling_strategy, persistence,
+                                         meta, progress_reporter)
+        self.inner.level_of_start_nodes = plan.start_level
+        self._spill_sinks = {
+            owner: BinaryPersistence(coordinator.spill_dir(owner))
+            for owner in range(plan.process_count)
+            if owner != plan.process_index}
+        self._spill_seq = 0
+
+    # -- owner routing --------------------------------------------------
+
+    def _owner_of(self, node_key: int) -> int:
+        total = 8 ** self.plan.start_level
+        return (node_key * self.plan.process_count) // total
+
+    def process_batch(self, buffer, bounds) -> None:
+        from ..core import morton
+        from ..ops import indexing
+        from ..tiling.arena import PointArena
+        from ..tiling.engine import NodeTask
+
+        if not buffer.count:
+            return
+        inner = self.inner
+        keys = inner.index_batch(buffer, bounds)
+        arena = PointArena()
+        ids = arena.append(buffer)
+        order = indexing.sort_by_key(keys)
+        keys, ids = keys[order], ids[order]
+        root = inner._make_root(bounds)
+        level = self.plan.start_level
+        lo_own, hi_own = self.plan.owned_node_range
+
+        for node, k, i in inner._split_at_start_level(keys, ids, root):
+            node_key = morton.parse_node_name(node.name)[0]
+            if lo_own <= node_key < hi_own:
+                inner._start_nodes_used.add((node_key, level))
+                inner._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+            else:
+                owner = self._owner_of(node_key)
+                sink = self._spill_sinks[owner]
+                name = (f"from{self.plan.process_index}"
+                        f"_{self._spill_seq:06d}")
+                self._spill_seq += 1
+                sink.persist_points(arena.gather(i), node.bounds, name)
+
+    def ingest_foreign(self, bounds) -> int:
+        """Step 3: process every spill batch addressed to this host."""
+        import os
+
+        from ..io.bin_persistence import BinaryPersistence
+
+        spill_dir = self.coordinator.spill_dir(self.plan.process_index)
+        sink = BinaryPersistence(spill_dir)
+        total = 0
+        for name in sorted(os.listdir(spill_dir)):
+            if not name.endswith(".bin"):
+                continue
+            buf = sink.retrieve_points(name[:-4])
+            if buf.count:
+                # spilled positions are already clamped; re-deriving their
+                # Morton keys is idempotent, so a normal batch pass lands
+                # them in this host's owned start nodes
+                self.inner.process_batch(buf, bounds)
+                total += buf.count
+        return total
+
+    def finalize(self, bounds) -> None:
+        """Steps 2-4 of the coordinator protocol."""
+        coord = self.coordinator
+        coord.mark("spills_done")
+        coord.wait_all("spills_done")
+        self.ingest_foreign(bounds)
+        coord.write_manifest(self.inner._start_nodes_used)
+        coord.mark("subtree_done")
+        if self.plan.process_index == 0:
+            coord.wait_all("subtree_done")
+            self.inner._start_nodes_used = coord.union_manifests()
+            self.inner.finalize(bounds)
+            coord.cleanup()
+
+    # passthroughs used by the Tiler / checkpointing
+    @property
+    def level_of_start_nodes(self):
+        return self.inner.level_of_start_nodes
+
+    @property
+    def _start_nodes_used(self):
+        return self.inner._start_nodes_used

@@ -27,7 +27,8 @@ class Tiler:
     def __init__(self, dataset_metadata, meta: TilerMetaParameters,
                  sampling_strategy: SamplingStrategy, progress_reporter,
                  point_source, persistence, input_attributes,
-                 thread_config=None, checkpoint_callback=None):
+                 thread_config=None, checkpoint_callback=None,
+                 algorithm=None):
         import numpy as np
 
         self.meta = meta
@@ -51,9 +52,9 @@ class Tiler:
         self.bounds = (dataset_metadata.total_bounds_cubic_at_origin()
                        if meta.shift_points_to_origin else bounds_cubic)
 
-        self.algorithm = make_tiling_algorithm(
-            meta.tiling_strategy, sampling_strategy, persistence, meta,
-            progress_reporter)
+        self.algorithm = algorithm if algorithm is not None else \
+            make_tiling_algorithm(meta.tiling_strategy, sampling_strategy,
+                                  persistence, meta, progress_reporter)
 
     # -- read stage ---------------------------------------------------------
 

@@ -69,6 +69,14 @@ class TilerArguments:
     # In-memory node cache size in bytes (--cache-size); see
     # TilerMetaParameters.cache_size_bytes.
     cache_size_bytes: int = 0
+    # Multi-chip mesh size (0 = single device); see TilerMetaParameters.
+    multichip: int = 0
+    # Multi-host tiling over a shared output filesystem: this process's
+    # index and the total process count (parallel.multihost — file
+    # assignment + octree-block ownership + filesystem point exchange).
+    # count <= 1 = single host.
+    multihost_index: int = 0
+    multihost_count: int = 1
 
 
 @dataclasses.dataclass
@@ -210,16 +218,33 @@ class TilerProcess:
         if not files:
             raise RuntimeError("No point files to process")
 
+        multihost = self.args.multihost_count > 1
+        is_primary = not multihost or self.args.multihost_index == 0
+
         state_path = os.path.join(self.args.output_directory,
                                   "tiler_state.json")
         resume_state = None
         if self.args.resume and os.path.exists(state_path):
+            if multihost:
+                raise RuntimeError("--resume is not supported with multihost")
             resume_state = json.load(open(state_path))
             log.info(f"Resuming from checkpoint: "
                      f"{resume_state.get('points_processed', 0)} points "
                      f"already processed")
-        else:
+        elif is_primary:
             self._prepare_output_directory()
+
+        mh_coord = None
+        if multihost:
+            from ..parallel.multihost import MultiHostCoordinator
+            os.makedirs(self.args.output_directory, exist_ok=True)
+            mh_coord = MultiHostCoordinator(self.args.output_directory,
+                                            self.args.multihost_index,
+                                            self.args.multihost_count)
+            if is_primary:
+                mh_coord.mark("prepared")
+            else:
+                mh_coord.wait_one("prepared", 0)
         configure(self.args.output_directory, self.args.journal)
         if self.args.journal:
             # Chrome-trace of the read/index pipeline (the reference's
@@ -280,7 +305,25 @@ class TilerProcess:
             concurrency=max(1, concurrency),
             use_device=self.args.use_device,
             cache_size_bytes=self.args.cache_size_bytes,
+            multichip=self.args.multichip,
         )
+
+        mh_plan = None
+        mh_algorithm = None
+        if mh_coord is not None:
+            from ..parallel.multihost import plan_multihost_tiling
+            files_with_counts = [
+                (path, count) for path, (count, _bounds)
+                in metadata.get_all_files_metadata().items()]
+            mh_plan = plan_multihost_tiling(
+                files_with_counts, metadata.total_bounds_tight(),
+                start_level=3,
+                process_index=self.args.multihost_index,
+                process_count=self.args.multihost_count)
+            files = mh_plan.local_files
+            log.info(f"Multi-host {mh_plan.process_index}/"
+                     f"{mh_plan.process_count}: {len(files)} local files, "
+                     f"owned node block {mh_plan.owned_node_range}")
 
         source = MultiReaderPointSource(files, self.args.errors_to_ignore)
         source.set_attributes(self.input_attributes)
@@ -329,9 +372,17 @@ class TilerProcess:
                 json.dump(state, f)
             os.replace(tmp, state_path)
 
+        if mh_plan is not None:
+            from ..parallel.multihost import TilingAlgorithmMultiHost
+            mh_algorithm = TilingAlgorithmMultiHost(
+                sampling_strategy, persistence, meta, mh_plan, mh_coord,
+                self.progress)
+
         tiler = Tiler(metadata, meta, sampling_strategy, self.progress,
                       source, persistence, self.input_attributes,
-                      thread_config, checkpoint_callback=checkpoint)
+                      thread_config,
+                      checkpoint_callback=None if multihost else checkpoint,
+                      algorithm=mh_algorithm)
         if resume_state is not None:
             level = resume_state.get("level_of_start_nodes")
             if level is not None and hasattr(tiler.algorithm,
@@ -354,7 +405,12 @@ class TilerProcess:
                 num_processed = tiler.run()
         else:
             num_processed = tiler.run()
-        persistence.close()
+        if is_primary:
+            # multihost: only host 0 writes the index artifacts (tileset
+            # forest / EPT hierarchy); its finalize already waited for all
+            # other hosts' subtrees, and the sinks reconcile the full node
+            # set from the shared output directory on close.
+            persistence.close()
         indexing_end = time.perf_counter()
 
         stats = PerformanceStats(
@@ -368,13 +424,14 @@ class TilerProcess:
             tracer.write(os.path.join(global_config().journal_directory,
                                       "executor_trace.json"))
             JournalStore.global_store().flush_all()
-        write_properties_json(self.args.output_directory, cubic_bounds,
-                              self.args.spacing, stats)
-        if os.path.exists(state_path):
+        if is_primary:
+            write_properties_json(self.args.output_directory, cubic_bounds,
+                                  self.args.spacing, stats)
+        if is_primary and os.path.exists(state_path):
             os.remove(state_path)  # run completed; checkpoint obsolete
 
-        if self.args.output_format in (OutputFormat.ENTWINE_LAS,
-                                       OutputFormat.ENTWINE_LAZ):
+        if is_primary and self.args.output_format in (
+                OutputFormat.ENTWINE_LAS, OutputFormat.ENTWINE_LAZ):
             from ..io.entwine import (point_attributes_to_ept_schema,
                                       write_ept_json)
             write_ept_json(

@@ -637,6 +637,12 @@ class TilingAlgorithmAdaptive(TilingAlgorithmFast):
 def make_tiling_algorithm(strategy: TilingStrategy,
                           sampling_strategy: SamplingStrategy, persistence,
                           meta: TilerMetaParameters, progress_reporter=None):
+    if meta.multichip > 0:
+        from ..parallel.multidevice import (TilingAlgorithmMultiDevice,
+                                            make_mesh)
+        return TilingAlgorithmMultiDevice(
+            sampling_strategy, persistence, meta, progress_reporter,
+            mesh=make_mesh(meta.multichip))
     cls = {TilingStrategy.Accurate: TilingAlgorithmAccurate,
            TilingStrategy.Fast: TilingAlgorithmFast,
            TilingStrategy.Adaptive: TilingAlgorithmAdaptive}[strategy]

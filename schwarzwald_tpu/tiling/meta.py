@@ -37,3 +37,7 @@ class TilerMetaParameters:
     # disk read-back for hot nodes. Only active with LOSSLESS persistence
     # (lossy sinks must re-read quantized points for parity). 0 = off.
     cache_size_bytes: int = 0
+    # Multi-chip: >0 shards every batch's sort + start-level split across
+    # an n-device mesh (parallel.multidevice, lossless payload exchange).
+    # Forces FAST semantics with the ownership level as start-node level.
+    multichip: int = 0

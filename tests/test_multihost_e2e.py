@@ -1,0 +1,105 @@
+"""Multi-host tiling end-to-end: two TilerProcess "hosts" run concurrently
+against a shared output filesystem, exchanging foreign points through the
+coordinator (parallel.multihost). Asserts exact point conservation across
+the combined octree and agreement with a single-host run at the ownership
+level."""
+import os
+import threading
+
+import numpy as np
+
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.attributes import OutputFormat, PointAttribute
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io import las
+from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+from schwarzwald_tpu.process.tiler_process import TilerArguments, TilerProcess
+
+BOUNDS = AABB([0.0, 0.0, 0.0], [100.0, 100.0, 100.0])
+
+
+def _write_las(path, rng, n):
+    buf = PointBuffer(rng.uniform(BOUNDS.min + 1, BOUNDS.max - 1, (n, 3)))
+    buf.set_column(PointAttribute.Intensity,
+                   rng.integers(0, 65535, n, dtype=np.uint16))
+    las.write_las(str(path), buf, BOUNDS)
+
+
+def _collect(out_dir):
+    sink = BinaryPersistence(str(out_dir))
+    nodes = {}
+    for name in os.listdir(out_dir):
+        if name.endswith(".bin"):
+            nodes[name[:-4]] = sink.retrieve_points(name[:-4])
+    return nodes
+
+
+def test_two_host_tiling_conserves_points(tmp_path, rng):
+    files = []
+    for i in range(3):
+        path = tmp_path / f"part{i}.las"
+        _write_las(path, rng, 4000)
+        files.append(str(path))
+    total = 12_000
+
+    def make_args(out, index, count):
+        return TilerArguments(
+            sources=files, output_directory=str(out), spacing=5.0,
+            max_points_per_node=400, sampling_strategy="RANDOM_GRID",
+            output_format=OutputFormat.BIN,
+            multihost_index=index, multihost_count=count)
+
+    # single-host baseline with the same pinned start level
+    single_out = tmp_path / "single"
+    args = make_args(single_out, 0, 1)
+    proc = TilerProcess(args)
+    # pin FAST's start level to the multihost ownership level for the
+    # level-3 structure comparison
+    import schwarzwald_tpu.tiling.engine as engine
+
+    orig = engine.TilingAlgorithmFast._estimate_start_node_level
+    engine.TilingAlgorithmFast._estimate_start_node_level = \
+        lambda self, keys: 3
+    try:
+        proc.run()
+
+        multi_out = tmp_path / "multi"
+        errors = []
+
+        def run_host(index):
+            try:
+                TilerProcess(make_args(multi_out, index, 2)).run()
+            except BaseException as err:  # surface in the main thread
+                errors.append((index, err))
+
+        threads = [threading.Thread(target=run_host, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+    finally:
+        engine.TilingAlgorithmFast._estimate_start_node_level = orig
+
+    single_nodes = _collect(single_out)
+    multi_nodes = _collect(multi_out)
+
+    def at_or_below_start(nodes):
+        return {n: b for n, b in nodes.items() if len(n) - 1 >= 3}
+
+    # exact conservation at the start level and deeper
+    multi_total = sum(b.count for b in at_or_below_start(multi_nodes).values())
+    assert multi_total == total
+    # same occupied level-3 blocks as the single-host run
+    assert {n[:4] for n in at_or_below_start(multi_nodes)} \
+        == {n[:4] for n in at_or_below_start(single_nodes)}
+    # ancestors were reconstructed up to the root
+    assert "r" in multi_nodes
+    # attributes survived the spill exchange
+    deep = at_or_below_start(multi_nodes)
+    assert all(b.has(PointAttribute.Intensity) for b in deep.values())
+    # the exchange directory was cleaned up
+    assert not os.path.exists(multi_out / ".mh-exchange")
+    # properties.json written exactly once (by host 0)
+    assert os.path.exists(multi_out / "properties.json")
