@@ -15,11 +15,26 @@ Reference parity targets (cited throughout as reference file:line):
   - CLI surface: schwarzwald/executable/main.cpp
 """
 
+import os as _os
+
 import jax
 
 # Positions and distance tests are double precision throughout the reference
 # (Vector3<double>); we match that. Morton keys are uint64 (63 bits used).
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the level-synchronous octree sweep is a
+# large program (minutes to compile on TPU); caching makes every signature a
+# one-time cost across processes. Override dir with SCHWARZWALD_TPU_JAX_CACHE,
+# disable with SCHWARZWALD_TPU_JAX_CACHE=0.
+_cache_dir = _os.environ.get("SCHWARZWALD_TPU_JAX_CACHE",
+                             _os.path.expanduser("~/.cache/schwarzwald_tpu_jax"))
+if _cache_dir != "0":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs: in-process cache only
+        pass
 
 __version__ = "0.1.0"
 

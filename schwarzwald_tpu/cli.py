@@ -83,8 +83,10 @@ def build_parser() -> argparse.ArgumentParser:
                             "MIN_DISTANCE_FAST", "JITTERED"])
     p.add_argument("--calculate-rgb-from", default="NONE",
                    choices=["NONE", "INTENSITY_LINEAR", "INTENSITY_LOG"])
-    p.add_argument("--cache-size", type=parse_memory_size, default=None,
-                   help="In-memory cache size with SI suffix (e.g. 800MiB)")
+    p.add_argument("--cache-size", type=parse_memory_size, default="512MiB",
+                   help="In-memory node cache size with SI suffix "
+                        "(e.g. 800MiB); 0 disables. Skips disk re-reads of "
+                        "hot nodes for lossless outputs.")
     p.add_argument("--journal", action="store_true",
                    help="Write a detailed journal for performance analysis")
     p.add_argument("--source-projection", default=None,

@@ -41,25 +41,27 @@ def rgb_from_intensity(intensity: np.ndarray,
 
 def _binary_attributes(points: PointBuffer, output_attributes,
                        rgb_mapping: RGBMapping):
-    """Yield (json_name, bytes, alignment) in canonical order."""
+    """Yield (json_name, contiguous array, alignment) in canonical order."""
     out = []
     if A.Position in output_attributes:
         out.append(("POSITION",
-                    np.ascontiguousarray(points.positions,
-                                         dtype="<f4").tobytes(), 4))
+                    np.ascontiguousarray(points.positions, dtype="<f4"), 4))
     if A.RGB in output_attributes:
         if rgb_mapping != RGBMapping.Nothing and points.has(A.Intensity):
             rgb = rgb_from_intensity(points.get(A.Intensity), rgb_mapping)
-            out.append(("RGB", rgb.tobytes(), 1))
+            out.append(("RGB", rgb, 1))
         elif points.has(A.RGB):
             out.append(("RGB",
-                        np.ascontiguousarray(points.get(A.RGB),
-                                             dtype="u1").tobytes(), 1))
+                        np.ascontiguousarray(points.get(A.RGB), dtype="u1"),
+                        1))
     if A.Intensity in output_attributes and points.has(A.Intensity):
         out.append(("INTENSITY",
                     np.ascontiguousarray(points.get(A.Intensity),
-                                         dtype="<u2").tobytes(), 2))
+                                         dtype="<u2"), 2))
     return out
+
+
+_PAD = b"\x00" * 8
 
 
 def write_pnts(path: str, points: PointBuffer, output_attributes,
@@ -68,31 +70,33 @@ def write_pnts(path: str, points: PointBuffer, output_attributes,
     ft: dict = {"POINTS_LENGTH": n,
                 "RTC_CENTER": [float(rtc_center[0]), float(rtc_center[1]),
                                float(rtc_center[2])]}
-    body_parts = []
+    arrays = _binary_attributes(points, output_attributes, rgb_mapping)
+    parts = []  # (pad_bytes, array) pairs, written without re-copies
     offset = 0
-    for name, blob, alignment in _binary_attributes(points, output_attributes,
-                                                    rgb_mapping):
+    for name, arr, alignment in arrays:
         aligned = _align(offset, alignment)
-        if aligned != offset:
-            body_parts.append(b"\x00" * (aligned - offset))
         ft[name] = {"byteOffset": aligned}
-        body_parts.append(blob)
-        offset = aligned + len(blob)
+        parts.append((aligned - offset, arr))
+        offset = aligned + arr.nbytes
     body_size = _align(offset, 8)
-    if body_size != offset:
-        body_parts.append(b"\x00" * (body_size - offset))
-    body = b"".join(body_parts)
+    tail_pad = body_size - offset
 
     ft_json = json.dumps(ft, separators=(",", ":")).encode()
     ft_json_size = _align(len(ft_json), 8)
-    ft_json = ft_json.ljust(ft_json_size, b" ")
 
     total = HEADER_SIZE + ft_json_size + body_size
-    with open(path, "wb") as f:
+    with open(path, "wb", buffering=1 << 20) as f:
         f.write(b"pnts")
         f.write(struct.pack("<6I", 1, total, ft_json_size, body_size, 0, 0))
         f.write(ft_json)
-        f.write(body)
+        if len(ft_json) != ft_json_size:
+            f.write(b" " * (ft_json_size - len(ft_json)))
+        for pad, arr in parts:
+            if pad:
+                f.write(_PAD[:pad])
+            f.write(memoryview(arr).cast("B"))
+        if tail_pad:
+            f.write(_PAD[:tail_pad])
 
 
 def read_pnts(path: str, attributes=None):

@@ -222,11 +222,11 @@ def _pick_grid_center(hi, lo, positions, cand: int, remaining, iota,
 
 @functools.partial(jax.jit, static_argnames=("cands", "max_points",
                                              "max_depth", "strategy",
-                                             "jit_cfgs"))
+                                             "jit_cfgs", "min_node_level"))
 def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                        max_depth: int, strategy: str = "RANDOM_GRID",
                        positions=None, root_min=None, root_max=None,
-                       jit_cfgs: tuple = None):
+                       jit_cfgs: tuple = None, min_node_level: int = -1):
     """Per-point octree assignment level for a Morton-sorted fresh batch
     under RANDOM_GRID, GRID_CENTER or JITTERED sampling.
 
@@ -235,6 +235,11 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     + root bounds (and JITTERED the static per-level configs from
     jittered_static_configs); on TPU their f64 distances use the emulated
     f64 (exact on the cpu backend, see ARCHITECTURE.md).
+
+    min_node_level: selection starts at this node level — the FAST
+    strategy's fixed start-node level (each start node's subtree is tiled
+    independently from that level down, TilingAlgorithms.cpp:1314-1351);
+    -1 starts at the root (ACCURATE semantics).
     """
     n = hi.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -242,7 +247,7 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     out = jnp.zeros(n, dtype=jnp.int8)
     max_level = min(MAX_LEVELS - 1, max_depth)
 
-    for node_level in range(-1, max_level + 1):
+    for node_level in range(min_node_level, max_level + 1):
         if strategy == "JITTERED":
             cfg = jit_cfgs[node_level + 1]
             is_terminal = node_level >= max_level

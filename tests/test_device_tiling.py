@@ -249,3 +249,46 @@ def test_engine_use_device_second_batch_host(on_cpu, rng):
     total = sum(persistence.retrieve_points(n_).count
                 for n_ in persistence.node_names())
     assert total == 6000
+
+
+def test_fast_fresh_subtree_device_equals_host(rng, on_cpu):
+    """FAST + use_device: batch-1 start nodes go through the device sweep
+    (fresh subtrees), batch-2 revisits take the host merge path and new
+    fresh nodes the device path — results must equal the pure host run
+    node for node."""
+    import numpy as np
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.memory import MemoryPersistence
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+
+    bounds = AABB([0.0] * 3, [64.0] * 3)
+    # batch 1 fills the lower half; batch 2 revisits it AND opens fresh
+    # start nodes in the upper half
+    b1 = rng.uniform(0.0, 32.0, (5000, 3))
+    b2 = rng.uniform(0.0, 64.0, (5000, 3))
+
+    def run(use_device):
+        persistence = MemoryPersistence()
+        meta = TilerMetaParameters(spacing_at_root=6.0,
+                                   max_points_per_node=300,
+                                   concurrency=4, use_device=use_device)
+        algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                     SamplingStrategy("RANDOM_GRID", 300),
+                                     persistence, meta)
+        algo.level_of_start_nodes = 3
+        for pos in (b1, b2):
+            algo.process_batch(PointBuffer(pos.copy()), bounds)
+        algo.finalize(bounds)
+        return persistence
+
+    host = run(None)
+    dev = run("cpu")
+    assert set(host.node_names()) == set(dev.node_names())
+    for name in host.node_names():
+        np.testing.assert_array_equal(dev.retrieve_points(name).positions,
+                                      host.retrieve_points(name).positions,
+                                      err_msg=name)
