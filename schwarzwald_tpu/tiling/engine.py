@@ -461,8 +461,8 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             fresh = [sn for sn in start_nodes
                      if not self.persistence.node_exists(sn[0].name)]
             if fresh:
-                fk = np.concatenate([k for _, k, _ in fresh])
-                fi = np.concatenate([i for _, i, _ in fresh])
+                fk = np.concatenate([sn[1] for sn in fresh])
+                fi = np.concatenate([sn[2] for sn in fresh])
                 lv = self._device_select_levels(
                     arena, fk, fi, root, min_node_level=level - 1)
                 if lv is not None:
