@@ -312,10 +312,28 @@ def _poisson_backend(positions, node_min, node_max, spacing, analyze_mask):
                                 analyze_mask)
 
 
+def _poisson_device_attempt(keys, positions, root_min, root_max, spacing,
+                            analyze_mask, device_backend):
+    """Try the device Poisson relaxation (ops/device_poisson); None falls
+    back to the host kernel (small ranges, dense cells, device errors)."""
+    if not device_backend or keys.size < 4096:
+        return None
+    try:
+        from . import device_poisson
+        root_extent_x = float(np.asarray(root_max)[0]
+                              - np.asarray(root_min)[0])
+        return device_poisson.poisson_accept_mask_device(
+            keys, positions, root_extent_x, spacing, analyze_mask,
+            backend=device_backend)
+    except Exception:
+        return None
+
+
 def sample_min_distance(keys: np.ndarray, positions: np.ndarray, node_key: int,
                         node_level: int, root_min, root_max,
                         spacing_at_root: float, behaviour: SamplingBehaviour,
-                        max_points_per_node: int) -> SampleResult:
+                        max_points_per_node: int,
+                        device_backend: str | None = None) -> SampleResult:
     """PoissonDiskSampling (Sampling.h:421-471)."""
     n = keys.size
     if _take_all(behaviour, n, max_points_per_node):
@@ -326,8 +344,11 @@ def sample_min_distance(keys: np.ndarray, positions: np.ndarray, node_key: int,
         np.array([node_prefix], dtype=np.uint64), node_level + 1,
         root_min, root_max)
     spacing = spacing_at_node_level(spacing_at_root, node_level)
-    accepted = _poisson_backend(positions, node_min[0], node_max[0],
-                                spacing, None)
+    accepted = _poisson_device_attempt(keys, positions, root_min, root_max,
+                                       spacing, None, device_backend)
+    if accepted is None:
+        accepted = _poisson_backend(positions, node_min[0], node_max[0],
+                                    spacing, None)
     return _stable_order(np.flatnonzero(accepted), n)
 
 
@@ -335,7 +356,8 @@ def sample_min_distance_fast(keys: np.ndarray, positions: np.ndarray,
                              node_key: int, node_level: int, root_min,
                              root_max, spacing_at_root: float,
                              behaviour: SamplingBehaviour,
-                             max_points_per_node: int) -> SampleResult:
+                             max_points_per_node: int,
+                             device_backend: str | None = None) -> SampleResult:
     """AdaptivePoissonDiskSampling (Sampling.h:477-542) with the default
     density function of TilerProcess::make_sampling_strategy
     (core/process/TilerProcess.cpp:500-508)."""
@@ -359,8 +381,11 @@ def sample_min_distance_fast(keys: np.ndarray, positions: np.ndarray,
     # 0, nth, 2*nth, ... of the range.
     analyze = np.zeros(n, dtype=bool)
     analyze[::max(nth, 1)] = True
-    accepted = _poisson_backend(positions, node_min[0], node_max[0],
-                                spacing, analyze)
+    accepted = _poisson_device_attempt(keys, positions, root_min, root_max,
+                                       spacing, analyze, device_backend)
+    if accepted is None:
+        accepted = _poisson_backend(positions, node_min[0], node_max[0],
+                                    spacing, analyze)
     return _stable_order(np.flatnonzero(accepted), n)
 
 
@@ -391,6 +416,9 @@ class SamplingStrategy:
 
     name: str
     max_points_per_node: int = 20_000
+    # When set ("cpu"/"tpu"/"auto"), MIN_DISTANCE* ranges large enough run
+    # the device Poisson relaxation (ops/device_poisson); host otherwise.
+    device_backend: str | None = None
 
     def __post_init__(self):
         if self.name not in STRATEGIES:
@@ -399,8 +427,13 @@ class SamplingStrategy:
     def sample(self, keys, positions, node_key, node_level, root_min, root_max,
                spacing_at_root, behaviour) -> SampleResult:
         fn = STRATEGIES[self.name]
+        kwargs = {}
+        if self.device_backend and self.name in ("MIN_DISTANCE",
+                                                 "MIN_DISTANCE_FAST"):
+            kwargs["device_backend"] = self.device_backend
         return fn(keys, positions, node_key, node_level, root_min, root_max,
-                  spacing_at_root, behaviour, self.max_points_per_node)
+                  spacing_at_root, behaviour, self.max_points_per_node,
+                  **kwargs)
 
 
 def required_morton_index_depth(strategy: SamplingStrategy, node_level: int,

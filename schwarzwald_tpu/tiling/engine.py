@@ -57,6 +57,11 @@ class TilingAlgorithmBase:
         self.persistence = persistence
         self.meta = meta
         self.progress = progress_reporter
+        if meta.use_device and sampling_strategy.name in (
+                "MIN_DISTANCE", "MIN_DISTANCE_FAST"):
+            # Poisson-disk fresh/revisit sampling runs the device relaxation
+            # for large ranges (ops/device_poisson); host kernel otherwise.
+            sampling_strategy.device_backend = meta.use_device
         # LRU node cache over the persisted node contents (lossless sinks
         # only: lossy sinks must re-read quantized points for parity).
         self._node_cache = None
