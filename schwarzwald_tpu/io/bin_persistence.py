@@ -84,6 +84,8 @@ class BinaryPersistence:
         self.compressed = compressed
         self.extension = ".binz" if compressed else ".bin"
         os.makedirs(work_dir, exist_ok=True)
+        from .staging import FileStaging
+        self._staging = FileStaging(work_dir)
 
     def _path(self, node_name: str) -> str:
         return os.path.join(self.work_dir, node_name + self.extension)
@@ -94,7 +96,7 @@ class BinaryPersistence:
         raw = serialize(points, self.output_attributes)
         if self.compressed:
             raw = zlib.compress(raw, 1)  # zlib::best_speed
-        with open(self._path(node_name), "wb") as f:
+        with open(self._staging.path_for(self._path(node_name)), "wb") as f:
             f.write(raw)
 
     def retrieve_points(self, node_name: str) -> PointBuffer:
@@ -109,6 +111,12 @@ class BinaryPersistence:
 
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
+
+    def begin_batch(self) -> None:
+        self._staging.begin()
+
+    def commit_batch(self) -> None:
+        self._staging.commit()
 
     def close(self) -> None:
         pass

@@ -66,6 +66,8 @@ class Cesium3DTilesPersistence:
         self._by_name: dict[str, Tileset] = {}
         self._lock = threading.Lock()
         os.makedirs(work_dir, exist_ok=True)
+        from .staging import FileStaging
+        self._staging = FileStaging(work_dir)
 
     def _path(self, node_name: str) -> str:
         return os.path.join(self.work_dir, node_name + ".pnts")
@@ -74,7 +76,8 @@ class Cesium3DTilesPersistence:
                        node_name: str) -> None:
         if not points.count:
             raise RuntimeError("persist_points requires a non-empty range")
-        pnts.write_pnts(self._path(node_name), points, self.output_attributes,
+        pnts.write_pnts(self._staging.path_for(self._path(node_name)),
+                        points, self.output_attributes,
                         self.global_offset, self.rgb_mapping)
         self._on_write_node(node_name, bounds)
 
@@ -87,6 +90,12 @@ class Cesium3DTilesPersistence:
 
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
+
+    def begin_batch(self) -> None:
+        self._staging.begin()
+
+    def commit_batch(self) -> None:
+        self._staging.commit()
 
     # -- tileset tree -------------------------------------------------------
 

@@ -144,6 +144,12 @@ class EntwinePersistence:
     def node_exists(self, node_name: str) -> bool:
         return self._las.node_exists(potree_name_to_entwine_name(node_name))
 
+    def begin_batch(self) -> None:
+        self._las.begin_batch()
+
+    def commit_batch(self) -> None:
+        self._las.commit_batch()
+
     def close(self) -> None:
         with self._lock:
             # Register nodes written by a previous (resumed) session that

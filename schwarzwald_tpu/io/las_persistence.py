@@ -23,6 +23,8 @@ class LASPersistence:
         self.compressed = compressed
         self.extension = ".laz" if compressed else ".las"
         os.makedirs(work_dir, exist_ok=True)
+        from .staging import FileStaging
+        self._staging = FileStaging(work_dir)
 
     def _path(self, node_name: str) -> str:
         return os.path.join(self.work_dir, node_name + self.extension)
@@ -31,8 +33,8 @@ class LASPersistence:
                        node_name: str) -> None:
         if not points.count:
             return
-        las.write_las(self._path(node_name), points, bounds,
-                      compressed=self.compressed)
+        las.write_las(self._staging.path_for(self._path(node_name)),
+                      points, bounds, compressed=self.compressed)
 
     def retrieve_points(self, node_name: str) -> PointBuffer:
         path = self._path(node_name)
@@ -42,6 +44,12 @@ class LASPersistence:
 
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
+
+    def begin_batch(self) -> None:
+        self._staging.begin()
+
+    def commit_batch(self) -> None:
+        self._staging.commit()
 
     def close(self) -> None:
         pass

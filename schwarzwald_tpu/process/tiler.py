@@ -266,7 +266,17 @@ class Tiler:
             concurrency_box["read"] = read_c
             with trace_span("index_batch", "index"), Timer() as t:
                 try:
+                    # Checkpointable runs stage node writes per batch and
+                    # commit atomically before the checkpoint is written, so
+                    # a mid-batch crash never leaves this batch's points
+                    # half-persisted (see io/staging.py).
+                    staged = (self.checkpoint_callback is not None
+                              and hasattr(self.persistence, "begin_batch"))
+                    if staged:
+                        self.persistence.begin_batch()
                     self.algorithm.process_batch(batch, self.bounds)
+                    if staged:
+                        self.persistence.commit_batch()
                 finally:
                     if slot is not None:
                         slot.free.release()

@@ -113,3 +113,72 @@ def test_journal_outputs(tmp_path, rng):
     trace = json.load(open(journal_dir / "executor_trace.json"))
     names = {e["name"] for e in trace["traceEvents"]}
     assert "read_batch" in names and "index_batch" in names
+
+
+def test_mid_batch_crash_does_not_duplicate_points(tmp_path, rng):
+    """A crash in the MIDDLE of a batch (some nodes already persisted)
+    must not duplicate that batch's points on resume: node writes are
+    staged per batch and committed atomically before the checkpoint
+    (io/staging.py)."""
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_las(src, rng, 9000)
+    original = las.read_las(str(src)).positions
+
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.io import bin_persistence
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    args = TilerArguments(
+        sources=[str(src)], output_directory=str(out), spacing=8.0,
+        sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
+        output_format=OutputFormat.BIN, internal_cache_size=3000,
+        max_batch_read_size=3000)
+
+    class Boom(RuntimeError):
+        pass
+
+    # crash after the 3rd node write of the 2nd batch
+    orig_persist = bin_persistence.BinaryPersistence.persist_points
+    state = {"batch": 0, "writes": 0}
+    orig_begin = bin_persistence.BinaryPersistence.begin_batch
+
+    def begin(self):
+        state["batch"] += 1
+        state["writes"] = 0
+        orig_begin(self)
+
+    def persist(self, points, bounds, node_name):
+        if state["batch"] == 2:
+            state["writes"] += 1
+            if state["writes"] > 3:
+                raise Boom()
+        orig_persist(self, points, bounds, node_name)
+
+    bin_persistence.BinaryPersistence.begin_batch = begin
+    bin_persistence.BinaryPersistence.persist_points = persist
+    try:
+        with pytest.raises(Boom):
+            TilerProcess(args).run()
+    finally:
+        bin_persistence.BinaryPersistence.begin_batch = orig_begin
+        bin_persistence.BinaryPersistence.persist_points = orig_persist
+
+    # checkpoint says batch 1 done; batch 2's partial writes were staged,
+    # never committed
+    assert os.path.exists(out / "tiler_state.json")
+    state_doc = json.load(open(out / "tiler_state.json"))
+    assert state_doc["points_processed"] == 3000
+
+    args.resume = True
+    TilerProcess(args).run()
+
+    sink = BinaryPersistence(str(out))
+    collected = [sink.retrieve_points(f[:-4]).positions
+                 for f in os.listdir(out) if f.endswith(".bin")]
+    got = np.concatenate(collected)
+    assert got.shape[0] == 9000  # exactly once: no duplicates, no losses
+    np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                  original[np.lexsort(original.T)])
+    assert not os.path.exists(out / ".staging" / "MANIFEST.json")
