@@ -66,12 +66,15 @@ class FileStaging:
         if self._active is None:
             return
         entries, self._active = self._active, None
-        if not entries:
-            return
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(entries, f)
-        os.replace(tmp, self.manifest_path)
-        for staged, target in entries:
-            os.replace(staged, target)
-        os.remove(self.manifest_path)
+        if entries:
+            tmp = self.manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entries, f)
+            os.replace(tmp, self.manifest_path)
+            for staged, target in entries:
+                os.replace(staged, target)
+            os.remove(self.manifest_path)
+        try:
+            os.rmdir(self.dir)  # keep the work dir free of empty leftovers
+        except OSError:
+            pass
