@@ -105,6 +105,35 @@ def device_encode_sort_rate() -> float:
         return 0.0
 
 
+def laz_decode_rate() -> float:
+    """Native LASzip-compatible decode rate on correlated records, pts/s."""
+    try:
+        from schwarzwald_tpu import native
+
+        lib = native.las_codec()
+        if lib is None:
+            return 0.0
+        rng = np.random.default_rng(3)
+        n = 1_000_000
+        rec = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
+                                 ("rest", "u1", (8,))])
+        rec["x"] = np.cumsum(rng.integers(-50, 60, n)).astype(np.int32)
+        rec["y"] = np.cumsum(rng.integers(-40, 45, n)).astype(np.int32)
+        rec["z"] = (100000 + np.cumsum(rng.integers(-8, 8, n))).astype(np.int32)
+        raw = rec.view(np.uint8).reshape(-1)
+        types = np.array([6], dtype=np.uint16)
+        sizes = np.array([20], dtype=np.int32)
+        stream = lib.laz_encode_stream(raw, 20, 50_000, types, sizes)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            lib.laz_decode_points(stream[8:], n, 50_000, types, sizes, 20)
+            times.append(time.perf_counter() - t0)
+        return n / min(times)
+    except Exception:
+        return 0.0
+
+
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="schwarzwald_bench_")
     try:
@@ -130,6 +159,7 @@ def main() -> None:
             "elapsed_sec": round(elapsed, 2),
             "fast_strategy_pts_per_sec": round(N_POINTS / fast_elapsed, 1),
             "device_encode_sort_pts_per_sec": round(device_rate, 1),
+            "laz_decode_pts_per_sec": round(laz_decode_rate(), 1),
             "baseline_assumption":
                 "reference multi-core CPU ~2.5e6 pts/s (unpublished; "
                 "README 'very fast' only)",

@@ -186,8 +186,19 @@ class LAZReader:
 
         self.chunk_size = vlr.chunk_size
         self._data_start = header.offset_to_point_data + 8
+        # The chunk table read is LAZY (first read_records): opening stays a
+        # header+VLR parse (cheap metadata scans over many files), and a
+        # truncated/corrupt stream surfaces as a read-time error, which the
+        # --ignore CORRUPTED_FILES machinery handles
+        # (PointSource.cpp:36-50 semantics).
+        self._chunk_starts = None
+
+    def _ensure_chunk_table(self) -> None:
+        if self._chunk_starts is not None:
+            return
+        n = self.header.point_count
         with open(self.path, "rb") as f:
-            f.seek(header.offset_to_point_data)
+            f.seek(self.header.offset_to_point_data)
             table_offset = struct.unpack("<q", f.read(8))[0]
             if table_offset == -1:
                 # non-seekable writer: actual offset stored in the last
@@ -196,6 +207,10 @@ class LAZReader:
                 table_offset = struct.unpack("<q", f.read(8))[0]
             f.seek(0, 2)
             file_end = f.tell()
+            if not (self._data_start <= table_offset <= file_end):
+                raise ValueError(
+                    f"{self.path}: corrupt LAZ chunk table offset "
+                    f"{table_offset}")
             f.seek(table_offset)
             table = np.frombuffer(f.read(file_end - table_offset),
                                   dtype=np.uint8)
@@ -218,6 +233,7 @@ class LAZReader:
                 lo = (start - cstart) * rl
                 return crecords[lo:lo + count * rl]
 
+        self._ensure_chunk_table()
         cs = self.chunk_size
         c0 = start // cs
         c1 = (start + count - 1) // cs + 1

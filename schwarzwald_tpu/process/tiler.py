@@ -58,6 +58,19 @@ class Tiler:
 
     # -- read stage ---------------------------------------------------------
 
+    def _read_pool(self, read_concurrency: int):
+        """Persistent reader pool, grown when the adaptive scheduler raises
+        the read concurrency (one pool per run, not per batch)."""
+        pool = getattr(self, "_reader_pool", None)
+        workers = max(1, read_concurrency)
+        if pool is None or self._reader_pool_size < workers:
+            if pool is not None:
+                pool.shutdown(wait=True)
+            pool = concurrent.futures.ThreadPoolExecutor(max_workers=workers)
+            self._reader_pool = pool
+            self._reader_pool_size = workers
+        return pool
+
     def _read_batch_into_slot(self, read_concurrency: int, slot) -> PointBuffer | None:
         """Region-read path: fill a preallocated batch slot (positions,
         keys, attribute columns) via disjoint-region writes — the
@@ -75,6 +88,7 @@ class Tiler:
             slot.keys = np.empty(target, dtype=np.uint64)
         state = {"offset": 0}
         lock = threading.Lock()
+        pool = self._read_pool(read_concurrency)
 
         def read_one() -> int:
             handle = self.point_source.lock_source()
@@ -103,15 +117,13 @@ class Tiler:
             finally:
                 self.point_source.release_source(handle)
 
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=max(1, read_concurrency)) as pool:
-            while state["offset"] < target \
-                    and not self.point_source.all_exhausted():
-                n_tasks = max(1, min(read_concurrency,
-                                     -(-(target - state["offset"]) // chunk)))
-                results = list(pool.map(lambda _: read_one(), range(n_tasks)))
-                if not any(results):
-                    break
+        while state["offset"] < target \
+                and not self.point_source.all_exhausted():
+            n_tasks = max(1, min(read_concurrency,
+                                 -(-(target - state["offset"]) // chunk)))
+            results = list(pool.map(lambda _: read_one(), range(n_tasks)))
+            if not any(results):
+                break
 
         holes = state.get("holes")
         if holes:
@@ -165,16 +177,15 @@ class Tiler:
                     total += buf.count
             return buf.count
 
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=max(1, read_concurrency)) as pool:
-            while total < target and not self.point_source.all_exhausted():
-                remaining = target - total
-                n_tasks = max(1, min(read_concurrency,
-                                     -(-remaining // chunk)))
-                results = list(pool.map(lambda _: read_one(),
-                                        range(n_tasks)))
-                if not any(results):
-                    break
+        pool = self._read_pool(read_concurrency)
+        while total < target and not self.point_source.all_exhausted():
+            remaining = target - total
+            n_tasks = max(1, min(read_concurrency,
+                                 -(-remaining // chunk)))
+            results = list(pool.map(lambda _: read_one(),
+                                    range(n_tasks)))
+            if not any(results):
+                break
 
         if not collected:
             return None
@@ -294,6 +305,9 @@ class Tiler:
             iteration += 1
 
         reader_thread.join()
+        if getattr(self, "_reader_pool", None) is not None:
+            self._reader_pool.shutdown(wait=True)
+            self._reader_pool = None
         self.algorithm.finalize(self.bounds)
         if journal is not None:
             journal.flush()

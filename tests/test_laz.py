@@ -252,3 +252,52 @@ def test_converter_laz_output(tmp_path, rng):
     assert rc == 0
     assert (conv / "r.laz").exists()
     assert las.read_las(str(conv / "r.laz")).count > 0
+
+
+def test_corrupted_laz_ignored(tmp_path, rng):
+    """Truncated LAZ chunk stream: --ignore CORRUPTED_FILES drops the
+    unreadable remainder and finishes (PointSource.cpp:36-50 semantics)."""
+    from schwarzwald_tpu.cli import main as cli_main
+
+    good = tmp_path / "good.las"
+    bad = tmp_path / "bad.laz"
+    buf_g = make_buffer(rng, 3000, with_gps=False, with_rgb=False)
+    buf_b = make_buffer(rng, 60_000, with_gps=False, with_rgb=False)
+    las.write_las(str(good), buf_g, BOUNDS)
+    las.write_las(str(bad), buf_b, BOUNDS, compressed=True)
+    data = bad.read_bytes()
+    bad.write_bytes(data[: len(data) // 2])  # cut mid-chunk-stream
+
+    out = tmp_path / "out"
+    rc = cli_main(["--tiler", "-i", str(good), str(bad), "-o", str(out),
+                   "--spacing", "8", "--sampling", "RANDOM_GRID",
+                   "--output-format", "BIN", "--ignore", "CORRUPTED_FILES"])
+    assert rc == 0
+
+
+def test_laz_multi_batch_streaming(tmp_path, rng):
+    """BASELINE config #5 shape in miniature: a LAZ input streamed through
+    multiple batches (chunk-table seeks + the LAZReader chunk cache),
+    conserving every point."""
+    import os
+
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    n = 300_000
+    buf = make_buffer(rng, n, with_gps=False, with_rgb=False)
+    src = tmp_path / "big.laz"
+    las.write_las(str(src), buf, BOUNDS, compressed=True)
+    out = tmp_path / "out"
+    args = TilerArguments(
+        sources=[str(src)], output_directory=str(out), spacing=5.0,
+        sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
+        output_format=OutputFormat.BIN,
+        internal_cache_size=80_000, max_batch_read_size=30_000)
+    TilerProcess(args).run()
+    sink = BinaryPersistence(str(out))
+    total = sum(sink.retrieve_points(f[:-4]).count
+                for f in os.listdir(out) if f.endswith(".bin"))
+    assert total == n

@@ -430,3 +430,38 @@ def test_accurate_device_path_gated_on_existing_output(rng):
     assert not calls  # fell back to the host merge path
     # prior points were merged, not overwritten: r holds >= 50 positions
     assert persistence.retrieve_points("r").count >= 50
+
+
+def test_rerooting_deviation_quantified(rng):
+    """Quantifies the documented re-rooting deviation (module docstring of
+    tiling/engine.py): when a deep node re-roots its Morton keys, the
+    reference reads octant digits at the ABSOLUTE key level on re-derived
+    keys (TilingAlgorithms.cpp:116-124 after :444-483) — i.e. meaningless
+    bits — while this engine splits at the level relative to the new key
+    root. This test measures how many points the two rules route
+    differently on a deep cloud, so 'documented deviation' comes with a
+    number instead of hand-waving."""
+    from schwarzwald_tpu.ops import indexing as idx
+
+    # a level-16 node's bounds containing a deep cluster
+    node_level = 16
+    node_extent = BOUNDS.extent() / (2.0 ** (node_level + 1))
+    node_min = np.array([1.0, 1.0, 1.0])
+    pos = node_min + rng.uniform(0, 1, (2000, 3)) * node_extent
+
+    # re-rooting re-derives keys RELATIVE to the node
+    # (TilingAlgorithms.cpp:444-483 / engine._tile_node)
+    rel_keys = morton.encode(pos, node_min, node_extent)
+    order = idx.sort_by_key(rel_keys)
+    rel_keys = rel_keys[order]
+
+    # our rule reads the child octant at the level relative to the new key
+    # root (digit 0); the reference's code reads the ABSOLUTE child level
+    # (digit 17) of the same re-derived keys
+    ours = morton.octant_at_level(rel_keys, 0)
+    reference_rule = morton.octant_at_level(rel_keys, node_level + 1)
+    diverging = int(np.sum(ours != reference_rule))
+    # the rules route most points to different children on a deep cloud
+    # (7/8 expected by chance) — the deviation is real and large, which is
+    # exactly why the engine documents fixing it rather than copying it
+    assert diverging / rel_keys.size > 0.5
