@@ -116,10 +116,19 @@ def laz_decode_rate() -> float:
         rng = np.random.default_rng(3)
         n = 1_000_000
         rec = np.zeros(n, dtype=[("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
-                                 ("rest", "u1", (8,))])
+                                 ("intensity", "<u2"), ("flags", "u1"),
+                                 ("cls", "u1"), ("ang", "i1"), ("ud", "u1"),
+                                 ("psid", "<u2")])
         rec["x"] = np.cumsum(rng.integers(-50, 60, n)).astype(np.int32)
         rec["y"] = np.cumsum(rng.integers(-40, 45, n)).astype(np.int32)
         rec["z"] = (100000 + np.cumsum(rng.integers(-8, 8, n))).astype(np.int32)
+        rec["intensity"] = (500 + np.cumsum(rng.integers(-9, 10, n))
+                            ).astype(np.uint16)
+        rn = rng.integers(1, 4, n)
+        rec["flags"] = (rn | (np.maximum(rn, rng.integers(1, 4, n)) << 3)
+                        ).astype(np.uint8)
+        rec["cls"] = rng.integers(0, 6, n).astype(np.uint8)
+        rec["ang"] = rng.integers(-30, 30, n).astype(np.int8)
         raw = rec.view(np.uint8).reshape(-1)
         types = np.array([6], dtype=np.uint16)
         sizes = np.array([20], dtype=np.int32)
