@@ -250,8 +250,15 @@ class LAZReader:
             data = np.frombuffer(
                 f.read((byte_hi - byte_lo) if byte_hi else -1),
                 dtype=np.uint8)
-        records = self._lib.laz_decode_points(
-            data, n_points, cs, self._types, self._sizes, rl)
+        if c1 - c0 > 1:
+            # independent chunks decode across host threads (OpenMP)
+            offsets = (self._chunk_starts[c0:c1]
+                       - self._chunk_starts[c0]).astype(np.int64)
+            records = self._lib.laz_decode_chunks_parallel(
+                data, n_points, cs, offsets, self._types, self._sizes, rl)
+        else:
+            records = self._lib.laz_decode_points(
+                data, n_points, cs, self._types, self._sizes, rl)
         self._cache = (first_point, records)
         lo = (start - first_point) * rl
         return records[lo:lo + count * rl]

@@ -67,6 +67,10 @@ class NativeLib:
         lib.laz_read_chunk_table.argtypes = [
             _u8p, ctypes.c_int64, _u32p, ctypes.c_int64]
         lib.laz_read_chunk_table.restype = ctypes.c_int64
+        lib.laz_decode_chunks_parallel.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            _i64p, ctypes.c_int64, _u16p, _i32p, ctypes.c_int32, _u8p]
+        lib.laz_decode_chunks_parallel.restype = ctypes.c_int64
 
     def poisson_accept_mask(self, positions, node_min, node_max, spacing,
                             analyze_mask=None) -> np.ndarray:
@@ -198,6 +202,26 @@ class NativeLib:
             if rc < 0:
                 raise ValueError(f"LAZ encode failed (code {rc})")
             return out[:rc]
+
+    def laz_decode_chunks_parallel(self, data: np.ndarray, n_points: int,
+                                   chunk_size: int,
+                                   chunk_offsets: np.ndarray,
+                                   item_types: np.ndarray,
+                                   item_sizes: np.ndarray,
+                                   record_length: int) -> np.ndarray:
+        """Decode independent chunks across host threads (OpenMP)."""
+        out = np.empty(n_points * record_length, dtype=np.uint8)
+        rc = self._lib.laz_decode_chunks_parallel(
+            np.ascontiguousarray(data, dtype=np.uint8), data.size,
+            n_points, chunk_size,
+            np.ascontiguousarray(chunk_offsets, dtype=np.int64),
+            chunk_offsets.size,
+            np.ascontiguousarray(item_types, dtype=np.uint16),
+            np.ascontiguousarray(item_sizes, dtype=np.int32),
+            item_types.size, out)
+        if rc < 0:
+            raise ValueError(f"LAZ parallel decode failed (code {rc})")
+        return out
 
     def laz_read_chunk_table(self, data: np.ndarray,
                              max_chunks: int) -> np.ndarray:

@@ -1490,6 +1490,56 @@ int64_t laz_encode_stream(const uint8_t* records, int64_t n_points,
   return (int64_t)buf.size();
 }
 
+// Parallel decode: like laz_decode_points but with per-chunk byte offsets
+// (from the chunk table) so chunks decode independently across host
+// threads — LAZ decode must scale with host cores or it dominates the read
+// path (the reference's own bottleneck, hence its adaptive scheduler).
+// chunk_offsets[i] = byte offset of chunk i relative to `data`;
+// n_chunks entries; chunk i holds chunk_size points except the last.
+int64_t laz_decode_chunks_parallel(const uint8_t* data, int64_t n_bytes,
+                                   int64_t n_points, int32_t chunk_size,
+                                   const int64_t* chunk_offsets,
+                                   int64_t n_chunks,
+                                   const uint16_t* item_types,
+                                   const int32_t* item_sizes,
+                                   int32_t num_items, uint8_t* out) {
+  if (chunk_size <= 0 || n_chunks <= 0) return -2;
+  // record length from a throwaway ItemSet (validates items too)
+  {
+    ArithmeticDecoder probe;
+    ItemSet items;
+    int rc = items.create(item_types, item_sizes, num_items, true, nullptr,
+                          &probe);
+    if (rc) return rc;
+  }
+  int64_t rl = 0;
+  for (int32_t i = 0; i < num_items; i++) rl += item_sizes[i];
+
+  int error = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t c = 0; c < n_chunks; c++) {
+    int64_t first = c * (int64_t)chunk_size;
+    if (first >= n_points) continue;
+    int64_t count = n_points - first;
+    if (count > chunk_size) count = chunk_size;
+    int64_t lo = chunk_offsets[c];
+    int64_t hi = (c + 1 < n_chunks) ? chunk_offsets[c + 1] : n_bytes;
+    if (lo < 0 || hi > n_bytes || lo >= hi) {
+#pragma omp atomic write
+      error = -3;
+      continue;
+    }
+    int64_t rc = laz_decode_points(data + lo, hi - lo, count, chunk_size,
+                                   item_types, item_sizes, num_items,
+                                   out + first * rl);
+    if (rc < 0) {
+#pragma omp atomic write
+      error = (int)rc;
+    }
+  }
+  return error ? error : n_points * rl;
+}
+
 // Read a compressed chunk table located at `data` (first byte = u32
 // version). Writes up to max_chunks chunk byte-sizes to out_sizes. Returns
 // the number of chunks, or negative on error.
