@@ -39,13 +39,36 @@ def rgb_from_intensity(intensity: np.ndarray,
     return np.repeat(grey[:, None], 3, axis=1)
 
 
+import threading
+
+_tls = threading.local()
+
+
+def _scratch_cast(arr: np.ndarray, dtype: str, key: str) -> np.ndarray:
+    """Cast into a pooled (thread-local, grow-only) scratch buffer.
+
+    The result is written to a file immediately and never escapes, so the
+    buffer is reusable; pooling avoids re-faulting fresh pages per node,
+    which costs ~45 MB/s on this deployment's VM (ARCHITECTURE.md)."""
+    n = arr.size
+    pool = getattr(_tls, "pool", None)
+    if pool is None:
+        pool = _tls.pool = {}
+    buf = pool.get(key)
+    if buf is None or buf.size < n:
+        buf = pool[key] = np.empty(max(n, 1 << 16), dtype=dtype)
+    out = buf[:n].reshape(arr.shape)
+    np.copyto(out, arr, casting="unsafe")
+    return out
+
+
 def _binary_attributes(points: PointBuffer, output_attributes,
                        rgb_mapping: RGBMapping):
     """Yield (json_name, contiguous array, alignment) in canonical order."""
     out = []
     if A.Position in output_attributes:
         out.append(("POSITION",
-                    np.ascontiguousarray(points.positions, dtype="<f4"), 4))
+                    _scratch_cast(points.positions, "<f4", "pos"), 4))
     if A.RGB in output_attributes:
         if rgb_mapping != RGBMapping.Nothing and points.has(A.Intensity):
             rgb = rgb_from_intensity(points.get(A.Intensity), rgb_mapping)
