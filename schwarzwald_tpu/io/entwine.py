@@ -144,6 +144,9 @@ class EntwinePersistence:
     def node_exists(self, node_name: str) -> bool:
         return self._las.node_exists(potree_name_to_entwine_name(node_name))
 
+    def simulate_retrieve(self, points, bounds):
+        return self._las.simulate_retrieve(points, bounds)
+
     def begin_batch(self) -> None:
         self._las.begin_batch()
 

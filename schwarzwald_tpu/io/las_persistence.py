@@ -42,6 +42,29 @@ class LASPersistence:
             return PointBuffer()
         return las.read_las(path)
 
+    def simulate_retrieve(self, points: PointBuffer, bounds: AABB
+                          ) -> PointBuffer:
+        """What retrieve_points would return after persist_points(points,
+        bounds, ...) — computed in memory (encode + decode the records,
+        skipping file IO and LAZ entropy coding, both of which are
+        lossless). Lets the engine's node cache serve LOSSY sinks with
+        exact re-read parity."""
+        import numpy as np
+
+        fmt = las.choose_point_format(points)
+        scale = las.compute_las_scale_from_bounds(bounds)
+        header = las.LASHeader(
+            point_data_format=fmt,
+            point_record_length=las.record_length_for_format(fmt),
+            point_count=points.count,
+            scale=np.full(3, scale),
+            offset=np.asarray(bounds.min, dtype=np.float64),
+        )
+        records = las.encode_records(points, fmt, header.scale,
+                                     header.offset)
+        return las.decode_records(records.view(np.uint8).reshape(-1),
+                                  header, las.attributes_for_format(fmt))
+
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
 

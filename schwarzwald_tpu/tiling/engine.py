@@ -62,18 +62,34 @@ class TilingAlgorithmBase:
             # Poisson-disk fresh/revisit sampling runs the device relaxation
             # for large ranges (ops/device_poisson); host kernel otherwise.
             sampling_strategy.device_backend = meta.use_device
-        # LRU node cache over the persisted node contents (lossless sinks
-        # only: lossy sinks must re-read quantized points for parity).
+        # LRU node cache over node contents. For LOSSLESS sinks the
+        # persisted buffer equals what a re-read returns, so it is cached
+        # at persist time. For LOSSY sinks (LAS/LAZ quantization) parity
+        # demands the QUANTIZED re-read result, so the cache stores what
+        # retrieve returned and is invalidated when the node is rewritten
+        # — every visit after the first re-read is then served from
+        # memory either way (SURVEY hard-part #5: out-of-core node merge
+        # traffic; LAZ node re-decodes dominated ENTWINE_LAZ runs).
         self._node_cache = None
-        if meta.cache_size_bytes and persistence.is_lossless:
+        if meta.cache_size_bytes:
             from ..core.lru_cache import LRUCache
             self._node_cache = LRUCache(meta.cache_size_bytes)
 
     def _persist_node(self, points: PointBuffer, bounds: AABB,
                       name: str) -> None:
         self.persistence.persist_points(points, bounds, name)
-        if self._node_cache is not None and points.count:
-            self._node_cache.put(name, points)
+        if self._node_cache is not None:
+            if self.persistence.is_lossless and points.count:
+                self._node_cache.put(name, points)
+            elif points.count and hasattr(self.persistence,
+                                          "simulate_retrieve"):
+                # lossy sink: cache exactly what a re-read would return
+                # (in-memory encode+decode roundtrip; IO and entropy coding
+                # are lossless and skipped)
+                self._node_cache.put(
+                    name, self.persistence.simulate_retrieve(points, bounds))
+            else:
+                self._node_cache.remove(name)  # quantized re-read differs
 
     # -- helpers ------------------------------------------------------------
 
@@ -92,7 +108,10 @@ class TilingAlgorithmBase:
             cached = self._node_cache.try_get(name)
             if cached is not None:
                 return cached
-        return self.persistence.retrieve_points(name)
+        result = self.persistence.retrieve_points(name)
+        if self._node_cache is not None and result.count:
+            self._node_cache.put(name, result)
+        return result
 
     def _read_cached_points(self, node: NodeStructure, arena: PointArena):
         """read_pnts_from_disk (TilingAlgorithms.cpp:50-109): fetch the

@@ -301,3 +301,58 @@ def test_laz_multi_batch_streaming(tmp_path, rng):
     total = sum(sink.retrieve_points(f[:-4]).count
                 for f in os.listdir(out) if f.endswith(".bin"))
     assert total == n
+
+
+def test_lossy_sink_node_cache_identical_output(tmp_path, rng):
+    """The node cache now also serves LOSSY sinks (caching the quantized
+    re-read, invalidated on rewrite): multi-batch LAZ-node runs with and
+    without the cache must produce identical octrees, with fewer decodes."""
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer as PB
+    from schwarzwald_tpu.io import las_persistence
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+
+    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (8000, 3))
+               for _ in range(3)]
+
+    reads = {"n": 0}
+    orig = las_persistence.LASPersistence.retrieve_points
+
+    def counting(self, name):
+        reads["n"] += 1
+        return orig(self, name)
+
+    las_persistence.LASPersistence.retrieve_points = counting
+    try:
+        def run(tag, cache_bytes):
+            reads["n"] = 0
+            sink = las_persistence.LASPersistence(str(tmp_path / tag),
+                                                  compressed=True)
+            meta = TilerMetaParameters(spacing_at_root=8.0,
+                                       max_points_per_node=300,
+                                       cache_size_bytes=cache_bytes,
+                                       concurrency=4)
+            algo = make_tiling_algorithm(
+                TilingStrategy.Fast, SamplingStrategy("RANDOM_GRID", 300),
+                sink, meta)
+            algo.level_of_start_nodes = 2  # keep the node count test-sized
+            for pos in batches:
+                algo.process_batch(PB(pos.copy()), BOUNDS)
+            algo.finalize(BOUNDS)
+            return sink, reads["n"]
+
+        plain_sink, n_plain = run("plain", 0)
+        cached_sink, n_cached = run("cached", 1 << 30)
+    finally:
+        las_persistence.LASPersistence.retrieve_points = orig
+
+    names = {f[:-4] for f in os.listdir(tmp_path / "plain")
+             if f.endswith(".laz")}
+    assert names == {f[:-4] for f in os.listdir(tmp_path / "cached")
+                     if f.endswith(".laz")}
+    for name in names:
+        np.testing.assert_array_equal(
+            cached_sink.retrieve_points(name).positions,
+            plain_sink.retrieve_points(name).positions, err_msg=name)
+    assert n_cached < n_plain  # the cache absorbed LAZ node re-decodes
