@@ -123,17 +123,22 @@ def bounds_from_prefixes(prefixes: np.ndarray, depth: int,
     n = prefixes.shape[0]
     mins = np.broadcast_to(np.asarray(root_min, np.float64), (n, 3)).copy()
     maxs = np.broadcast_to(np.asarray(root_max, np.float64), (n, 3)).copy()
+    half = np.empty((n, 3), dtype=np.float64)
+    bits = np.empty((n, 3), dtype=np.float64)
     for level in range(depth):
         # Recompute extent from (max - min) each level exactly like the
         # iterated get_octant_bounds calls — (min+half)-min is not always
-        # equal to half in IEEE754, so no shortcut here.
-        half = (maxs - mins) / 2
+        # equal to half in IEEE754, so no shortcut here. In-place ops keep
+        # the identical FP sequence ((x/2 == x*0.5 exactly).
+        np.subtract(maxs, mins, out=half)
+        half *= 0.5
         shift = _U(3 * (depth - level - 1))
         octant = (prefixes >> shift) & _U(0b111)
         # bit2 = x, bit1 = y, bit0 = z (get_octant_bounds)
-        bx = ((octant >> _U(2)) & _U(1)).astype(np.float64)
-        by = ((octant >> _U(1)) & _U(1)).astype(np.float64)
-        bz = (octant & _U(1)).astype(np.float64)
-        mins = mins + np.stack([bx, by, bz], axis=1) * half
-        maxs = mins + half
+        bits[:, 0] = (octant >> _U(2)) & _U(1)
+        bits[:, 1] = (octant >> _U(1)) & _U(1)
+        bits[:, 2] = octant & _U(1)
+        bits *= half
+        mins += bits
+        np.add(mins, half, out=maxs)
     return mins, maxs

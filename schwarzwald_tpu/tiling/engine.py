@@ -116,11 +116,19 @@ class TilingAlgorithmBase:
     def _read_cached_points(self, node: NodeStructure, arena: PointArena):
         """read_pnts_from_disk (TilingAlgorithms.cpp:50-109): fetch the
         node's previously persisted points and re-derive their Morton keys
-        below the node's own prefix to dodge FP boundary errors."""
+        below the node's own prefix to dodge FP boundary errors.
+
+        The re-derived (and, for lossy sinks, re-sorted) keys are memoized
+        on the cached buffer: a node revisit whose content is unchanged in
+        the cache skips the encode + sort entirely. A rewrite replaces the
+        cache entry (a fresh buffer without the memo), so staleness is
+        impossible."""
         cached = self._retrieve_node(node.name)
         if not cached.count:
             return None, None
-        ids = arena.append(cached)
+        memo = getattr(cached, "_rederived_keys", None)
+        if memo is not None and memo[0] == node.name:
+            return memo[1], arena.append(cached)
         start_level = node.level + 1
         if start_level >= MAX_OCTREE_LEVELS:
             sub = np.zeros(cached.count, dtype=np.uint64)
@@ -135,7 +143,13 @@ class TilingAlgorithmBase:
         keys = np.uint64(node.morton_key) | (sub >> _U(3 * start_level))
         if not self.persistence.is_lossless:
             order = indexing.sort_by_key(keys)
-            keys, ids = keys[order], ids[order]
+            keys = keys[order]
+            # reorder the buffer itself so the memoized keys align with it
+            cached = cached.take(order)
+        ids = arena.append(cached)
+        if self._node_cache is not None:
+            cached._rederived_keys = (node.name, keys)
+            self._node_cache.put(node.name, cached)
         return keys, ids
 
     @staticmethod
