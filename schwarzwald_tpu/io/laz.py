@@ -291,10 +291,8 @@ def write_laz(path, header, records: np.ndarray,
     # (laszip stores stream->tell()); the encoder wrote it relative to
     # the stream start
     rel = struct.unpack("<q", stream[:8].tobytes())[0]
-    stream = stream.copy()
-    stream[:8] = np.frombuffer(
-        struct.pack("<q", rel + patched.offset_to_point_data), dtype=np.uint8)
-    with open(path, "wb") as f:
+    with open(path, "wb", buffering=1 << 20) as f:
         f.write(build_header_bytes(patched))
         f.write(vlr_bytes)
-        f.write(stream.tobytes())
+        f.write(struct.pack("<q", rel + patched.offset_to_point_data))
+        f.write(memoryview(stream[8:]))

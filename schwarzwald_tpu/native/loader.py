@@ -184,20 +184,32 @@ class NativeLib:
                           record_length: int, chunk_size: int,
                           item_types: np.ndarray,
                           item_sizes: np.ndarray) -> np.ndarray:
-        """Raw records -> complete chunked LAZ point-data stream."""
+        """Raw records -> complete chunked LAZ point-data stream.
+
+        Returns a VIEW into a pooled per-thread scratch buffer — valid
+        until this thread's next laz_encode_stream call (callers write it
+        out immediately)."""
+        import threading
+
         records = np.ascontiguousarray(records, dtype=np.uint8)
         n_points = records.size // record_length
         item_types = np.ascontiguousarray(item_types, dtype=np.uint16)
         item_sizes = np.ascontiguousarray(item_sizes, dtype=np.int32)
         capacity = records.size + records.size // 4 + 65536 \
             + (n_points // max(1, chunk_size) + 1) * (record_length + 32)
+        tls = getattr(self, "_tls", None)
+        if tls is None:
+            tls = self._tls = threading.local()
         while True:
-            out = np.empty(capacity, dtype=np.uint8)
+            out = getattr(tls, "laz_out", None)
+            if out is None or out.size < capacity:
+                out = tls.laz_out = np.empty(capacity, dtype=np.uint8)
             rc = self._lib.laz_encode_stream(
                 records, n_points, chunk_size, item_types, item_sizes,
-                item_types.size, out, capacity)
+                item_types.size, out, out.size)
             if rc == -1:
-                capacity *= 2
+                capacity = out.size * 2
+                tls.laz_out = None
                 continue
             if rc < 0:
                 raise ValueError(f"LAZ encode failed (code {rc})")
