@@ -110,7 +110,8 @@ def run_starts(cell_ids: np.ndarray) -> np.ndarray:
 
 
 def bounds_from_prefixes(prefixes: np.ndarray, depth: int,
-                         root_min: np.ndarray, root_max: np.ndarray):
+                         root_min: np.ndarray, root_max: np.ndarray,
+                         shared_levels: int = 0):
     """Vectorized get_bounds_from_morton_index for many node prefixes.
 
     `prefixes` are node keys of `depth` levels (low 3*depth bits used, as
@@ -118,14 +119,27 @@ def bounds_from_prefixes(prefixes: np.ndarray, depth: int,
     min += bit * (extent / 2^(l+1)) in the same order as the reference's
     iterated get_octant_bounds (OctreeAlgorithms.cpp:3-18) so FP results are
     bit-identical. Returns (mins, maxs) of shape (len(prefixes), 3).
+
+    shared_levels: number of leading levels IDENTICAL across all prefixes
+    (e.g. the containing node's octant path) — descended once on scalars
+    with the exact same FP sequence, then broadcast.
     """
     prefixes = np.asarray(prefixes, dtype=np.uint64)
     n = prefixes.shape[0]
-    mins = np.broadcast_to(np.asarray(root_min, np.float64), (n, 3)).copy()
-    maxs = np.broadcast_to(np.asarray(root_max, np.float64), (n, 3)).copy()
+    lo = np.asarray(root_min, np.float64).copy()
+    hi = np.asarray(root_max, np.float64).copy()
+    for level in range(min(shared_levels, depth) if n else 0):
+        half3 = (hi - lo) * 0.5
+        octant = int(prefixes[0] >> _U(3 * (depth - level - 1))) & 0b111
+        bits3 = np.array([(octant >> 2) & 1, (octant >> 1) & 1, octant & 1],
+                         dtype=np.float64)
+        lo = lo + bits3 * half3
+        hi = lo + half3
+    mins = np.broadcast_to(lo, (n, 3)).copy()
+    maxs = np.broadcast_to(hi, (n, 3)).copy()
     half = np.empty((n, 3), dtype=np.float64)
     bits = np.empty((n, 3), dtype=np.float64)
-    for level in range(depth):
+    for level in range(min(shared_levels, depth), depth):
         # Recompute extent from (max - min) each level exactly like the
         # iterated get_octant_bounds calls — (min+half)-min is not always
         # equal to half in IEEE754, so no shortcut here. In-place ops keep

@@ -141,8 +141,17 @@ def sample_grid_center(keys: np.ndarray, positions: np.ndarray, node_key: int,
     starts = indexing.run_starts(cells)
     # Cell bounds: descend cand+1 levels from root along the first point's
     # octants (Sampling.h:387-390); centers via getCenter = min + extent/2.
-    mins, maxs = indexing.bounds_from_prefixes(cells[starts], cand + 1,
-                                               root_min, root_max)
+    # Within a node all cells share the node's own octant path, so those
+    # levels descend once (scalar) — same FP sequence, fewer array passes.
+    # Verified, not assumed: with sorted cells, first==last on the top
+    # digits implies all share them (callers may pass arbitrary ranges).
+    shared = min(max(0, node_level + 1), cand + 1)
+    if shared and starts.size > 1:
+        shift = _U(3 * (cand + 1 - shared))
+        if (cells[starts[0]] >> shift) != (cells[starts[-1]] >> shift):
+            shared = 0
+    mins, maxs = indexing.bounds_from_prefixes(
+        cells[starts], cand + 1, root_min, root_max, shared_levels=shared)
     centers = mins + (maxs - mins) / 2
     run_lengths = np.diff(np.append(starts, n))
     run_of_point = np.repeat(np.arange(starts.size), run_lengths)
