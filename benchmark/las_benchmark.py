@@ -31,7 +31,8 @@ def find_las_files(path: str):
         return [path]
     return [os.path.join(root, f)
             for root, _, files in os.walk(path)
-            for f in sorted(files) if f.lower().endswith(".las")]
+            for f in sorted(files)
+            if f.lower().endswith((".las", ".laz"))]
 
 
 def bench_read(files, parallel: bool):
@@ -49,16 +50,19 @@ def bench_read(files, parallel: bool):
     return buffers
 
 
-def bench_write(buffers, out_dir: str, parallel: bool):
+def bench_write(buffers, out_dir: str, parallel: bool,
+                compressed: bool = False):
     bounds = AABB()
     for b in buffers:
         if b.count:
             bounds.update_point(b.positions.min(axis=0))
             bounds.update_point(b.positions.max(axis=0))
+    ext = ".laz" if compressed else ".las"
 
     def write_one(args):
         i, buf = args
-        las.write_las(os.path.join(out_dir, f"out_{i}.las"), buf, bounds)
+        las.write_las(os.path.join(out_dir, f"out_{i}{ext}"), buf, bounds,
+                      compressed=compressed)
 
     t0 = time.perf_counter()
     items = list(enumerate(buffers))
@@ -69,16 +73,23 @@ def bench_write(buffers, out_dir: str, parallel: bool):
             write_one(item)
     elapsed = time.perf_counter() - t0
     points = sum(b.count for b in buffers)
-    label = "parallel" if parallel else "sequential"
+    nbytes = sum(os.path.getsize(os.path.join(out_dir, f))
+                 for f in os.listdir(out_dir))
+    label = ("parallel" if parallel else "sequential") + (" laz" if compressed
+                                                          else " las")
     print(f"write {label}: {elapsed:.2f}s, "
-          f"{format_metric(points / elapsed, 'pts/s')}")
+          f"{format_metric(points / elapsed, 'pts/s')}, "
+          f"{format_bytes(nbytes)}")
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("path", nargs="?", default=None,
                     help="LAS file or directory (default: synthetic 1M)")
-    ap.add_argument("--mode", default="all", choices=["read", "write", "all"])
+    ap.add_argument("--mode", default="all",
+                    choices=["read", "write", "all"])
+    ap.add_argument("--laz", action="store_true",
+                    help="also benchmark LAZ (compressed) writes")
     args = ap.parse_args(argv)
 
     tmp = None
@@ -103,6 +114,11 @@ def main(argv=None) -> int:
             bench_write(buffers, out, parallel=False)
         with tempfile.TemporaryDirectory() as out:
             bench_write(buffers, out, parallel=True)
+        if args.laz:
+            with tempfile.TemporaryDirectory() as out:
+                bench_write(buffers, out, parallel=False, compressed=True)
+            with tempfile.TemporaryDirectory() as out:
+                bench_write(buffers, out, parallel=True, compressed=True)
     return 0
 
 
