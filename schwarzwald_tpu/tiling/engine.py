@@ -42,6 +42,25 @@ MAX_OCTREE_LEVELS = morton.MAX_LEVELS  # 21
 _U = np.uint64
 
 
+class _LazyQuantized:
+    """Node-cache placeholder for a lossy sink: holds the pre-quantization
+    buffer and its bounds; materialized into the exact re-read result
+    (persistence.simulate_retrieve) on first cache hit."""
+
+    __slots__ = ("points", "bounds")
+
+    def __init__(self, points: PointBuffer, bounds: AABB):
+        self.points = points
+        self.bounds = bounds
+
+    @property
+    def nbytes(self) -> int:  # LRU sizing
+        total = self.points.positions.nbytes
+        for arr in self.points.columns.values():
+            total += arr.nbytes
+        return total
+
+
 @dataclasses.dataclass
 class NodeTask:
     node: NodeStructure
@@ -83,11 +102,11 @@ class TilingAlgorithmBase:
                 self._node_cache.put(name, points)
             elif points.count and hasattr(self.persistence,
                                           "simulate_retrieve"):
-                # lossy sink: cache exactly what a re-read would return
-                # (in-memory encode+decode roundtrip; IO and entropy coding
-                # are lossless and skipped)
-                self._node_cache.put(
-                    name, self.persistence.simulate_retrieve(points, bounds))
+                # lossy sink: cache what a re-read would return — computed
+                # LAZILY on first retrieve (in-memory encode+decode
+                # roundtrip; IO and entropy coding are lossless and
+                # skipped), so nodes never revisited cost nothing
+                self._node_cache.put(name, _LazyQuantized(points, bounds))
             else:
                 self._node_cache.remove(name)  # quantized re-read differs
 
@@ -106,6 +125,10 @@ class TilingAlgorithmBase:
     def _retrieve_node(self, name: str) -> PointBuffer:
         if self._node_cache is not None:
             cached = self._node_cache.try_get(name)
+            if isinstance(cached, _LazyQuantized):
+                cached = self.persistence.simulate_retrieve(cached.points,
+                                                            cached.bounds)
+                self._node_cache.put(name, cached)
             if cached is not None:
                 return cached
         result = self.persistence.retrieve_points(name)
