@@ -356,3 +356,44 @@ def test_lossy_sink_node_cache_identical_output(tmp_path, rng):
             cached_sink.retrieve_points(name).positions,
             plain_sink.retrieve_points(name).positions, err_msg=name)
     assert n_cached < n_plain  # the cache absorbed LAZ node re-decodes
+
+
+def test_decoder_survives_corrupt_streams(rng):
+    """Bit-flipped / truncated / random streams must return an error (or
+    wrong data), never crash or read out of bounds — the decoder is native
+    code fed by untrusted files."""
+    codec = lib()
+    n = 5_000
+    raw = synth_records(rng, n, 1).view(np.uint8).reshape(-1)
+    types = np.array([6, 7], dtype=np.uint16)
+    sizes = np.array([20, 8], dtype=np.int32)
+    stream = codec.laz_encode_stream(raw, 28, 2000, types, sizes)
+    payload = stream[8:]
+
+    def try_decode(data):
+        try:
+            codec.laz_decode_points(np.ascontiguousarray(data), n, 2000,
+                                    types, sizes, 28)
+        except ValueError:
+            pass  # error code is the correct outcome
+
+    # truncations at various depths
+    for frac in (0.01, 0.3, 0.7, 0.99):
+        try_decode(payload[: int(payload.size * frac)])
+    # single-bit flips scattered through the stream
+    for _ in range(60):
+        mutated = payload.copy()
+        i = int(rng.integers(0, mutated.size))
+        mutated[i] ^= np.uint8(1 << int(rng.integers(0, 8)))
+        try_decode(mutated)
+    # pure noise
+    for _ in range(10):
+        try_decode(rng.integers(0, 256, payload.size,
+                                dtype=np.uint8).view(np.uint8))
+    # corrupt chunk table
+    for _ in range(20):
+        table = rng.integers(0, 256, 64, dtype=np.uint8)
+        try:
+            codec.laz_read_chunk_table(table, 1000)
+        except ValueError:
+            pass
