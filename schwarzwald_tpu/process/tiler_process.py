@@ -185,12 +185,24 @@ class TilerProcess:
                 log.warn(msg)
             else:
                 raise RuntimeError(msg)
-        self.input_attributes = common
         supported = supported_output_attributes_for_format(
             self.args.output_format)
+        unsupported = common - supported
+        if unsupported:
+            from ..core.attributes import print_attributes
+            log.warn(
+                f"Not all point attributes in the input files are supported "
+                f"by output format {self.args.output_format.value}; "
+                f"attributes {print_attributes(unsupported)} will be ignored")
+        # the reference REMOVES unsupported attributes from the input set
+        # (TilerProcess.cpp:343-347) — they are neither decoded nor carried
+        self.input_attributes = common & supported
         self.output_attributes = common & supported
         if self.args.rgb_mapping != RGBMapping.Nothing:
             self.output_attributes.add(PointAttribute.RGB)
+            # the mapping computes RGB from intensity at write time
+            if PointAttribute.Intensity in common:
+                self.input_attributes.add(PointAttribute.Intensity)
 
     def _calculate_dataset_metadata(self, files: list,
                                     transform) -> DatasetMetadata:
