@@ -397,3 +397,36 @@ def test_decoder_survives_corrupt_streams(rng):
             codec.laz_read_chunk_table(table, 1000)
         except ValueError:
             pass
+
+
+def test_converter_entwine_laz_to_3dtiles(tmp_path, rng):
+    """The Potree -> Cesium migration flow: an ENTWINE_LAZ octree (entwine
+    node names, laz node files) converts to 3D Tiles."""
+    import json
+
+    from schwarzwald_tpu.cli import main as cli_main
+    from schwarzwald_tpu.io.pnts import read_pnts
+
+    buf = make_buffer(rng, 5000, with_gps=False, with_rgb=False)
+    las.write_las(str(tmp_path / "in.las"), buf, BOUNDS)
+    ept = tmp_path / "ept"
+    out = tmp_path / "3dt"
+    cli_main(["--tiler", "-i", str(tmp_path / "in.las"), "-o", str(ept),
+              "--spacing", "10", "--sampling", "RANDOM_GRID",
+              "--tiling-strategy", "ACCURATE",
+              "--output-format", "ENTWINE_LAZ"])
+    rc = cli_main(["--converter", "-i", str(ept), "-o", str(out),
+                   "--output-format", "3DTILES"])
+    assert rc == 0
+    assert (out / "r.json").exists()
+    node, rtc = read_pnts(str(out / "r.pnts"))
+    assert node.count > 0
+    doc = json.load(open(out / "r.json"))
+    assert doc["root"]["geometricError"] > 0
+    # conservation: pnts nodes hold as many points as the ept laz nodes
+    total_pnts = 0
+    for f in os.listdir(out):
+        if f.endswith(".pnts"):
+            b, _ = read_pnts(str(out / f))
+            total_pnts += b.count
+    assert total_pnts == 5000
