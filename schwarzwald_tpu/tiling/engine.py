@@ -670,11 +670,12 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             keys, data.positions, node.morton_key, levels - 1,
             root.bounds.min, root.bounds.max, root.max_spacing,
             SamplingBehaviour.AlwaysAdhereToMinSpacing)
-        if result.order is not None:
-            data = data.take(result.order)
-        selected = data.slice(0, result.selected_count)
+        # only the selected prefix is persisted; gather just that
+        selected = (data.slice(0, result.selected_count).copy()
+                    if result.order is None
+                    else data.take(result.order[:result.selected_count]))
         if selected.count:
-            self._persist_node(selected.copy(), node.bounds, node.name)
+            self._persist_node(selected, node.bounds, node.name)
 
 
 class TilingAlgorithmAdaptive(TilingAlgorithmFast):
