@@ -254,8 +254,12 @@ class TilingAlgorithmMultiHost:
     # -- owner routing --------------------------------------------------
 
     def _owner_of(self, node_key: int) -> int:
+        """Exact inverse of owned_node_block's floor(total*i/count)
+        boundaries: (k*c) // total disagrees at block edges whenever count
+        does not divide the cell count (e.g. node 170 of 512 with 3 hosts)."""
+        count = self.plan.process_count
         total = 8 ** self.plan.start_level
-        return (node_key * self.plan.process_count) // total
+        return (node_key * count + count - 1) // total
 
     def process_batch(self, buffer, bounds) -> None:
         from ..core import morton

@@ -451,7 +451,9 @@ class TilerProcess:
                 bounds=cubic_bounds, conforming_bounds=cubic_bounds,
                 data_type=("laszip" if self.args.output_format
                            == OutputFormat.ENTWINE_LAZ else "las"),
-                points=num_processed,
+                # multihost: host 0 processed only its own files; ept.json
+                # describes the whole dataset
+                points=total_count if multihost else num_processed,
                 schema=point_attributes_to_ept_schema(self.output_attributes),
                 span=self.args.spacing)
 

@@ -103,3 +103,57 @@ def test_two_host_tiling_conserves_points(tmp_path, rng):
     assert not os.path.exists(multi_out / ".mh-exchange")
     # properties.json written exactly once (by host 0)
     assert os.path.exists(multi_out / "properties.json")
+
+
+def test_three_host_entwine_laz(tmp_path, rng):
+    """3 hosts, ENTWINE_LAZ output: conservation at the ownership level,
+    host 0 writes the hierarchy/ept.json exactly once covering every node."""
+    import json
+
+    from schwarzwald_tpu.io import las as las_mod
+
+    files = []
+    for i in range(4):
+        path = tmp_path / f"part{i}.las"
+        _write_las(path, rng, 3000)
+        files.append(str(path))
+    total = 12_000
+
+    out = tmp_path / "out"
+    errors = []
+
+    def run_host(index):
+        try:
+            TilerProcess(TilerArguments(
+                sources=files, output_directory=str(out), spacing=6.0,
+                max_points_per_node=400, sampling_strategy="RANDOM_GRID",
+                output_format=OutputFormat.ENTWINE_LAS,
+                multihost_index=index, multihost_count=3)).run()
+        except BaseException as err:
+            errors.append((index, err))
+
+    threads = [threading.Thread(target=run_host, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    data_dir = out / "ept-data"
+    deep_total = 0
+    counts = {}
+    for f in os.listdir(data_dir):
+        stem = f.rsplit(".", 1)[0]
+        buf = las_mod.read_las(str(data_dir / f))
+        counts[stem] = buf.count
+        if int(stem.split("-")[0]) >= 3:  # entwine names: depth-x-y-z
+            deep_total += buf.count
+    assert deep_total == total
+    # hierarchy covers every node file with exact counts
+    hierarchy = {}
+    for f in os.listdir(out / "ept-hierarchy"):
+        for name, cnt in json.load(open(out / "ept-hierarchy" / f)).items():
+            if cnt > 0:
+                hierarchy[name] = cnt
+    assert hierarchy == counts
+    assert json.load(open(out / "ept.json"))["points"] == total
