@@ -53,11 +53,29 @@ def _write_tile(tileset: Tileset, remaining_levels: int) -> dict:
     return node
 
 
+def _emit_tile(out: list, t: Tileset, remaining_levels: int) -> None:
+    """Direct string emission of _write_tile's structure — the tileset
+    forest writes hundreds of files per run and json.dump dominated the
+    FAST close; repr() of floats matches json.dumps exactly."""
+    box = ",".join(repr(v) for v in t.bounding_box)
+    uri = t.url if remaining_levels == 0 else t.content_url
+    out.append('{"boundingVolume":{"box":[%s]},"geometricError":%s,'
+               '"refine":"ADD","content":{"uri":"%s"}'
+               % (box, repr(t.geometric_error), uri))
+    if t.children and remaining_levels > 0:
+        out.append(',"children":[')
+        for i, c in enumerate(t.children):
+            if i:
+                out.append(",")
+            _emit_tile(out, c, remaining_levels - 1)
+        out.append("]")
+    out.append("}")
+
+
 def write_tileset_json(path: str, tileset: Tileset, max_depth: int) -> None:
-    doc = {
-        "asset": {"version": tileset.version},
-        "geometricError": tileset.geometric_error,
-        "root": _write_tile(tileset, max_depth),
-    }
+    out = ['{"asset":{"version":"%s"},"geometricError":%s,"root":'
+           % (tileset.version, repr(tileset.geometric_error))]
+    _emit_tile(out, tileset, max_depth)
+    out.append("}")
     with open(path, "w") as f:
-        json.dump(doc, f, separators=(",", ":"))
+        f.write("".join(out))
