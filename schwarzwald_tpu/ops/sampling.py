@@ -433,6 +433,14 @@ class SamplingStrategy:
         if self.name not in STRATEGIES:
             raise ValueError(f'Unrecognized sampling strategy name "{self.name}"')
 
+    def needs_positions(self, n: int, behaviour: SamplingBehaviour) -> bool:
+        """Whether sample() will read `positions` for this range: take-all
+        short-circuits before touching them, and RANDOM_GRID selects purely
+        on keys — callers can skip the (expensive) position gather."""
+        if _take_all(behaviour, n, self.max_points_per_node):
+            return False
+        return self.name != "RANDOM_GRID"
+
     def sample(self, keys, positions, node_key, node_level, root_min, root_max,
                spacing_at_root, behaviour) -> SampleResult:
         fn = STRATEGIES[self.name]

@@ -266,7 +266,12 @@ class TilingAlgorithmBase:
                      if cached_count > 0
                      else SamplingBehaviour.TakeAllWhenCountBelowMaxPoints)
         node_level_rel = node.level - (root.level + 1)
-        positions = arena.positions(ids)
+        # The position gather is the deep-recursion hot spot (every level
+        # re-gathers its subset); skip it when the sampler won't read it
+        # (take-all nodes — most leaves — and RANDOM_GRID).
+        positions = (arena.positions(ids)
+                     if self.sampling_strategy.needs_positions(
+                         ids.size, behaviour) else None)
         result = self.sampling_strategy.sample(
             keys, positions, node.morton_key, node_level_rel,
             root.bounds.min, root.bounds.max, root.max_spacing, behaviour)
