@@ -178,15 +178,33 @@ class TilingAlgorithmBase:
     @staticmethod
     def _merge_sorted(keys_a, ids_a, keys_b, ids_b):
         """std::merge stability (Node.cpp:3-22): ties keep first-arg items
-        (the incoming batch) before second-arg items (cached)."""
+        (the incoming batch) before second-arg items (cached).
+
+        True two-way merge of the presorted runs (two searchsorted passes +
+        scatter) instead of re-sorting the concatenation: a-element i goes
+        after the b-elements strictly below it, b-element j after the
+        a-elements at-or-below it (a wins ties)."""
         if keys_a is None or keys_a.size == 0:
             return keys_b, ids_b
         if keys_b is None or keys_b.size == 0:
             return keys_a, ids_a
-        keys = np.concatenate([keys_a, keys_b])
-        ids = np.concatenate([ids_a, ids_b])
-        order = indexing.sort_by_key(keys)
-        return keys[order], ids[order]
+        if keys_b.size > 1 and not (keys_b[:-1] <= keys_b[1:]).all():
+            # out-of-contract cached content (e.g. a pre-populated output
+            # dir written by another tool): restore the sorted invariant
+            order = indexing.sort_by_key(keys_b)
+            keys_b, ids_b = keys_b[order], ids_b[order]
+        n, m = keys_a.size, keys_b.size
+        pos_a = np.arange(n, dtype=np.int64)
+        pos_a += np.searchsorted(keys_b, keys_a, side="left")
+        pos_b = np.arange(m, dtype=np.int64)
+        pos_b += np.searchsorted(keys_a, keys_b, side="right")
+        keys = np.empty(n + m, dtype=keys_a.dtype)
+        ids = np.empty(n + m, dtype=ids_a.dtype)
+        keys[pos_a] = keys_a
+        keys[pos_b] = keys_b
+        ids[pos_a] = ids_a
+        ids[pos_b] = ids_b
+        return keys, ids
 
     def _required_depth(self, node_level: int, root: NodeStructure) -> int:
         return sampling.required_morton_index_depth(
