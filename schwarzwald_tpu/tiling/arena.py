@@ -57,6 +57,27 @@ class PointArena:
             out[mask] = self._chunks[c].positions[local[mask]]
         return out
 
+    def positions_scratch(self, ids: np.ndarray) -> np.ndarray:
+        """positions() into a reused grow-only scratch buffer — for callers
+        that CONSUME the gather and never retain it (samplers). Avoids
+        re-faulting fresh pages per node, the dominant cost of deep
+        MIN_DISTANCE trees on this deployment's VM. The result is only
+        valid until the next positions_scratch call on this arena."""
+        n = ids.size
+        buf = getattr(self, "_pos_scratch", None)
+        if buf is None or buf.shape[0] < n:
+            buf = self._pos_scratch = np.empty((max(n, 1024), 3),
+                                               dtype=np.float64)
+        out = buf[:n]
+        if len(self._chunks) == 1:
+            np.take(self._chunks[0].positions, ids, axis=0, out=out)
+            return out
+        chunk_ids, local = self._locate(ids)
+        for c in np.unique(chunk_ids):
+            mask = chunk_ids == c
+            out[mask] = self._chunks[c].positions[local[mask]]
+        return out
+
     def gather(self, ids: np.ndarray) -> PointBuffer:
         """Gather points in the given (arbitrary) order into a PointBuffer.
 

@@ -286,8 +286,10 @@ class TilingAlgorithmBase:
         node_level_rel = node.level - (root.level + 1)
         # The position gather is the deep-recursion hot spot (every level
         # re-gathers its subset); skip it when the sampler won't read it
-        # (take-all nodes — most leaves — and RANDOM_GRID).
-        positions = (arena.positions(ids)
+        # (take-all nodes — most leaves — and RANDOM_GRID), and gather into
+        # the arena's reused scratch otherwise (sample() consumes positions
+        # and never retains them).
+        positions = (arena.positions_scratch(ids)
                      if self.sampling_strategy.needs_positions(
                          ids.size, behaviour) else None)
         result = self.sampling_strategy.sample(
