@@ -88,6 +88,14 @@ def _stable_order(selected_idx: np.ndarray, n: int) -> SampleResult:
     return SampleResult(order, int(selected_idx.size))
 
 
+def _stable_order_from_mask(selected_mask: np.ndarray) -> SampleResult:
+    """_stable_order when the boolean mask already exists (Poisson paths):
+    skips rebuilding it from indices."""
+    selected = np.flatnonzero(selected_mask)
+    order = np.concatenate([selected, np.flatnonzero(~selected_mask)])
+    return SampleResult(order, int(selected.size))
+
+
 def _argmin_per_run(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     """First index of the minimum value within each run (min_element tie rule)."""
     n = values.size
@@ -358,7 +366,7 @@ def sample_min_distance(keys: np.ndarray, positions: np.ndarray, node_key: int,
     if accepted is None:
         accepted = _poisson_backend(positions, node_min[0], node_max[0],
                                     spacing, None)
-    return _stable_order(np.flatnonzero(accepted), n)
+    return _stable_order_from_mask(accepted)
 
 
 def sample_min_distance_fast(keys: np.ndarray, positions: np.ndarray,
@@ -395,7 +403,7 @@ def sample_min_distance_fast(keys: np.ndarray, positions: np.ndarray,
     if accepted is None:
         accepted = _poisson_backend(positions, node_min[0], node_max[0],
                                     spacing, analyze)
-    return _stable_order(np.flatnonzero(accepted), n)
+    return _stable_order_from_mask(accepted)
 
 
 def _default_density_per_level(node_level: int) -> float:

@@ -430,3 +430,48 @@ def test_converter_entwine_laz_to_3dtiles(tmp_path, rng):
             b, _ = read_pnts(str(out / f))
             total_pnts += b.count
     assert total_pnts == 5000
+
+
+def test_malformed_laz_headers_raise_cleanly(tmp_path, rng):
+    """Garbage VLR payloads / truncated headers raise Python exceptions
+    (never crash) when opening claimed-LAZ files."""
+    import struct as _struct
+
+    base = bytearray(400)
+    base[0:4] = b"LASF"
+    base[24] = 1
+    base[25] = 2
+    _struct.pack_into("<H", base, 94, 227)       # header size
+    _struct.pack_into("<I", base, 96, 300)       # offset to point data
+    _struct.pack_into("<I", base, 100, 1)        # one VLR
+    base[104] = 0x80                             # compressed flag
+    _struct.pack_into("<H", base, 105, 20)
+    _struct.pack_into("<I", base, 107, 10)       # point count
+    _struct.pack_into("<3d", base, 131, 0.01, 0.01, 0.01)
+
+    for variant in range(6):
+        raw = bytearray(base)
+        if variant == 0:
+            pass  # VLR region is all zeros: no laszip VLR found
+        elif variant == 1:
+            # laszip VLR header with absurd record length
+            _struct.pack_into("<H16sHH", raw, 227, 0, b"laszip encoded",
+                              22204, 60000)
+        elif variant == 2:
+            # laszip VLR with garbage payload
+            _struct.pack_into("<H16sHH", raw, 227, 0, b"laszip encoded",
+                              22204, 40)
+            raw[281:321] = rng.integers(0, 256, 40, dtype=np.uint8).tobytes()
+        elif variant == 3:
+            raw = raw[:250]  # truncated mid-VLR
+        elif variant == 4:
+            raw = raw[:50]   # truncated mid-header
+        else:
+            raw[104] = 0x86  # compressed + unsupported format 6
+        path = tmp_path / f"bad{variant}.laz"
+        path.write_bytes(bytes(raw))
+        try:
+            f = las.LASFile(str(path))
+            f.read_points(0, 10)
+        except Exception as err:
+            assert not isinstance(err, (SystemExit, MemoryError)), err
