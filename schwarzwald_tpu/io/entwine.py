@@ -116,7 +116,8 @@ class EntwinePersistence:
     is_lossless = False
 
     def __init__(self, work_dir: str, input_attributes=None,
-                 output_attributes=None, compressed: bool = False):
+                 output_attributes=None, compressed: bool = False,
+                 extended: bool = False):
         self.work_dir = work_dir
         self.compressed = compressed
         self.extension = ".laz" if compressed else ".las"
@@ -125,7 +126,7 @@ class EntwinePersistence:
             os.makedirs(os.path.join(work_dir, sub), exist_ok=True)
         self._las = LASPersistence(os.path.join(work_dir, "ept-data"),
                                    input_attributes, output_attributes,
-                                   compressed=compressed)
+                                   compressed=compressed, extended=extended)
         self._hierarchy: dict[str, int] = {}
         self._lock = threading.Lock()
 

@@ -19,6 +19,7 @@ from ..core.attributes import PointAttribute
 from ..core.pointbuffer import PointBuffer
 
 HEADER_SIZE_12 = 227
+HEADER_SIZE_14 = 375
 
 # Record layouts for point formats 0-3 (LAS 1.2) and the extended
 # formats 6-8 (LAS 1.4): read support for both, write always 0-3
@@ -373,10 +374,17 @@ def decode_records_into(records: np.ndarray, header: LASHeader,
         cols[A.RGB][offset:end, 2] = rec["blue"] >> 8
 
 
-def choose_point_format(buffer: PointBuffer) -> int:
-    """Format from gps/rgb presence (LASPersistence.cpp:101-104)."""
-    has_gps = buffer.has(PointAttribute.GPSTime)
+def choose_point_format(buffer: PointBuffer, extended: bool = False) -> int:
+    """Format from gps/rgb presence (LASPersistence.cpp:101-104).
+
+    With extended=True (LAS 1.4 inputs whose attribute ranges exceed the
+    legacy formats: 4-bit return counts, 16-bit scan angles, 8-bit
+    classifications), emit the extended formats 6/7 instead — gps time is
+    always present there, rgb selects 7."""
     has_rgb = buffer.has(PointAttribute.RGB)
+    if extended:
+        return 7 if has_rgb else 6
+    has_gps = buffer.has(PointAttribute.GPSTime)
     return (1 if has_gps else 0) + (2 if has_rgb else 0)
 
 
@@ -404,30 +412,54 @@ def encode_records(buffer: PointBuffer, fmt: int, scale, offset) -> np.ndarray:
     xyz = quantize_positions(buffer.positions, scale, offset)
     rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
     A = PointAttribute
+    extended = fmt >= 6
     if buffer.has(A.Intensity):
         rec["intensity"] = buffer.get(A.Intensity)
     flags = np.zeros(buffer.count, dtype=np.uint8)
-    if buffer.has(A.ReturnNumber):
-        flags |= buffer.get(A.ReturnNumber) & 0x7
-    if buffer.has(A.NumberOfReturns):
-        flags |= (buffer.get(A.NumberOfReturns) & 0x7) << 3
-    if buffer.has(A.ScanDirectionFlag):
-        flags |= (buffer.get(A.ScanDirectionFlag) & 0x1) << 6
-    if buffer.has(A.EdgeOfFlightLine):
-        flags |= (buffer.get(A.EdgeOfFlightLine) & 0x1) << 7
-    rec["flags"] = flags
+    if extended:
+        # format 6+: byte 14 = return (4 bits) | count (4 bits); byte 15 =
+        # classification flags | scanner channel | direction | edge
+        if buffer.has(A.ReturnNumber):
+            flags |= buffer.get(A.ReturnNumber) & 0xF
+        if buffer.has(A.NumberOfReturns):
+            flags |= (buffer.get(A.NumberOfReturns) & 0xF) << 4
+        rec["flags"] = flags
+        flags2 = np.zeros(buffer.count, dtype=np.uint8)
+        if buffer.has(A.ScanDirectionFlag):
+            flags2 |= (buffer.get(A.ScanDirectionFlag) & 0x1) << 6
+        if buffer.has(A.EdgeOfFlightLine):
+            flags2 |= (buffer.get(A.EdgeOfFlightLine) & 0x1) << 7
+        rec["flags2"] = flags2
+    else:
+        if buffer.has(A.ReturnNumber):
+            flags |= buffer.get(A.ReturnNumber) & 0x7
+        if buffer.has(A.NumberOfReturns):
+            flags |= (buffer.get(A.NumberOfReturns) & 0x7) << 3
+        if buffer.has(A.ScanDirectionFlag):
+            flags |= (buffer.get(A.ScanDirectionFlag) & 0x1) << 6
+        if buffer.has(A.EdgeOfFlightLine):
+            flags |= (buffer.get(A.EdgeOfFlightLine) & 0x1) << 7
+        rec["flags"] = flags
     if buffer.has(A.Classification):
         rec["classification"] = buffer.get(A.Classification)
     if buffer.has(A.ScanAngleRank):
-        rec["scan_angle"] = buffer.get(A.ScanAngleRank)
+        if extended:
+            # legacy i8 rank (degrees) -> extended i16 in 0.006 degree
+            # units (laszip compatibility-mode conversion, inverse of the
+            # read-side mapping)
+            rank = buffer.get(A.ScanAngleRank).astype(np.float64)
+            rec["scan_angle"] = np.clip(
+                np.round(rank / 0.006), -32768, 32767).astype(np.int16)
+        else:
+            rec["scan_angle"] = buffer.get(A.ScanAngleRank)
     if buffer.has(A.UserData):
         rec["user_data"] = buffer.get(A.UserData)
     if buffer.has(A.PointSourceID):
         rec["point_source_id"] = buffer.get(A.PointSourceID)
-    if fmt in (1, 3):
+    if fmt in (1, 3) or extended:
         rec["gps_time"] = (buffer.get(A.GPSTime)
                            if buffer.has(A.GPSTime) else 0.0)
-    if fmt in (2, 3) and buffer.has(A.RGB):
+    if fmt in (2, 3, 7, 8) and buffer.has(A.RGB):
         rgb = buffer.get(A.RGB).astype(np.uint16)
         # 8 -> 16 bit via << 8 (LASPersistence.h:184-186)
         rec["red"] = rgb[:, 0] << 8
@@ -437,35 +469,54 @@ def encode_records(buffer: PointBuffer, fmt: int, scale, offset) -> np.ndarray:
 
 
 def build_header_bytes(header: LASHeader) -> bytes:
-    raw = bytearray(HEADER_SIZE_12)
+    """LAS public header block. Emits LAS 1.2 (227 bytes) for the legacy
+    point formats and LAS 1.4 (375 bytes, extended 64-bit counts, legacy
+    counts zeroed per spec) when point_data_format >= 6."""
+    extended = (header.point_data_format & 0x3F) >= 6
+    size = HEADER_SIZE_14 if extended else HEADER_SIZE_12
+    raw = bytearray(size)
     raw[0:4] = b"LASF"
     raw[24] = 1
-    raw[25] = 2
+    raw[25] = 4 if extended else 2
+    if extended:
+        # global encoding bit 4: CRS is WKT (mandatory for formats 6+)
+        struct.pack_into("<H", raw, 6, 1 << 4)
     software = b"pointcloud_tiler"  # LASPersistence.cpp:119
     raw[58:58 + len(software)] = software
-    struct.pack_into("<H", raw, 94, HEADER_SIZE_12)
+    struct.pack_into("<H", raw, 94, size)
     struct.pack_into("<I", raw, 96, header.offset_to_point_data)
     struct.pack_into("<I", raw, 100, header.n_vlrs)
     raw[104] = header.point_data_format
     struct.pack_into("<H", raw, 105, header.point_record_length)
-    struct.pack_into("<I", raw, 107, min(header.point_count, 0xFFFFFFFF))
-    struct.pack_into("<5I", raw, 111, *header.points_by_return)
+    if not extended:
+        struct.pack_into("<I", raw, 107, min(header.point_count, 0xFFFFFFFF))
+        struct.pack_into("<5I", raw, 111, *header.points_by_return)
     struct.pack_into("<3d", raw, 131, *header.scale)
     struct.pack_into("<3d", raw, 155, *header.offset)
     struct.pack_into("<6d", raw, 179,
                      header.maxs[0], header.mins[0],
                      header.maxs[1], header.mins[1],
                      header.maxs[2], header.mins[2])
+    if extended:
+        # 227: waveform EVLR offset, 235: first EVLR offset, 243: # EVLRs
+        struct.pack_into("<Q", raw, 247, header.point_count)
+        by_return = list(header.points_by_return[:15])
+        by_return += [0] * (15 - len(by_return))
+        struct.pack_into("<15Q", raw, 255, *by_return)
     return bytes(raw)
 
 
 def write_las(path: str, buffer: PointBuffer, bounds: AABB,
-              compressed: bool = False) -> None:
+              compressed: bool = False, extended: bool = False) -> None:
     """One-shot LAS write with the LASPersistence header policy:
-    offset = bounds.min, min/max = bounds, scale from bounds diagonal."""
-    fmt = choose_point_format(buffer)
+    offset = bounds.min, min/max = bounds, scale from bounds diagonal.
+    extended=True emits LAS 1.4 point format 6/7 (see
+    choose_point_format)."""
+    fmt = choose_point_format(buffer, extended=extended)
     scale = compute_las_scale_from_bounds(bounds)
+    header_size = HEADER_SIZE_14 if fmt >= 6 else HEADER_SIZE_12
     header = LASHeader(
+        version_minor=4 if fmt >= 6 else 2,
         point_data_format=fmt,
         point_record_length=record_length_for_format(fmt),
         point_count=buffer.count,
@@ -474,6 +525,8 @@ def write_las(path: str, buffer: PointBuffer, bounds: AABB,
         offset=bounds.min.copy(),
         mins=bounds.min.copy(),
         maxs=bounds.max.copy(),
+        offset_to_point_data=header_size,
+        header_size=header_size,
     )
     records = encode_records(buffer, fmt, header.scale, header.offset)
     if compressed:

@@ -18,9 +18,14 @@ class LASPersistence:
     is_lossless = False
 
     def __init__(self, work_dir: str, input_attributes=None,
-                 output_attributes=None, compressed: bool = False):
+                 output_attributes=None, compressed: bool = False,
+                 extended: bool = False):
         self.work_dir = work_dir
         self.compressed = compressed
+        # LAS 1.4 point formats 6/7: demanded when the source carries
+        # extended-range attributes (4-bit return counts, 8-bit
+        # classifications) that the legacy formats would truncate
+        self.extended = extended
         self.extension = ".laz" if compressed else ".las"
         os.makedirs(work_dir, exist_ok=True)
         from .staging import FileStaging
@@ -34,7 +39,8 @@ class LASPersistence:
         if not points.count:
             return
         las.write_las(self._staging.path_for(self._path(node_name)),
-                      points, bounds, compressed=self.compressed)
+                      points, bounds, compressed=self.compressed,
+                      extended=self.extended)
 
     def retrieve_points(self, node_name: str) -> PointBuffer:
         path = self._path(node_name)
@@ -51,7 +57,7 @@ class LASPersistence:
         exact re-read parity."""
         import numpy as np
 
-        fmt = las.choose_point_format(points)
+        fmt = las.choose_point_format(points, extended=self.extended)
         scale = las.compute_las_scale_from_bounds(bounds)
         header = las.LASHeader(
             point_data_format=fmt,

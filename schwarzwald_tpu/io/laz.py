@@ -3,10 +3,11 @@
 The reference wraps the LASzip library (schwarzwald/core/io/LASFile.cpp:
 446-560, laszip_api.h; writer in core/io/LASPersistence.cpp). Here the
 codec itself is implemented in native/src/laz.cpp (arithmetic coder +
-POINT10/GPSTIME11/RGB12/BYTE v2 item compressors, chunked stream +
-compressed chunk table); this module handles the LAS-side framing: the
-laszip VLR (record 22204), header patching, and chunk-granular random
-access through the chunk table.
+POINT10/GPSTIME11/RGB12/BYTE v2 item compressors for formats 0-5, layered
+POINT14/RGB14/RGBNIR14/BYTE14 v3 compressors for LAS 1.4 formats 6-8,
+chunked stream + compressed chunk table); this module handles the LAS-side
+framing: the laszip VLR (record 22204), header patching, and chunk-granular
+random access through the chunk table.
 """
 from __future__ import annotations
 
@@ -20,16 +21,24 @@ VLR_HEADER_SIZE = 54
 
 COMPRESSOR_POINTWISE = 1
 COMPRESSOR_POINTWISE_CHUNKED = 2
-COMPRESSOR_LAYERED_CHUNKED = 3  # LAS 1.4 formats 6+ (not yet supported)
+COMPRESSOR_LAYERED_CHUNKED = 3  # LAS 1.4 formats 6+
+VARIABLE_CHUNK_SIZE = 0xFFFFFFFF  # adaptive chunking (unsupported, gated)
 
 ITEM_BYTE = 0
 ITEM_POINT10 = 6
 ITEM_GPSTIME11 = 7
 ITEM_RGB12 = 8
+ITEM_POINT14 = 10
+ITEM_RGB14 = 11
+ITEM_RGBNIR14 = 12
+ITEM_BYTE14 = 14
 
 DEFAULT_CHUNK_SIZE = 50_000
 
 _BASE_SIZE = {ITEM_POINT10: 20, ITEM_GPSTIME11: 8, ITEM_RGB12: 6}
+# (item type, required size, item version) accepted per compressor
+_V2_ITEMS = {ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11, ITEM_RGB12}
+_V3_ITEMS = {ITEM_POINT14, ITEM_RGB14, ITEM_RGBNIR14, ITEM_BYTE14}
 
 
 class LAZNotAvailableError(RuntimeError):
@@ -57,36 +66,54 @@ class LaszipVlr:
 
 
 def items_for_point_format(fmt: int, record_length: int):
-    """The laszip item decomposition of LAS point formats 0-5."""
-    if fmt not in (0, 1, 2, 3):
+    """The laszip item decomposition of LAS point formats 0-3 (v2 items,
+    compressor 2) and 6-8 (v3 layered items, compressor 3)."""
+    if fmt in (6, 7, 8):
+        items = [(ITEM_POINT14, 30, 3)]
+        if fmt == 7:
+            items.append((ITEM_RGB14, 6, 3))
+        elif fmt == 8:
+            items.append((ITEM_RGBNIR14, 8, 3))
+        extra_item = ITEM_BYTE14
+    elif fmt in (0, 1, 2, 3):
+        items = [(ITEM_POINT10, 20, 2)]
+        if fmt in (1, 3):
+            items.append((ITEM_GPSTIME11, 8, 2))
+        if fmt in (2, 3):
+            items.append((ITEM_RGB12, 6, 2))
+        extra_item = ITEM_BYTE
+    else:
         raise LAZNotAvailableError(
-            f"LAZ write supports point formats 0-3, got {fmt}")
-    items = [(ITEM_POINT10, 20, 2)]
-    if fmt in (1, 3):
-        items.append((ITEM_GPSTIME11, 8, 2))
-    if fmt in (2, 3):
-        items.append((ITEM_RGB12, 6, 2))
+            f"LAZ write supports point formats 0-3 and 6-8, got {fmt}")
     base = sum(size for _, size, _ in items)
     if record_length > base:
-        items.append((ITEM_BYTE, record_length - base, 2))
+        items.append((extra_item, record_length - base, items[0][2]))
     elif record_length < base:
         raise ValueError(
             f"record length {record_length} below format {fmt} base {base}")
     return items
 
 
+def compressor_for_items(items) -> int:
+    return (COMPRESSOR_LAYERED_CHUNKED if items[0][0] == ITEM_POINT14
+            else COMPRESSOR_POINTWISE_CHUNKED)
+
+
 def build_laszip_vlr(items, chunk_size: int = DEFAULT_CHUNK_SIZE) -> bytes:
+    compressor = compressor_for_items(items)
+    version = (3, 4, 0) if compressor == COMPRESSOR_LAYERED_CHUNKED \
+        else (2, 2, 0)
     payload = struct.pack(
         "<HHBBHIIqqH",
-        COMPRESSOR_POINTWISE_CHUNKED,  # compressor
+        compressor,
         0,                             # coder: arithmetic
-        2, 2, 0,                       # version 2.2r0 item compressors
+        *version,                      # item compressor version
         0,                             # options
         chunk_size,
         -1, -1,                        # no special EVLRs
         len(items))
-    for item_type, size, version in items:
-        payload += struct.pack("<HHH", item_type, size, version)
+    for item_type, size, item_version in items:
+        payload += struct.pack("<HHH", item_type, size, item_version)
     header = struct.pack("<H16sHH32s", 0, LASZIP_USER_ID, LASZIP_RECORD_ID,
                          len(payload), b"schwarzwald_tpu laz codec")
     return header + payload
@@ -154,18 +181,30 @@ class LAZReader:
         if vlr is None:
             raise LAZNotAvailableError(f"{path}: no laszip VLR found")
         if vlr.compressor == COMPRESSOR_LAYERED_CHUNKED:
-            raise LAZNotAvailableError(
-                f"{path}: layered (LAS 1.4 format 6+) LAZ not supported yet")
-        if vlr.compressor not in (COMPRESSOR_POINTWISE,
-                                  COMPRESSOR_POINTWISE_CHUNKED):
+            for item_type, _, version in vlr.items:
+                if item_type not in _V3_ITEMS or version not in (3, 4):
+                    raise LAZNotAvailableError(
+                        f"{path}: unsupported layered item {item_type} "
+                        f"v{version} (POINT14/RGB14/RGBNIR14/BYTE14 v3 "
+                        "supported)")
+        elif vlr.compressor in (COMPRESSOR_POINTWISE,
+                                COMPRESSOR_POINTWISE_CHUNKED):
+            for item_type, _, version in vlr.items:
+                if item_type not in _V2_ITEMS or version != 2:
+                    raise LAZNotAvailableError(
+                        f"{path}: unsupported item {item_type} v{version} "
+                        "(POINT10/GPSTIME11/RGB12/BYTE v2 supported)")
+        else:
             raise LAZNotAvailableError(
                 f"{path}: unknown compressor {vlr.compressor}")
-        for item_type, _, version in vlr.items:
-            if item_type not in (ITEM_BYTE, ITEM_POINT10, ITEM_GPSTIME11,
-                                 ITEM_RGB12) or version != 2:
-                raise LAZNotAvailableError(
-                    f"{path}: unsupported item {item_type} v{version} "
-                    "(POINT10/GPSTIME11/RGB12/BYTE v2 supported)")
+        if vlr.compressor != COMPRESSOR_POINTWISE and \
+                vlr.chunk_size == VARIABLE_CHUNK_SIZE:
+            # adaptive chunking interleaves per-chunk point counts into the
+            # chunk table, which laz_read_chunk_table does not parse — gate
+            # with a clear message instead of misparsing
+            raise LAZNotAvailableError(
+                f"{path}: variable-size (adaptive) LAZ chunking not "
+                "supported")
         if vlr.record_length != header.point_record_length:
             raise ValueError(
                 f"{path}: laszip items sum to {vlr.record_length} bytes but "

@@ -19,7 +19,8 @@ from .memory import MemoryPersistence  # noqa: F401 (part of the facade)
 def make_persistence(output_format: OutputFormat, output_directory: str,
                      input_attributes, output_attributes,
                      rgb_mapping: RGBMapping = RGBMapping.Nothing,
-                     spacing_at_root: float = 0.0, total_bounds=None):
+                     spacing_at_root: float = 0.0, total_bounds=None,
+                     extended: bool = False):
     if output_format == OutputFormat.CZM_3DTILES:
         global_offset = (total_bounds.center() if total_bounds is not None
                          else (0.0, 0.0, 0.0))
@@ -33,9 +34,11 @@ def make_persistence(output_format: OutputFormat, output_directory: str,
     if output_format in (OutputFormat.LAS, OutputFormat.LAZ):
         return LASPersistence(
             output_directory, input_attributes, output_attributes,
-            compressed=(output_format == OutputFormat.LAZ))
+            compressed=(output_format == OutputFormat.LAZ),
+            extended=extended)
     if output_format in (OutputFormat.ENTWINE_LAS, OutputFormat.ENTWINE_LAZ):
         return EntwinePersistence(
             output_directory, input_attributes, output_attributes,
-            compressed=(output_format == OutputFormat.ENTWINE_LAZ))
+            compressed=(output_format == OutputFormat.ENTWINE_LAZ),
+            extended=extended)
     raise ValueError(f"Unrecognized output format {output_format}")

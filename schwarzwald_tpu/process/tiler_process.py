@@ -109,6 +109,7 @@ class TilerProcess:
     def __init__(self, args: TilerArguments):
         self.args = args
         self.input_attributes: set = set()
+        self.extended_formats = False
         self.output_attributes: set = set()
         self.progress = ProgressReporter()
 
@@ -161,6 +162,7 @@ class TilerProcess:
         MISSING_POINT_ATTRIBUTES is ignored
         (check_for_missing_point_attributes, TilerProcess.cpp:437-489)."""
         per_file: dict[str, set] = {}
+        self.extended_formats = False
         for path in files:
             try:
                 f = las.LASFile(path)
@@ -170,6 +172,11 @@ class TilerProcess:
                     continue
                 raise chain_error(err, f"Could not read attributes of {path}")
             per_file[path] = f.attributes()
+            if f.header.point_data_format >= 6:
+                # extended-range source attributes (4-bit return counts,
+                # 8-bit classifications): LAS/LAZ outputs must emit LAS 1.4
+                # formats 6/7 or truncate them
+                self.extended_formats = True
         if not per_file:
             raise RuntimeError("Found no input attributes to process")
         union: set = set().union(*per_file.values())
@@ -288,7 +295,8 @@ class TilerProcess:
         persistence = make_persistence(
             self.args.output_format, self.args.output_directory,
             self.input_attributes, self.output_attributes,
-            self.args.rgb_mapping, self.args.spacing, cubic_bounds)
+            self.args.rgb_mapping, self.args.spacing, cubic_bounds,
+            extended=self.extended_formats)
 
         shift_to_center = self.args.output_format == OutputFormat.CZM_3DTILES
         max_depth = (100 if self.args.max_depth <= 0

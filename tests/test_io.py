@@ -265,12 +265,14 @@ def test_las14_extended_format_read(tmp_path, rng):
             point_record_length=stride, point_count=n,
             points_by_return=(n, 0, 0, 0, 0),
             scale=np.full(3, 0.01), offset=np.zeros(3),
-            mins=np.full(3, -100.0), maxs=np.full(3, 100.0))
-        raw = bytearray(las.build_header_bytes(header))
-        raw[24], raw[25] = 1, 4
+            mins=np.full(3, -100.0), maxs=np.full(3, 100.0),
+            offset_to_point_data=las.HEADER_SIZE_14,
+            header_size=las.HEADER_SIZE_14)
+        raw = las.build_header_bytes(header)
+        assert len(raw) == las.HEADER_SIZE_14  # real 1.4 header emitted
         path = tmp_path / f"ext{fmt}.las"
         with open(path, "wb") as f:
-            f.write(bytes(raw))
+            f.write(raw)
             f.write(rec.tobytes())
 
         buf = las.read_las(str(path))

@@ -475,3 +475,248 @@ def test_malformed_laz_headers_raise_cleanly(tmp_path, rng):
             f.read_points(0, 10)
         except Exception as err:
             assert not isinstance(err, (SystemExit, MemoryError)), err
+
+
+# ---------------------------------------------------------------------------
+# LAS 1.4 layered compressor (compressor 3, POINT14/RGB14/RGBNIR14/BYTE14 v3)
+# ---------------------------------------------------------------------------
+
+def synth_records_ext(rng, n, fmt, channels=2, sorted_gps=True):
+    """Correlated synthetic LAS 1.4 extended records (formats 6-8)."""
+    rec = np.zeros(n, dtype=las.point_record_dtype(fmt))
+    rec["x"] = np.cumsum(rng.integers(-50, 60, n)).astype(np.int32)
+    rec["y"] = np.cumsum(rng.integers(-40, 45, n)).astype(np.int32)
+    rec["z"] = (100000 + np.cumsum(rng.integers(-8, 8, n))).astype(np.int32)
+    rec["intensity"] = (500 + np.cumsum(rng.integers(-9, 10, n))
+                        ).astype(np.uint16)
+    nr = rng.integers(1, 12, n)
+    rn = np.minimum(nr, rng.integers(1, 12, n))
+    rec["flags"] = (rn | (nr << 4)).astype(np.uint8)
+    chan = rng.integers(0, channels, n).astype(np.uint8)
+    rec["flags2"] = (rng.integers(0, 16, n) | (chan << 4)
+                     | (rng.integers(0, 2, n) << 6)
+                     | (rng.integers(0, 2, n) << 7)).astype(np.uint8)
+    rec["classification"] = rng.integers(0, 200, n).astype(np.uint8)
+    rec["user_data"] = rng.integers(0, 3, n).astype(np.uint8)
+    rec["scan_angle"] = (np.cumsum(rng.integers(-40, 40, n))
+                         ).astype(np.int16)
+    rec["point_source_id"] = rng.integers(100, 104, n).astype(np.uint16)
+    gps = 250000.0 + np.cumsum(rng.uniform(0, 1e-4, n))
+    rec["gps_time"] = gps if sorted_gps else rng.permutation(gps)
+    if fmt in (7, 8):
+        base = rng.integers(0, 65536, 3)
+        for i, c in enumerate(("red", "green", "blue")):
+            rec[c] = (base[i] + np.cumsum(rng.integers(-300, 300, n))
+                      ).astype(np.uint16)
+    if fmt == 8:
+        rec["nir"] = (20000 + np.cumsum(rng.integers(-200, 200, n))
+                      ).astype(np.uint16)
+    return rec
+
+
+@pytest.mark.parametrize("fmt", [6, 7, 8])
+def test_native_layered_stream_round_trip(rng, fmt):
+    codec = lib()
+    n = 120_000  # > 2 chunks
+    raw = synth_records_ext(rng, n, fmt).view(np.uint8).reshape(-1)
+    rl = las.record_length_for_format(fmt)
+    items = laz.items_for_point_format(fmt, rl)
+    assert laz.compressor_for_items(items) == laz.COMPRESSOR_LAYERED_CHUNKED
+    types = np.array([t for t, _, _ in items], dtype=np.uint16)
+    sizes = np.array([s for _, s, _ in items], dtype=np.int32)
+
+    stream = codec.laz_encode_stream(raw, rl, 50_000, types, sizes)
+    assert stream.size < raw.size  # actually compresses correlated data
+
+    back = codec.laz_decode_points(stream[8:], n, 50_000, types, sizes, rl)
+    np.testing.assert_array_equal(back, raw)
+
+    # chunk table framing is shared with compressor 2
+    table_off = struct.unpack("<q", stream[:8].tobytes())[0]
+    chunk_sizes = codec.laz_read_chunk_table(stream[table_off:], 100)
+    assert chunk_sizes.size == 3
+    assert chunk_sizes.sum() == table_off - 8
+
+
+@pytest.mark.parametrize("channels", [1, 4])
+def test_native_layered_scanner_channels(rng, channels):
+    """Scanner-channel context switching: each channel keeps independent
+    prediction state; all 4 contexts exercised, small chunks force frequent
+    context re-creation."""
+    codec = lib()
+    n = 20_000
+    raw = synth_records_ext(rng, n, 6, channels=channels,
+                            sorted_gps=False).view(np.uint8).reshape(-1)
+    types = np.array([laz.ITEM_POINT14], dtype=np.uint16)
+    sizes = np.array([30], dtype=np.int32)
+    for chunk in (512, 50_000):
+        stream = codec.laz_encode_stream(raw, 30, chunk, types, sizes)
+        back = codec.laz_decode_points(stream[8:], n, chunk, types, sizes, 30)
+        np.testing.assert_array_equal(back, raw)
+
+
+def test_native_layered_extra_bytes_round_trip(rng):
+    codec = lib()
+    n = 10_000
+    rl = 30 + 5  # point14 + 5 extra bytes (BYTE14: one layer per byte)
+    base = synth_records_ext(rng, n, 6).view(np.uint8).reshape(n, 30)
+    extra = rng.integers(0, 4, (n, 5)).astype(np.uint8)
+    raw = np.concatenate([base, extra], axis=1).reshape(-1)
+    types = np.array([laz.ITEM_POINT14, laz.ITEM_BYTE14], dtype=np.uint16)
+    sizes = np.array([30, 5], dtype=np.int32)
+    stream = codec.laz_encode_stream(raw, rl, 50_000, types, sizes)
+    back = codec.laz_decode_points(stream[8:], n, 50_000, types, sizes, rl)
+    np.testing.assert_array_equal(back, raw)
+
+
+def test_native_layered_single_point_chunks(rng):
+    """Chunk-size edge cases: 1-point chunks (layers hold only coder flush
+    bytes) and an exact chunk-size multiple."""
+    codec = lib()
+    types = np.array([laz.ITEM_POINT14], dtype=np.uint16)
+    sizes = np.array([30], dtype=np.int32)
+    for n, chunk in [(1, 50_000), (2, 1), (7, 1), (4000, 2000), (2000, 2000)]:
+        raw = synth_records_ext(rng, n, 6).view(np.uint8).reshape(-1)
+        stream = codec.laz_encode_stream(raw, 30, chunk, types, sizes)
+        back = codec.laz_decode_points(stream[8:], n, chunk, types, sizes, 30)
+        np.testing.assert_array_equal(back, raw, err_msg=f"n={n} cs={chunk}")
+
+
+def test_write_extended_laz_read_back_equals_las(tmp_path, rng):
+    """write_las(extended=True): LAS 1.4 format 6/7 .las and .laz decode
+    identically, preserving extended ranges (returns > 7, classes > 31)."""
+    n = 60_000
+    buf = make_buffer(rng, n)
+    buf.set_column(A.ReturnNumber, rng.integers(1, 15, n, dtype=np.uint8))
+    buf.set_column(A.NumberOfReturns, np.full(n, 14, dtype=np.uint8))
+    buf.set_column(A.Classification, rng.integers(0, 250, n, dtype=np.uint8))
+    las.write_las(str(tmp_path / "a.las"), buf, BOUNDS, extended=True)
+    las.write_las(str(tmp_path / "a.laz"), buf, BOUNDS, compressed=True,
+                  extended=True)
+    assert (tmp_path / "a.laz").stat().st_size \
+        < (tmp_path / "a.las").stat().st_size
+
+    f = las.LASFile(str(tmp_path / "a.las"))
+    assert (f.header.version_major, f.header.version_minor) == (1, 4)
+    assert f.header.point_data_format == 7
+    plain = las.read_las(str(tmp_path / "a.las"))
+    packed = las.read_las(str(tmp_path / "a.laz"))
+    np.testing.assert_array_equal(packed.positions, plain.positions)
+    for attr in (A.Intensity, A.Classification, A.RGB, A.GPSTime,
+                 A.ReturnNumber, A.NumberOfReturns):
+        np.testing.assert_array_equal(packed.get(attr), plain.get(attr),
+                                      err_msg=str(attr))
+    # extended ranges actually survived (legacy formats would clamp)
+    np.testing.assert_array_equal(plain.get(A.ReturnNumber),
+                                  buf.get(A.ReturnNumber))
+    np.testing.assert_array_equal(plain.get(A.Classification),
+                                  buf.get(A.Classification))
+
+
+def test_layered_laz_reader_random_access(tmp_path, rng):
+    rec = synth_records_ext(rng, 120_000, 6)
+    path = str(tmp_path / "r14.laz")
+    header = las.LASHeader(
+        version_minor=4, point_data_format=6, point_record_length=30,
+        point_count=120_000, scale=np.full(3, 0.01), offset=np.zeros(3),
+        mins=np.zeros(3), maxs=np.full(3, 100.0),
+        offset_to_point_data=las.HEADER_SIZE_14,
+        header_size=las.HEADER_SIZE_14)
+    laz.write_laz(path, header, rec)
+    f = las.LASFile(path)
+    assert f.header.is_compressed and f.header.point_data_format == 6
+    full = f.read_points(0, f.count)
+    for start, count in [(0, 10), (49_999, 2), (50_000, 50_000),
+                         (99_990, 30_000), (119_999, 1), (7_123, 61_000)]:
+        got = f.read_points(start, count)
+        end = start + min(count, f.count - start)
+        np.testing.assert_array_equal(got.positions,
+                                      full.positions[start:end],
+                                      err_msg=f"{start}+{count}")
+        np.testing.assert_array_equal(got.get(A.GPSTime),
+                                      full.get(A.GPSTime)[start:end])
+
+
+def test_cli_tiler_extended_laz_input_to_entwine(tmp_path, rng):
+    """A LAS 1.4 fmt-6 .laz input tiles end-to-end, and ENTWINE_LAZ output
+    emits LAS 1.4 (extended attributes demand it)."""
+    import json
+
+    from schwarzwald_tpu.cli import main as cli_main
+
+    n = 20_000
+    rec = synth_records_ext(rng, n, 6)
+    # spread positions over the bounds so the octree has structure
+    for axis, name in enumerate("xyz"):
+        rec[name] = (rng.uniform(1, 99, n) / 0.01).astype(np.int32)
+    src = str(tmp_path / "in14.laz")
+    header = las.LASHeader(
+        version_minor=4, point_data_format=6, point_record_length=30,
+        point_count=n, scale=np.full(3, 0.01), offset=np.zeros(3),
+        mins=np.zeros(3), maxs=np.full(3, 100.0),
+        offset_to_point_data=las.HEADER_SIZE_14,
+        header_size=las.HEADER_SIZE_14)
+    laz.write_laz(src, header, rec)
+
+    out = tmp_path / "out"
+    rc = cli_main(["--tiler", "-i", src, "-o", str(out),
+                   "--spacing", "10", "--max-points-per-node", "2000",
+                   "--sampling", "RANDOM_GRID", "--tiling-strategy",
+                   "ACCURATE", "--output-format", "ENTWINE_LAZ"])
+    assert rc == 0
+    ept = json.load(open(out / "ept.json"))
+    assert ept["dataType"] == "laszip"
+    root = out / "ept-data" / "0-0-0-0.laz"
+    node_header = las.LASFile(str(root)).header
+    assert (node_header.version_major, node_header.version_minor) == (1, 4)
+    assert node_header.point_data_format >= 6
+    total = sum(las.read_las(str(out / "ept-data" / f)).count
+                for f in os.listdir(out / "ept-data"))
+    assert total == n
+
+
+def test_layered_decoder_survives_corrupt_streams(rng):
+    """Layered-stream fuzzing: truncations, bit flips, and noise must error
+    or mis-decode, never crash (same harness as the v2 fuzz test)."""
+    codec = lib()
+    n = 5_000
+    raw = synth_records_ext(rng, n, 8).view(np.uint8).reshape(-1)
+    types = np.array([laz.ITEM_POINT14, laz.ITEM_RGBNIR14], dtype=np.uint16)
+    sizes = np.array([30, 8], dtype=np.int32)
+    stream = codec.laz_encode_stream(raw, 38, 2000, types, sizes)
+    payload = stream[8:]
+
+    def try_decode(data):
+        try:
+            codec.laz_decode_points(np.ascontiguousarray(data), n, 2000,
+                                    types, sizes, 38)
+        except ValueError:
+            pass  # error code is the correct outcome
+
+    for frac in (0.01, 0.3, 0.7, 0.99):
+        try_decode(payload[: int(payload.size * frac)])
+    for _ in range(60):
+        mutated = payload.copy()
+        i = int(rng.integers(0, mutated.size))
+        mutated[i] ^= np.uint8(1 << int(rng.integers(0, 8)))
+        try_decode(mutated)
+    for _ in range(10):
+        try_decode(rng.integers(0, 256, payload.size,
+                                dtype=np.uint8).view(np.uint8))
+
+
+def test_variable_chunk_size_gated(tmp_path, rng):
+    """chunk_size == 0xFFFFFFFF (adaptive chunking) is unsupported: opening
+    must raise the clear gate error, not misparse the chunk table."""
+    buf = make_buffer(rng, 1000, with_gps=False, with_rgb=False)
+    path = tmp_path / "v.laz"
+    las.write_las(str(path), buf, BOUNDS, compressed=True)
+    data = bytearray(path.read_bytes())
+    # the chunk_size field sits at VLR payload offset 12; the VLR payload
+    # starts after the 227-byte header + 54-byte VLR header
+    off = 227 + 54 + 12
+    assert struct.unpack_from("<I", data, off)[0] == laz.DEFAULT_CHUNK_SIZE
+    struct.pack_into("<I", data, off, laz.VARIABLE_CHUNK_SIZE)
+    path.write_bytes(bytes(data))
+    with pytest.raises(laz.LAZNotAvailableError, match="variable-size"):
+        las.LASFile(str(path))
