@@ -115,8 +115,8 @@ class BinaryPersistence:
     def begin_batch(self) -> None:
         self._staging.begin()
 
-    def commit_batch(self) -> None:
-        self._staging.commit()
+    def commit_batch(self, extra_renames=None) -> None:
+        self._staging.commit(extra_renames)
 
     def close(self) -> None:
         pass

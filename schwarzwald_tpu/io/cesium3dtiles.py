@@ -94,8 +94,8 @@ class Cesium3DTilesPersistence:
     def begin_batch(self) -> None:
         self._staging.begin()
 
-    def commit_batch(self) -> None:
-        self._staging.commit()
+    def commit_batch(self, extra_renames=None) -> None:
+        self._staging.commit(extra_renames)
 
     # -- tileset tree -------------------------------------------------------
 

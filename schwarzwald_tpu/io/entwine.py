@@ -151,8 +151,8 @@ class EntwinePersistence:
     def begin_batch(self) -> None:
         self._las.begin_batch()
 
-    def commit_batch(self) -> None:
-        self._las.commit_batch()
+    def commit_batch(self, extra_renames=None) -> None:
+        self._las.commit_batch(extra_renames)
 
     def close(self) -> None:
         with self._lock:

@@ -7,20 +7,29 @@ and a resume re-tiles that batch, duplicating them. With staging:
 
   * begin(): node writes go to <work_dir>/.staging/ instead of their
     committed paths;
-  * commit(): a manifest (the staged -> committed rename list) is written
-    atomically FIRST, then every file is os.replace()d into place, then
-    the manifest is removed — the checkpoint is only written after
-    commit() returns;
+  * commit(extra_renames): a manifest (the staged -> committed rename
+    list, INCLUDING the checkpoint file's own tmp -> tiler_state.json
+    rename passed in by the Tiler) is written atomically FIRST, then
+    every file is os.replace()d into place, then the manifest is removed;
   * recover() (at sink construction): a surviving manifest means a crash
     during commit — replay the renames (os.replace is idempotent here
     because staged sources are only removed by the rename itself); staged
     files without a manifest are an abandoned in-flight batch — discard.
 
-So after any crash, the committed node files correspond exactly to the
-batches the checkpoint says were completed.
+Because the checkpoint rename rides in the same manifest as the node
+renames, the committed node files and the checkpoint advance atomically:
+after any crash, either both reflect the batch or neither does — resume
+can never re-tile an already-committed batch.
+
+Staged names are derived from a hash of the FULL target path (not the
+basename), so two targets sharing a basename — or nested layouts — can
+never collide in the flat staging directory; re-persisting the same
+target within one batch deduplicates to the same staged path (last write
+wins, one manifest entry).
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -32,7 +41,7 @@ class FileStaging:
     def __init__(self, work_dir: str):
         self.dir = os.path.join(work_dir, ".staging")
         self.manifest_path = os.path.join(self.dir, self.MANIFEST)
-        self._active: list | None = None
+        self._active: dict | None = None
         self._recover()
 
     def _recover(self) -> None:
@@ -48,7 +57,7 @@ class FileStaging:
 
     def begin(self) -> None:
         os.makedirs(self.dir, exist_ok=True)
-        self._active = []
+        self._active = {}
 
     @property
     def active(self) -> bool:
@@ -58,16 +67,27 @@ class FileStaging:
         """The path a node write should go to right now."""
         if self._active is None:
             return target_path
-        staged = os.path.join(self.dir, os.path.basename(target_path))
-        self._active.append((staged, target_path))
+        digest = hashlib.sha1(target_path.encode()).hexdigest()[:16]
+        staged = os.path.join(
+            self.dir, f"{digest}-{os.path.basename(target_path)}")
+        self._active[target_path] = staged
         return staged
 
-    def commit(self) -> None:
+    def commit(self, extra_renames=None) -> None:
+        """Atomically move this batch's staged files into place.
+
+        extra_renames: additional (already-written-src, target) pairs to
+        include in the same manifest — used for the tiler checkpoint so
+        node state and resume state advance as one atomic unit.
+        """
         if self._active is None:
             return
-        entries, self._active = self._active, None
+        active, self._active = self._active, None
+        entries = [(staged, target) for target, staged in active.items()]
+        entries.extend(extra_renames or ())
         if entries:
             tmp = self.manifest_path + ".tmp"
+            os.makedirs(self.dir, exist_ok=True)
             with open(tmp, "w") as f:
                 json.dump(entries, f)
             os.replace(tmp, self.manifest_path)

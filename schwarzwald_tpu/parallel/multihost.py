@@ -142,9 +142,18 @@ def plan_multihost_tiling(files_with_counts, local_bounds: AABB,
 class MultiHostCoordinator:
     """Exchange directory + barrier protocol for one tiling run.
 
+    Run identity: host 0 wipes `.mh-exchange/`, generates a fresh nonce,
+    creates `.mh-exchange/<nonce>/` and atomically publishes the nonce in
+    the `prepared_0` marker; other hosts block in the constructor until
+    the marker exists and join the nonce-named directory. Markers and
+    spills from a crashed earlier run can therefore never be confused
+    with this run's: a stale nonce names a directory host 0 has deleted,
+    so a host that raced onto it fails loudly at the next barrier timeout
+    instead of silently ingesting stale spills (round-2 advisor finding).
+
     Protocol per host i (of n):
       1. tile own files; spill points of foreign start nodes to
-         .mh-exchange/to_<owner>/from<i>_<seq>.bin
+         .mh-exchange/<nonce>/to_<owner>/from<i>_<seq>.bin
       2. touch spills_done_<i>; wait for all spills_done_*
       3. ingest every to_<i>/ spill as a normal batch (all its points land
          in host i's owned start nodes); write start_nodes_<i>.json
@@ -157,13 +166,38 @@ class MultiHostCoordinator:
     def __init__(self, output_directory: str, process_index: int,
                  process_count: int, timeout: float = 3600.0):
         import os
+        import shutil
+        import time
+        import uuid
 
-        self.dir = os.path.join(output_directory, ".mh-exchange")
+        base = os.path.join(output_directory, ".mh-exchange")
         self.process_index = process_index
         self.process_count = process_count
         self.timeout = timeout
-        os.makedirs(os.path.join(self.dir, f"to_{process_index}"),
-                    exist_ok=True)
+        prepared = os.path.join(base, "prepared_0")
+        if process_index == 0:
+            shutil.rmtree(base, ignore_errors=True)
+            nonce = uuid.uuid4().hex[:12]
+            self.dir = os.path.join(base, nonce)
+            os.makedirs(os.path.join(self.dir, "to_0"))
+            tmp = prepared + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(nonce)
+            os.replace(tmp, prepared)
+        else:
+            deadline = time.monotonic() + timeout
+            while not os.path.exists(prepared):
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        "multi-host barrier 'prepared' timed out waiting "
+                        "for host 0")
+                time.sleep(self.POLL_SECONDS)
+            nonce = open(prepared).read().strip()
+            self.dir = os.path.join(base, nonce)
+            os.makedirs(os.path.join(self.dir, f"to_{process_index}"),
+                        exist_ok=True)
+        self._prepared_path = prepared
+        self._nonce = nonce
 
     def spill_dir(self, owner: int) -> str:
         import os
@@ -195,6 +229,19 @@ class MultiHostCoordinator:
                            os.path.join(self.dir, f"{phase}_{i}"))]
             if not missing:
                 return
+            # Fast stale-run detection: if the published nonce no longer
+            # matches ours, we joined a crashed run's leftovers and a
+            # fresh host 0 has since started a new run — fail now rather
+            # than blocking until the timeout.
+            try:
+                current = open(self._prepared_path).read().strip()
+            except OSError:
+                current = None
+            if current != self._nonce:
+                raise RuntimeError(
+                    f"multi-host run superseded: exchange nonce changed "
+                    f"while waiting at barrier '{phase}' (this host "
+                    f"joined a stale run)")
             if time.monotonic() > deadline:
                 raise TimeoutError(
                     f"multi-host barrier '{phase}' timed out waiting for "
@@ -224,9 +271,10 @@ class MultiHostCoordinator:
         return out
 
     def cleanup(self) -> None:
+        import os
         import shutil
 
-        shutil.rmtree(self.dir, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(self.dir), ignore_errors=True)
 
 
 class TilingAlgorithmMultiHost:

@@ -11,6 +11,7 @@ iteration from measured throughputs.
 from __future__ import annotations
 
 import concurrent.futures
+import os
 import queue
 import threading
 
@@ -277,25 +278,32 @@ class Tiler:
             concurrency_box["read"] = read_c
             with trace_span("index_batch", "index"), Timer() as t:
                 try:
-                    # Checkpointable runs stage node writes per batch and
-                    # commit atomically before the checkpoint is written, so
-                    # a mid-batch crash never leaves this batch's points
-                    # half-persisted (see io/staging.py).
+                    # Checkpointable runs stage node writes per batch; the
+                    # checkpoint file's own rename rides in the SAME staging
+                    # manifest as the node renames, so node state and resume
+                    # state advance atomically — a crash at any instant
+                    # leaves either both or neither reflecting this batch
+                    # (see io/staging.py).
                     staged = (self.checkpoint_callback is not None
                               and hasattr(self.persistence, "begin_batch"))
                     if staged:
                         self.persistence.begin_batch()
                     self.algorithm.process_batch(batch, self.bounds)
+                    points_processed += batch.count
                     if staged:
-                        self.persistence.commit_batch()
+                        rename = self.checkpoint_callback(
+                            cursor_snapshot, points_processed, self.algorithm)
+                        self.persistence.commit_batch(
+                            [rename] if rename else None)
+                    elif self.checkpoint_callback is not None:
+                        rename = self.checkpoint_callback(
+                            cursor_snapshot, points_processed, self.algorithm)
+                        if rename:
+                            os.replace(*rename)
                 finally:
                     if slot is not None:
                         slot.free.release()
             index_sampler.push_sample(batch.count, t.seconds)
-            points_processed += batch.count
-            if self.checkpoint_callback is not None:
-                self.checkpoint_callback(cursor_snapshot, points_processed,
-                                         self.algorithm)
             if journal is not None:
                 journal.add_record([
                     iteration,

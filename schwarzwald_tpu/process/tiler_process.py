@@ -242,14 +242,14 @@ class TilerProcess:
 
         state_path = os.path.join(self.args.output_directory,
                                   "tiler_state.json")
-        resume_state = None
-        if self.args.resume and os.path.exists(state_path):
+        # The checkpoint file is READ only after make_persistence below:
+        # sink construction replays any pending staging manifest
+        # (io/staging.py), which can legitimately advance the checkpoint
+        # when the previous run crashed mid-commit.
+        resume_requested = self.args.resume and os.path.exists(state_path)
+        if resume_requested:
             if multihost:
                 raise RuntimeError("--resume is not supported with multihost")
-            resume_state = json.load(open(state_path))
-            log.info(f"Resuming from checkpoint: "
-                     f"{resume_state.get('points_processed', 0)} points "
-                     f"already processed")
         elif is_primary:
             self._prepare_output_directory()
 
@@ -257,13 +257,12 @@ class TilerProcess:
         if multihost:
             from ..parallel.multihost import MultiHostCoordinator
             os.makedirs(self.args.output_directory, exist_ok=True)
+            # The coordinator constructor is itself the 'prepared'
+            # handshake: host 0 publishes a run nonce, others block on it
+            # and join the nonce-named exchange directory.
             mh_coord = MultiHostCoordinator(self.args.output_directory,
                                             self.args.multihost_index,
                                             self.args.multihost_count)
-            if is_primary:
-                mh_coord.mark("prepared")
-            else:
-                mh_coord.wait_one("prepared", 0)
         configure(self.args.output_directory, self.args.journal)
         if self.args.journal:
             # Chrome-trace of the read/index pipeline (the reference's
@@ -297,6 +296,15 @@ class TilerProcess:
             self.input_attributes, self.output_attributes,
             self.args.rgb_mapping, self.args.spacing, cubic_bounds,
             extended=self.extended_formats)
+
+        resume_state = None
+        if resume_requested:
+            # Read AFTER sink construction so a manifest replay (crash
+            # mid-commit) is reflected in what we resume from.
+            resume_state = json.load(open(state_path))
+            log.info(f"Resuming from checkpoint: "
+                     f"{resume_state.get('points_processed', 0)} points "
+                     f"already processed")
 
         shift_to_center = self.args.output_format == OutputFormat.CZM_3DTILES
         max_depth = (100 if self.args.max_depth <= 0
@@ -378,6 +386,11 @@ class TilerProcess:
             resumed_points = int(resume_state.get("points_processed", 0))
 
         def checkpoint(cursor_snapshot, points_processed, algorithm):
+            # Writes the new state to a tmp file and returns the
+            # (tmp, final) rename pair; the Tiler folds the rename into the
+            # batch's atomic staging commit (or applies it directly when
+            # the sink has no staging), so the checkpoint can never point
+            # at a batch whose node writes didn't commit, nor vice versa.
             state = {
                 "files": cursor_snapshot,
                 "points_processed": resumed_points + points_processed,
@@ -390,7 +403,7 @@ class TilerProcess:
             tmp = state_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(state, f)
-            os.replace(tmp, state_path)
+            return (tmp, state_path)
 
         if mh_plan is not None:
             from ..parallel.multihost import TilingAlgorithmMultiHost

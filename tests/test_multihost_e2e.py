@@ -105,6 +105,58 @@ def test_two_host_tiling_conserves_points(tmp_path, rng):
     assert os.path.exists(multi_out / "properties.json")
 
 
+def test_stale_exchange_leftovers_do_not_corrupt_rerun(tmp_path, rng):
+    """Markers and spills surviving a crashed multi-host run must not be
+    ingested by a re-run: the exchange is namespaced by a per-run nonce
+    published by host 0 (ADVICE round 2). Seed a fake crashed run's
+    leftovers — stale prepared marker, barrier markers, and a spill with
+    4 bogus points — and verify the re-run's output is exact."""
+    import time
+
+    files = []
+    for i in range(2):
+        path = tmp_path / f"part{i}.las"
+        _write_las(path, rng, 3000)
+        files.append(str(path))
+    total = 6000
+
+    out = tmp_path / "out"
+    stale = out / ".mh-exchange"
+    (stale / "deadbeef" / "to_0").mkdir(parents=True)
+    (stale / "prepared_0").write_text("deadbeef")
+    (stale / "deadbeef" / "spills_done_0").touch()
+    (stale / "deadbeef" / "spills_done_1").touch()
+    stale_sink = BinaryPersistence(str(stale / "deadbeef" / "to_0"))
+    stale_sink.persist_points(
+        PointBuffer(rng.uniform(1, 99, (4, 3))), BOUNDS, "from1_000000")
+
+    errors = []
+
+    def run_host(index):
+        try:
+            TilerProcess(TilerArguments(
+                sources=files, output_directory=str(out), spacing=5.0,
+                max_points_per_node=400, sampling_strategy="RANDOM_GRID",
+                output_format=OutputFormat.BIN,
+                multihost_index=index, multihost_count=2)).run()
+        except BaseException as err:
+            errors.append((index, err))
+
+    t0 = threading.Thread(target=run_host, args=(0,))
+    t0.start()
+    time.sleep(1.0)  # host 0 wipes the stale exchange during prepare
+    t1 = threading.Thread(target=run_host, args=(1,))
+    t1.start()
+    t0.join(timeout=600)
+    t1.join(timeout=600)
+    assert not errors, errors
+
+    nodes = _collect(out)
+    deep_total = sum(b.count for n, b in nodes.items() if len(n) - 1 >= 3)
+    assert deep_total == total  # the 4 bogus stale points were not ingested
+    assert not os.path.exists(out / ".mh-exchange")
+
+
 def test_three_host_entwine_laz(tmp_path, rng):
     """3 hosts, ENTWINE_LAZ output: conservation at the ownership level,
     host 0 writes the hierarchy/ept.json exactly once covering every node."""

@@ -182,3 +182,95 @@ def test_mid_batch_crash_does_not_duplicate_points(tmp_path, rng):
     np.testing.assert_array_equal(got[np.lexsort(got.T)],
                                   original[np.lexsort(original.T)])
     assert not os.path.exists(out / ".staging" / "MANIFEST.json")
+
+
+def test_crash_during_commit_replays_checkpoint_atomically(tmp_path, rng):
+    """The window the round-2 advisor flagged: a crash AFTER the staging
+    manifest is written but BEFORE the renames run. The checkpoint rename
+    rides in the same manifest as the node renames, so recovery must
+    replay BOTH — the resumed run sees batch 2 as committed and never
+    re-tiles it."""
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_las(src, rng, 9000)
+    original = las.read_las(str(src)).positions
+
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.io import staging as staging_mod
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    args = TilerArguments(
+        sources=[str(src)], output_directory=str(out), spacing=8.0,
+        sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
+        output_format=OutputFormat.BIN, internal_cache_size=3000,
+        max_batch_read_size=3000)
+
+    class Boom(RuntimeError):
+        pass
+
+    orig_commit = staging_mod.FileStaging.commit
+    calls = {"n": 0}
+
+    def commit_crash_after_manifest(self, extra_renames=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            # real logic up to (and including) the manifest write, then die
+            active, self._active = self._active, None
+            entries = [(s, t) for t, s in active.items()]
+            entries.extend(extra_renames or ())
+            tmp = self.manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(entries, f)
+            os.replace(tmp, self.manifest_path)
+            raise Boom()
+        orig_commit(self, extra_renames)
+
+    staging_mod.FileStaging.commit = commit_crash_after_manifest
+    try:
+        with pytest.raises(Boom):
+            TilerProcess(args).run()
+    finally:
+        staging_mod.FileStaging.commit = orig_commit
+
+    # The crash happened before the checkpoint rename ran: the durable
+    # checkpoint still says 3000 (batch 1), the manifest holds batch 2.
+    assert json.load(open(out / "tiler_state.json"))[
+        "points_processed"] == 3000
+    assert os.path.exists(out / ".staging" / "MANIFEST.json")
+
+    args.resume = True
+    TilerProcess(args).run()
+
+    sink = BinaryPersistence(str(out))
+    collected = [sink.retrieve_points(f[:-4]).positions
+                 for f in os.listdir(out) if f.endswith(".bin")]
+    got = np.concatenate(collected)
+    assert got.shape[0] == 9000  # batch 2 replayed from manifest, not re-tiled
+    np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                  original[np.lexsort(original.T)])
+
+
+def test_staging_distinguishes_same_basename_targets(tmp_path):
+    """path_for must not collide two targets that share a basename, and
+    re-staging the same target within one batch must dedupe to a single
+    manifest entry (ADVICE round 2)."""
+    from schwarzwald_tpu.io.staging import FileStaging
+
+    work = tmp_path / "w"
+    (work / "a").mkdir(parents=True)
+    (work / "b").mkdir()
+    st = FileStaging(str(work))
+    st.begin()
+    pa = st.path_for(str(work / "a" / "n.bin"))
+    pb = st.path_for(str(work / "b" / "n.bin"))
+    assert pa != pb
+    open(pa, "w").write("A")
+    open(pb, "w").write("B")
+    # same target staged twice -> same staged path, last write wins
+    pa2 = st.path_for(str(work / "a" / "n.bin"))
+    assert pa2 == pa
+    open(pa2, "w").write("A2")
+    st.commit()
+    assert open(work / "a" / "n.bin").read() == "A2"
+    assert open(work / "b" / "n.bin").read() == "B"
