@@ -48,16 +48,20 @@ def make_input(tmp: str) -> str:
     return path
 
 
-def run_tiler(src: str, out: str, strategy: str = "ACCURATE") -> float:
+def run_tiler(src: str, out: str, strategy: str = "ACCURATE",
+              sampling: str = "RANDOM_GRID") -> float:
     from schwarzwald_tpu.core.attributes import OutputFormat
     from schwarzwald_tpu.process.tiler_process import (TilerArguments,
                                                        TilerProcess)
     from schwarzwald_tpu.util import log
 
     log.verbose = False
+    # keep stdout to the single JSON line (attribute-clamp warnings etc.
+    # go to stderr during benchmarking)
+    log.write_log = lambda msg: print(msg, file=sys.stderr)
     args = TilerArguments(
         sources=[src], output_directory=out,
-        diagonal_fraction=250, sampling_strategy="RANDOM_GRID",
+        diagonal_fraction=250, sampling_strategy=sampling,
         tiling_strategy=strategy, output_format=OutputFormat.CZM_3DTILES,
         cache_size_bytes=1 << 30)
     t0 = time.perf_counter()
@@ -67,8 +71,12 @@ def run_tiler(src: str, out: str, strategy: str = "ACCURATE") -> float:
     return elapsed
 
 
-def best_of(n: int, fn) -> float:
-    return min(fn(i) for i in range(n))
+def best_and_median(n: int, fn) -> tuple:
+    """(best, median) of n runs — best controls for this VM's paging noise
+    (up to 4x swings), median is reported alongside so the spread is
+    visible in the JSON (round-2 verdict item 10)."""
+    times = sorted(fn(i) for i in range(n))
+    return times[0], times[n // 2]
 
 
 def device_encode_sort_rate() -> float:
@@ -143,9 +151,14 @@ def main() -> None:
         with open(src, "rb") as f:
             f.read()
         # best-of-N: this VM's paging noise swings single runs by up to 4x
-        elapsed = best_of(5, lambda i: run_tiler(
+        elapsed, elapsed_med = best_and_median(5, lambda i: run_tiler(
             src, os.path.join(tmp, f"out{i}")))
-        fast_elapsed = best_of(2, lambda i: run_tiler(
+        # The reference's out-of-box configuration (main.cpp:230-251:
+        # FAST strategy + MIN_DISTANCE sampling) as a first-class metric.
+        default_elapsed, default_med = best_and_median(5, lambda i: run_tiler(
+            src, os.path.join(tmp, f"outd{i}"), strategy="FAST",
+            sampling="MIN_DISTANCE"))
+        fast_elapsed, _ = best_and_median(2, lambda i: run_tiler(
             src, os.path.join(tmp, f"outf{i}"), strategy="FAST"))
         pts_per_sec = N_POINTS / elapsed
         device_rate = device_encode_sort_rate()
@@ -157,6 +170,12 @@ def main() -> None:
             "config": "1M uniform points, RANDOM_GRID, ACCURATE, "
                       "spacing=diag/250, 3DTILES (BASELINE config #1)",
             "elapsed_sec": round(elapsed, 2),
+            "value_median": round(N_POINTS / elapsed_med, 1),
+            "default_config_pts_per_sec": round(N_POINTS / default_elapsed, 1),
+            "default_config_pts_per_sec_median":
+                round(N_POINTS / default_med, 1),
+            "default_config_vs_baseline":
+                round(N_POINTS / default_elapsed / BASELINE_PTS_PER_SEC, 4),
             "fast_strategy_pts_per_sec": round(N_POINTS / fast_elapsed, 1),
             "device_encode_sort_pts_per_sec": round(device_rate, 1),
             "laz_decode_pts_per_sec": round(laz_decode_rate(), 1),

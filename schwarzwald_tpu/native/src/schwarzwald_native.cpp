@@ -9,7 +9,7 @@
 //   - las_decode / las_encode: LAS point-record transcoding between the
 //     packed on-disk records (formats 0-3) and SoA columns (reference
 //     las_read_points_into, core/io/LASFile.cpp:446-633).
-//   - radix_argsort_u64: LSD radix argsort for Morton keys (the host twin
+//   - radix_argsort_u64: stable MSD-bucket argsort for Morton keys (the host twin
 //     of the device sort; replaces np.argsort in the hot path).
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libschwarzwald_native.so
@@ -66,17 +66,36 @@ void poisson_accept_mask(const double* positions, int64_t n,
   static std::unordered_map<int64_t, int32_t> cell_head;
   static std::vector<double> arena;      // x,y,z per accepted point
   static std::vector<int32_t> next_link;  // chain within a cell
-  cell_head.clear();
   arena.clear();
   next_link.clear();
-
-  const auto cell_key = [](int64_t i, int64_t j, int64_t k) -> int64_t {
-    return (k << 40) | (j << 20) | i;  // SparseGrid.cpp:77
-  };
 
   const int64_t max_i = dim_x > 0 ? dim_x - 1 : 0;
   const int64_t max_j = dim_y > 0 ? dim_y - 1 : 0;
   const int64_t max_k = dim_z > 0 ? dim_z - 1 : 0;
+  const int64_t gx = max_i + 1, gy = max_j + 1, gz = max_k + 1;
+
+  // Dense-grid fast path: when the node's grid fits a flat head array,
+  // neighbourhood queries become direct loads instead of hash lookups
+  // (5-10x cheaper; the 27-cell scan dominates this kernel). The grid is
+  // a grow-only static initialized to -1 once; after each call only the
+  // cells actually written are reset (dirty list), so per-call cost is
+  // O(accepted), never O(cells). Accept SEMANTICS are identical to the
+  // hash path — the grid is pure acceleration.
+  constexpr int64_t DENSE_CELL_LIMIT = int64_t(1) << 24;  // 16.7M * 4B = 67MB
+  const bool use_dense = gx * gy * gz <= DENSE_CELL_LIMIT;
+  static std::vector<int32_t> dense_head;
+  static std::vector<int64_t> dirty_cells;
+  if (use_dense) {
+    if (static_cast<int64_t>(dense_head.size()) < gx * gy * gz)
+      dense_head.resize(gx * gy * gz, -1);
+    dirty_cells.clear();
+  } else {
+    cell_head.clear();
+  }
+
+  const auto cell_key = [](int64_t i, int64_t j, int64_t k) -> int64_t {
+    return (k << 40) | (j << 20) | i;  // SparseGrid.cpp:77
+  };
 
   // Morton-sorted candidates are spatially local: the point that rejected
   // the previous candidate usually rejects the next one too. Checking it
@@ -108,6 +127,40 @@ void poisson_accept_mask(const double* positions, int64_t n,
     const int64_t i_lo = std::max<int64_t>(ci - 1, 0), i_hi = std::min(ci + 1, max_i);
     const int64_t j_lo = std::max<int64_t>(cj - 1, 0), j_hi = std::min(cj + 1, max_j);
     const int64_t k_lo = std::max<int64_t>(ck - 1, 0), k_hi = std::min(ck + 1, max_k);
+    if (use_dense) {
+      for (int64_t k = k_lo; k <= k_hi && distant; ++k)
+        for (int64_t j = j_lo; j <= j_hi && distant; ++j) {
+          const int32_t* row = dense_head.data() + (k * gy + j) * gx;
+          for (int64_t i = i_lo; i <= i_hi && distant; ++i) {
+            for (int32_t t = row[i]; t >= 0; t = next_link[t]) {
+              const double dx = px - arena[3 * t];
+              const double dy = py - arena[3 * t + 1];
+              const double dz = pz - arena[3 * t + 2];
+              if (dx * dx + dy * dy + dz * dz < sq_spacing) {
+                distant = false;
+                last_rx = arena[3 * t];
+                last_ry = arena[3 * t + 1];
+                last_rz = arena[3 * t + 2];
+                have_last_rejector = true;
+                break;
+              }
+            }
+          }
+        }
+      if (distant) {
+        const int32_t t = static_cast<int32_t>(next_link.size());
+        arena.push_back(px);
+        arena.push_back(py);
+        arena.push_back(pz);
+        const int64_t cell = (ck * gy + cj) * gx + ci;
+        const int32_t head = dense_head[cell];
+        if (head < 0) dirty_cells.push_back(cell);
+        next_link.push_back(head);
+        dense_head[cell] = t;
+        out_mask[idx] = 1;
+      }
+      continue;
+    }
     for (int64_t k = k_lo; k <= k_hi && distant; ++k)
       for (int64_t j = j_lo; j <= j_hi && distant; ++j)
         for (int64_t i = i_lo; i <= i_hi && distant; ++i) {
@@ -142,6 +195,9 @@ void poisson_accept_mask(const double* positions, int64_t n,
       }
       out_mask[idx] = 1;
     }
+  }
+  if (use_dense) {
+    for (const int64_t cell : dirty_cells) dense_head[cell] = -1;
   }
 }
 
@@ -227,82 +283,72 @@ void las_encode(uint8_t* records, int64_t n, int32_t stride, int32_t format,
 // LSD radix argsort for uint64 keys
 // ---------------------------------------------------------------------------
 
-// Parallel stable LSD radix argsort: per-thread histograms + disjoint
-// scatter regions keep every pass stable while scaling across cores.
+// Stable MSD-bucket argsort: one scatter pass on the top byte, then a
+// comparison sort per bucket on (key, original index) pairs — ties broken
+// by index makes it exactly stable. For Morton-key batches this does
+// ~1/4 the memory traffic of the previous 8-pass LSD radix (one scatter
+// instead of eight), and the per-bucket sorts run cache-resident.
+// Buckets that stay huge (skewed data concentrated in one octant)
+// recurse one byte deeper before falling back to std::sort.
 //
 // Scratch buffers persist across calls (grow-only): on this deployment's
-// VM, first-touch page faults cost ~45 MB/s, so re-allocating ~64 bytes
-// of scratch per element every call would dominate the sort itself.
+// VM, first-touch page faults cost ~45 MB/s, so re-allocating scratch
+// per call would dominate the sort itself.
+namespace {
+
+struct KeyIdx {
+  uint64_t key;
+  int64_t idx;
+};
+
+inline bool key_idx_less(const KeyIdx& a, const KeyIdx& b) {
+  return a.key != b.key ? a.key < b.key : a.idx < b.idx;
+}
+
+// Sort pairs[lo:hi) whose keys agree on all bytes above `byte`.
+void msd_sort_range(KeyIdx* pairs, KeyIdx* scratch, int64_t lo, int64_t hi,
+                    int byte) {
+  const int64_t count = hi - lo;
+  constexpr int64_t COMPARISON_CUTOFF = 1 << 15;
+  if (count < 2) return;
+  if (count <= COMPARISON_CUTOFF || byte < 0) {
+    std::sort(pairs + lo, pairs + hi, key_idx_less);
+    return;
+  }
+  const int shift = byte * 8;
+  int64_t hist[257] = {0};
+  for (int64_t i = lo; i < hi; ++i)
+    hist[((pairs[i].key >> shift) & 0xFF) + 1]++;
+  for (int b = 0; b < 256; ++b) hist[b + 1] += hist[b];
+  for (int64_t i = lo; i < hi; ++i)
+    scratch[lo + hist[(pairs[i].key >> shift) & 0xFF]++] = pairs[i];
+  std::memcpy(pairs + lo, scratch + lo, count * sizeof(KeyIdx));
+  // hist[b] now holds the END offset of bucket b (relative to lo)
+  int64_t start = 0;
+  for (int b = 0; b < 256; ++b) {
+    const int64_t end = hist[b];
+    if (end - start > 1)
+      msd_sort_range(pairs, scratch, lo + start, lo + end, byte - 1);
+    start = end;
+  }
+}
+
+}  // namespace
+
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
-  static std::mutex scratch_mutex;
-  std::lock_guard<std::mutex> scratch_guard(scratch_mutex);
-  // int32 payload halves scratch traffic; batches are < 2^31 points.
-  static std::vector<int32_t> order, tmp;
-  static std::vector<uint64_t> k, ktmp;
-  if (static_cast<int64_t>(order.size()) < n) {
-    order.resize(n);
-    tmp.resize(n);
-    k.resize(n);
-    ktmp.resize(n);
+  {
+    static std::mutex pair_mutex;
+    std::lock_guard<std::mutex> guard(pair_mutex);
+    static std::vector<KeyIdx> pairs, scratch;
+    if (static_cast<int64_t>(pairs.size()) < n) {
+      pairs.resize(n);
+      scratch.resize(n);
+    }
+    for (int64_t i = 0; i < n; ++i) pairs[i] = {keys[i], i};
+    msd_sort_range(pairs.data(), scratch.data(), 0, n, 7);
+    for (int64_t i = 0; i < n; ++i) out_order[i] = pairs[i].idx;
+    return;
   }
-  std::memcpy(k.data(), keys, n * sizeof(uint64_t));
-#ifdef _OPENMP
-  const int n_threads = std::min(omp_get_max_threads(), 16);
-#else
-  const int n_threads = 1;
-#endif
-  const int64_t chunk = (n + n_threads - 1) / n_threads;
-  std::vector<int64_t> thread_hist(static_cast<size_t>(n_threads) * 256);
-
-#pragma omp parallel for schedule(static, 1) num_threads(n_threads)
-  for (int t = 0; t < n_threads; ++t) {
-    const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
-    for (int64_t i = lo; i < hi; ++i) order[i] = static_cast<int32_t>(i);
-  }
-
-  for (int pass = 0; pass < 8; ++pass) {
-    const int shift = pass * 8;
-#pragma omp parallel for schedule(static, 1) num_threads(n_threads)
-    for (int t = 0; t < n_threads; ++t) {
-      int64_t* h = &thread_hist[static_cast<size_t>(t) * 256];
-      std::memset(h, 0, 256 * sizeof(int64_t));
-      const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
-      for (int64_t i = lo; i < hi; ++i) h[(k[i] >> shift) & 0xFF]++;
-    }
-    // Column-major exclusive prefix over (bucket, thread): thread t's
-    // bucket b region starts after all earlier buckets and after earlier
-    // threads' same-bucket items -> stable.
-    int64_t total = 0;
-    bool trivial = false;
-    for (int b = 0; b < 256 && !trivial; ++b) {
-      int64_t bucket_total = 0;
-      for (int t = 0; t < n_threads; ++t)
-        bucket_total += thread_hist[static_cast<size_t>(t) * 256 + b];
-      if (bucket_total == n) trivial = true;
-    }
-    if (trivial) continue;
-    for (int b = 0; b < 256; ++b) {
-      for (int t = 0; t < n_threads; ++t) {
-        int64_t& h = thread_hist[static_cast<size_t>(t) * 256 + b];
-        const int64_t count = h;
-        h = total;
-        total += count;
-      }
-    }
-#pragma omp parallel for schedule(static, 1) num_threads(n_threads)
-    for (int t = 0; t < n_threads; ++t) {
-      int64_t* h = &thread_hist[static_cast<size_t>(t) * 256];
-      const int64_t lo = t * chunk, hi = std::min<int64_t>(n, lo + chunk);
-      for (int64_t i = lo; i < hi; ++i) {
-        const int64_t dst = h[(k[i] >> shift) & 0xFF]++;
-        ktmp[dst] = k[i];
-        tmp[dst] = order[i];
-      }
-    }
-    std::swap(k, ktmp);
-    std::swap(order, tmp);
-  }
-  for (int64_t i = 0; i < n; ++i) out_order[i] = order[i];
 }
 
 // ---------------------------------------------------------------------------
