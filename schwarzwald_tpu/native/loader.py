@@ -71,6 +71,24 @@ class NativeLib:
             _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             _i64p, ctypes.c_int64, _u16p, _i32p, ctypes.c_int32, _u8p]
         lib.laz_decode_chunks_parallel.restype = ctypes.c_int64
+        # test-only coder primitive drivers (tests/test_laz_primitives.py)
+        lib.laz_test_encode_symbols.argtypes = [
+            _u32p, ctypes.c_int64, ctypes.c_uint32, _u8p, ctypes.c_int64]
+        lib.laz_test_encode_symbols.restype = ctypes.c_int64
+        lib.laz_test_decode_symbols.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_uint32, _u32p]
+        lib.laz_test_decode_symbols.restype = ctypes.c_int64
+        lib.laz_test_encode_bits.argtypes = [
+            _u8p, ctypes.c_int64, _u8p, ctypes.c_int64]
+        lib.laz_test_encode_bits.restype = ctypes.c_int64
+        lib.laz_test_ic_compress.argtypes = [
+            _i32p, _i32p, _u32p, ctypes.c_int64, ctypes.c_uint32,
+            ctypes.c_uint32, _u8p, ctypes.c_int64]
+        lib.laz_test_ic_compress.restype = ctypes.c_int64
+        lib.laz_test_ic_decompress.argtypes = [
+            _u8p, ctypes.c_int64, _i32p, _u32p, ctypes.c_int64,
+            ctypes.c_uint32, ctypes.c_uint32, _i32p]
+        lib.laz_test_ic_decompress.restype = ctypes.c_int64
 
     def poisson_accept_mask(self, positions, node_min, node_max, spacing,
                             analyze_mask=None) -> np.ndarray:
@@ -259,6 +277,60 @@ class NativeLib:
             self._ptr(classification), self._ptr(scan_angle),
             self._ptr(user_data), self._ptr(point_source_id),
             self._ptr(gps_time), self._ptr(rgb16))
+
+
+    # -- test-only coder primitive drivers --------------------------------
+
+    def laz_test_encode_symbols(self, syms, num_symbols: int) -> bytes:
+        syms = np.ascontiguousarray(syms, dtype=np.uint32)
+        out = np.empty(syms.size * 8 + 64, dtype=np.uint8)
+        rc = self._lib.laz_test_encode_symbols(
+            syms, syms.size, num_symbols, out, out.size)
+        if rc < 0:
+            raise ValueError(f"encode_symbols failed ({rc})")
+        return out[:rc].tobytes()
+
+    def laz_test_decode_symbols(self, data: bytes, n: int,
+                                num_symbols: int) -> np.ndarray:
+        buf = np.frombuffer(data, dtype=np.uint8).copy()
+        out = np.empty(n, dtype=np.uint32)
+        rc = self._lib.laz_test_decode_symbols(
+            buf, buf.size, n, num_symbols, out)
+        if rc < 0:
+            raise ValueError(f"decode_symbols failed ({rc})")
+        return out
+
+    def laz_test_encode_bits(self, bits) -> bytes:
+        bits = np.ascontiguousarray(bits, dtype=np.uint8)
+        out = np.empty(bits.size + 64, dtype=np.uint8)
+        rc = self._lib.laz_test_encode_bits(bits, bits.size, out, out.size)
+        if rc < 0:
+            raise ValueError(f"encode_bits failed ({rc})")
+        return out[:rc].tobytes()
+
+    def laz_test_ic_compress(self, preds, reals, ctxs, bits: int,
+                             n_contexts: int) -> bytes:
+        preds = np.ascontiguousarray(preds, dtype=np.int32)
+        reals = np.ascontiguousarray(reals, dtype=np.int32)
+        ctxs = np.ascontiguousarray(ctxs, dtype=np.uint32)
+        out = np.empty(preds.size * 12 + 64, dtype=np.uint8)
+        rc = self._lib.laz_test_ic_compress(
+            preds, reals, ctxs, preds.size, bits, n_contexts, out, out.size)
+        if rc < 0:
+            raise ValueError(f"ic_compress failed ({rc})")
+        return out[:rc].tobytes()
+
+    def laz_test_ic_decompress(self, data: bytes, preds, ctxs, bits: int,
+                               n_contexts: int) -> np.ndarray:
+        buf = np.frombuffer(data, dtype=np.uint8).copy()
+        preds = np.ascontiguousarray(preds, dtype=np.int32)
+        ctxs = np.ascontiguousarray(ctxs, dtype=np.uint32)
+        out = np.empty(preds.size, dtype=np.int32)
+        rc = self._lib.laz_test_ic_decompress(
+            buf, buf.size, preds, ctxs, preds.size, bits, n_contexts, out)
+        if rc < 0:
+            raise ValueError(f"ic_decompress failed ({rc})")
+        return out
 
 
 def load() -> NativeLib:

@@ -2530,4 +2530,85 @@ int64_t laz_read_chunk_table(const uint8_t* data, int64_t n_bytes,
   return (int64_t)number_chunks;
 }
 
+// ---------------------------------------------------------------------------
+// Test-only primitive drivers
+// ---------------------------------------------------------------------------
+// Expose the arithmetic coder / IntegerCompressor at primitive level so the
+// test suite can cross-check byte streams against an independent
+// spec-transcribed implementation (tests/test_laz_primitives.py) and pin
+// golden fixtures. Known-answer coverage for the coder internals is the
+// only interop check possible offline (no stock LASzip in this image).
+
+int64_t laz_test_encode_symbols(const uint32_t* syms, int64_t n,
+                                uint32_t num_symbols, uint8_t* out,
+                                int64_t cap) {
+  std::vector<U8> buf;
+  ArithmeticEncoder enc;
+  enc.init(&buf);
+  ArithmeticModel m;
+  m.create(num_symbols, false);
+  for (int64_t i = 0; i < n; i++) enc.encode_symbol(m, syms[i]);
+  enc.done();
+  if ((int64_t)buf.size() > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+int64_t laz_test_decode_symbols(const uint8_t* data, int64_t n_bytes,
+                                int64_t n, uint32_t num_symbols,
+                                uint32_t* out_syms) {
+  ArithmeticDecoder dec;
+  dec.init(data, (size_t)n_bytes);
+  ArithmeticModel m;
+  m.create(num_symbols, true);
+  for (int64_t i = 0; i < n; i++) out_syms[i] = dec.decode_symbol(m);
+  return dec.overrun ? -3 : 0;
+}
+
+int64_t laz_test_encode_bits(const uint8_t* bits, int64_t n, uint8_t* out,
+                             int64_t cap) {
+  std::vector<U8> buf;
+  ArithmeticEncoder enc;
+  enc.init(&buf);
+  ArithmeticBitModel m;
+  m.init_model();
+  for (int64_t i = 0; i < n; i++) enc.encode_bit(m, bits[i]);
+  enc.done();
+  if ((int64_t)buf.size() > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+int64_t laz_test_ic_compress(const int32_t* preds, const int32_t* reals,
+                             const uint32_t* ctxs, int64_t n, uint32_t bits,
+                             uint32_t n_contexts, uint8_t* out, int64_t cap) {
+  std::vector<U8> buf;
+  ArithmeticEncoder enc;
+  enc.init(&buf);
+  IntegerCompressor ic;
+  ic.setup(bits, n_contexts);
+  ic.enc = &enc;
+  ic.init_models(false);
+  for (int64_t i = 0; i < n; i++) ic.compress(preds[i], reals[i], ctxs[i]);
+  enc.done();
+  if ((int64_t)buf.size() > cap) return -1;
+  std::memcpy(out, buf.data(), buf.size());
+  return (int64_t)buf.size();
+}
+
+int64_t laz_test_ic_decompress(const uint8_t* data, int64_t n_bytes,
+                               const int32_t* preds, const uint32_t* ctxs,
+                               int64_t n, uint32_t bits, uint32_t n_contexts,
+                               int32_t* out_reals) {
+  ArithmeticDecoder dec;
+  dec.init(data, (size_t)n_bytes);
+  IntegerCompressor ic;
+  ic.setup(bits, n_contexts);
+  ic.dec = &dec;
+  ic.init_models(true);
+  for (int64_t i = 0; i < n; i++)
+    out_reals[i] = ic.decompress(preds[i], ctxs[i]);
+  return dec.overrun ? -3 : 0;
+}
+
 }  // extern "C"
