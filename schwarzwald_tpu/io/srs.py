@@ -11,6 +11,11 @@ transforms the tiler actually needs are implemented directly:
     via Karney's exact-to-nanometers 6th-order Krueger series
     (C.F.F. Karney, "Transverse Mercator with an accuracy of a few
     nanometers", J. Geod. 85, 2011)
+  - Lambert conformal conic 1SP/2SP (+proj=lcc; EPSG:2154 Lambert-93 and
+    the state-plane/national-grid family) via the ellipsoidal formulas of
+    Snyder, "Map Projections: A Working Manual", USGS PP 1395, p. 105-110
+  - Albers equal-area conic (+proj=aea; EPSG:5070 CONUS Albers),
+    Snyder p. 98-103
 
 AABB transform follows the reference: transform the 8 corners and
 re-min/max (Transformation.cpp:10-45).
@@ -134,6 +139,148 @@ def tmerc_inverse(easting, northing, lon0_deg: float, k0: float,
     return lon, lat
 
 
+# ---------------------------------------------------------------------------
+# Conic projections (Lambert conformal 1SP/2SP, Albers equal-area)
+# ---------------------------------------------------------------------------
+# Ellipsoidal formulas from Snyder, USGS PP 1395. Ellipsoid is a parameter
+# (default WGS84) so the published Clarke-1866 test vectors (Snyder's
+# worked examples) validate the implementation independently.
+
+_ELLIPSOIDS = {
+    "wgs84": (6378137.0, 1.0 / 298.257223563),
+    "grs80": (6378137.0, 1.0 / 298.257222101),
+    "clrk66": (6378206.4, 1.0 - math.sqrt(1.0 - 0.00676866)),
+}
+
+
+def _snyder_m(phi, e):
+    return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+
+def _snyder_t(phi, e):
+    s = np.sin(phi)
+    return (np.tan(math.pi / 4 - phi / 2)
+            / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+
+
+def _phi_from_t(t, e):
+    """Invert t(phi) (Snyder eq. 7-9, fixed-point iteration)."""
+    phi = math.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = e * np.sin(phi)
+        phi = (math.pi / 2
+               - 2 * np.arctan(t * ((1 - s) / (1 + s)) ** (e / 2)))
+    return phi
+
+
+class LCCParams:
+    """Lambert conformal conic. 2SP when lat2 is given (EPSG:9802),
+    1SP with scale k0 otherwise (EPSG:9801)."""
+
+    def __init__(self, lat0: float, lon0: float, lat1: float,
+                 lat2: float | None = None, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0,
+                 ellipsoid: str = "wgs84"):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        e = math.sqrt(f * (2 - f))
+        self.a, self.e = a, e
+        self.lon0 = lon0
+        self.x0, self.y0 = x0, y0
+        phi0, phi1 = math.radians(lat0), math.radians(lat1)
+        m1, t1 = _snyder_m(phi1, e), _snyder_t(phi1, e)
+        if lat2 is not None and lat2 != lat1:
+            phi2 = math.radians(lat2)
+            m2, t2 = _snyder_m(phi2, e), _snyder_t(phi2, e)
+            self.n = ((math.log(m1) - math.log(m2))
+                      / (math.log(t1) - math.log(t2)))
+            self.k0 = 1.0
+        else:
+            self.n = math.sin(phi1)
+            self.k0 = k0
+        self.F = m1 / (self.n * t1 ** self.n)
+        t0 = _snyder_t(phi0, e)
+        self.rho0 = a * self.F * t0 ** self.n * self.k0
+
+
+def lcc_forward(lon_deg, lat_deg, p: LCCParams):
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    lam = np.radians(np.asarray(lon_deg, np.float64) - p.lon0)
+    t = _snyder_t(phi, p.e)
+    rho = p.a * p.F * t ** p.n * p.k0
+    theta = p.n * lam
+    return (rho * np.sin(theta) + p.x0,
+            p.rho0 - rho * np.cos(theta) + p.y0)
+
+
+def lcc_inverse(easting, northing, p: LCCParams):
+    sign = 1.0 if p.n >= 0 else -1.0  # southern-cone sign flips (Snyder)
+    x = np.asarray(easting, np.float64) - p.x0
+    y = p.rho0 - (np.asarray(northing, np.float64) - p.y0)
+    rho = sign * np.sqrt(x * x + y * y)
+    theta = np.arctan2(sign * x, sign * y)
+    t = (rho / (p.a * p.F * p.k0)) ** (1.0 / p.n)
+    phi = _phi_from_t(t, p.e)
+    return (p.lon0 + np.degrees(theta / p.n), np.degrees(phi))
+
+
+def _snyder_q(phi, e):
+    s = np.sin(phi)
+    return (1 - e * e) * (s / (1 - (e * s) ** 2)
+                          - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s)))
+
+
+class AlbersParams:
+    """Albers equal-area conic, two standard parallels (EPSG:9822)."""
+
+    def __init__(self, lat0: float, lon0: float, lat1: float, lat2: float,
+                 x0: float = 0.0, y0: float = 0.0,
+                 ellipsoid: str = "wgs84"):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        e = math.sqrt(f * (2 - f))
+        self.a, self.e = a, e
+        self.lon0 = lon0
+        self.x0, self.y0 = x0, y0
+        phi0 = math.radians(lat0)
+        phi1, phi2 = math.radians(lat1), math.radians(lat2)
+        m1, m2 = _snyder_m(phi1, e), _snyder_m(phi2, e)
+        q0, q1, q2 = (_snyder_q(p, e) for p in (phi0, phi1, phi2))
+        if lat1 != lat2:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        else:
+            self.n = math.sin(phi1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * math.sqrt(self.C - self.n * q0) / self.n
+
+
+def albers_forward(lon_deg, lat_deg, p: AlbersParams):
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    lam = np.radians(np.asarray(lon_deg, np.float64) - p.lon0)
+    q = _snyder_q(phi, p.e)
+    rho = p.a * np.sqrt(p.C - p.n * q) / p.n
+    theta = p.n * lam
+    return (rho * np.sin(theta) + p.x0,
+            p.rho0 - rho * np.cos(theta) + p.y0)
+
+
+def albers_inverse(easting, northing, p: AlbersParams):
+    sign = 1.0 if p.n >= 0 else -1.0
+    x = np.asarray(easting, np.float64) - p.x0
+    y = p.rho0 - (np.asarray(northing, np.float64) - p.y0)
+    rho = np.sqrt(x * x + y * y)
+    theta = np.arctan2(sign * x, sign * y)
+    q = (p.C - (rho * p.n / p.a) ** 2) / p.n
+    e, e2 = p.e, p.e * p.e
+    # Snyder eq. 3-16 iteration, seeded by the spherical inverse
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(phi)
+        es = e * s
+        phi = phi + ((1 - es * es) ** 2 / (2 * np.cos(phi))
+                     * (q / (1 - e2) - s / (1 - es * es)
+                        + (1 / (2 * e)) * np.log((1 - es) / (1 + es))))
+    return (p.lon0 + np.degrees(theta / p.n), np.degrees(phi))
+
+
 class TmercParams:
     def __init__(self, lon0: float, lat0: float = 0.0, k0: float = 0.9996,
                  x0: float = 500000.0, y0: float = 0.0):
@@ -143,9 +290,22 @@ class TmercParams:
         self.lon0, self.k0, self.x0, self.y0 = lon0, k0, x0, y0
 
 
-def _parse_projection(text: str) -> TmercParams | str:
-    """Returns 'geodetic', or TmercParams for UTM/tmerc inputs."""
+def _parse_projection(text: str):
+    """Returns 'geodetic', or TmercParams / LCCParams / AlbersParams."""
     s = text.strip().lower()
+
+    def param(name, default):
+        m2 = re.search(rf"\+{name}=(-?[\d.]+)", s)
+        return float(m2.group(1)) if m2 else default
+
+    def ellps():
+        m2 = re.search(r"\+ellps=(\w+)", s)
+        name = m2.group(1) if m2 else "wgs84"
+        if name not in _ELLIPSOIDS:
+            raise NotImplementedError(f"ellipsoid {name!r} not supported "
+                                      f"(supported: {list(_ELLIPSOIDS)})")
+        return name
+
     m = re.fullmatch(r"epsg:\s*(\d+)", s)
     if m:
         code = int(m.group(1))
@@ -155,9 +315,15 @@ def _parse_projection(text: str) -> TmercParams | str:
             return TmercParams(lon0=(code - 32600) * 6 - 183)
         if 32701 <= code <= 32760:  # WGS84 / UTM south
             return TmercParams(lon0=(code - 32700) * 6 - 183, y0=10000000.0)
+        if code == 2154:  # RGF93 / Lambert-93 (France national grid)
+            return LCCParams(lat0=46.5, lon0=3.0, lat1=49.0, lat2=44.0,
+                             x0=700000.0, y0=6600000.0, ellipsoid="grs80")
+        if code == 5070:  # NAD83 / CONUS Albers
+            return AlbersParams(lat0=23.0, lon0=-96.0, lat1=29.5,
+                                lat2=45.5, ellipsoid="grs80")
         raise NotImplementedError(
             f"EPSG:{code} is not supported (supported: 4326, 326xx/327xx "
-            f"UTM; or a +proj=tmerc/utm/longlat string)")
+            f"UTM, 2154, 5070; or a +proj=tmerc/utm/lcc/aea/longlat string)")
     if "longlat" in s or "latlong" in s:
         return "geodetic"
     if "+proj=utm" in s:
@@ -167,16 +333,30 @@ def _parse_projection(text: str) -> TmercParams | str:
         return TmercParams(lon0=int(zone.group(1)) * 6 - 183,
                            y0=10000000.0 if "+south" in s else 0.0)
     if "+proj=tmerc" in s:
-        def param(name, default):
-            m2 = re.search(rf"\+{name}=(-?[\d.]+)", s)
-            return float(m2.group(1)) if m2 else default
         return TmercParams(lon0=param("lon_0", 0.0),
                            lat0=param("lat_0", 0.0),
                            k0=param("k", 1.0),
                            x0=param("x_0", 0.0), y0=param("y_0", 0.0))
+    if "+proj=lcc" in s:
+        lat1 = param("lat_1", 0.0)
+        lat2 = re.search(r"\+lat_2=(-?[\d.]+)", s)
+        return LCCParams(lat0=param("lat_0", lat1), lon0=param("lon_0", 0.0),
+                         lat1=lat1,
+                         lat2=float(lat2.group(1)) if lat2 else None,
+                         k0=param("k_0", param("k", 1.0)),
+                         x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                         ellipsoid=ellps())
+    if "+proj=aea" in s:
+        return AlbersParams(lat0=param("lat_0", 0.0),
+                            lon0=param("lon_0", 0.0),
+                            lat1=param("lat_1", 0.0),
+                            lat2=param("lat_2", 0.0),
+                            x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                            ellipsoid=ellps())
     raise NotImplementedError(
         f"Source projection {text!r} is not supported (supported: WGS84 "
-        f"geodetic, UTM EPSG:326xx/327xx, +proj=utm/tmerc strings)")
+        f"geodetic, UTM EPSG:326xx/327xx, EPSG:2154, EPSG:5070, "
+        f"+proj=utm/tmerc/lcc/aea strings)")
 
 
 class Proj4Transform:
@@ -191,8 +371,13 @@ class Proj4Transform:
         if self._params == "geodetic":
             return geodetic_to_ecef(positions)
         p = self._params
-        lon, lat = tmerc_inverse(positions[:, 0], positions[:, 1],
-                                 p.lon0, p.k0, p.x0, p.y0)
+        if isinstance(p, LCCParams):
+            lon, lat = lcc_inverse(positions[:, 0], positions[:, 1], p)
+        elif isinstance(p, AlbersParams):
+            lon, lat = albers_inverse(positions[:, 0], positions[:, 1], p)
+        else:
+            lon, lat = tmerc_inverse(positions[:, 0], positions[:, 1],
+                                     p.lon0, p.k0, p.x0, p.y0)
         geo = np.column_stack([lon, lat, positions[:, 2]])
         return geodetic_to_ecef(geo)
 
