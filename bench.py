@@ -30,6 +30,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# virtual CPU devices for the multichip row — must be set before the first
+# jax backend initialization (does not affect the TPU backend)
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+
 BASELINE_PTS_PER_SEC = 2.5e6
 N_POINTS = 1_000_000
 
@@ -100,6 +108,45 @@ def device_encode_sort_rate() -> float:
             np.asarray(batch.order)
             times.append(time.perf_counter() - t0)
         return n / sorted(times)[1]  # median
+    except Exception:
+        return 0.0
+
+
+def multichip_virtual4_rate() -> float:
+    """End-to-end TilingAlgorithmMultiDevice throughput on a virtual
+    4-device CPU mesh (routing all_to_all + per-owner device sweeps +
+    finalize), pts/s. Virtual because this box has one TPU chip; the
+    number tracks the production multi-chip code path, not ICI speed."""
+    try:
+        from schwarzwald_tpu.core.aabb import AABB
+        from schwarzwald_tpu.core.pointbuffer import PointBuffer
+        from schwarzwald_tpu.io.memory import MemoryPersistence
+        from schwarzwald_tpu.ops.sampling import SamplingStrategy
+        from schwarzwald_tpu.parallel import multidevice
+        from schwarzwald_tpu.parallel.multidevice import (
+            TilingAlgorithmMultiDevice)
+        from schwarzwald_tpu.tiling import TilerMetaParameters
+
+        mesh = multidevice.make_mesh(4, backend="cpu")
+        n = 1 << 19
+        rng = np.random.default_rng(2)
+        pos = rng.uniform(0.0, 64.0, (n, 3))
+        bounds = AABB(np.zeros(3), np.full(3, 64.0))
+        meta = TilerMetaParameters(spacing_at_root=0.35,
+                                   max_points_per_node=20_000,
+                                   concurrency=4, use_device="cpu")
+
+        def run() -> float:
+            algo = TilingAlgorithmMultiDevice(
+                SamplingStrategy("RANDOM_GRID", 20_000), MemoryPersistence(),
+                meta, mesh=mesh, ownership_level=3)
+            t0 = time.perf_counter()
+            algo.process_batch(PointBuffer(pos.copy()), bounds)
+            algo.finalize(bounds)
+            return time.perf_counter() - t0
+
+        run()  # warm the shard_map/jit caches
+        return n / min(run(), run())
     except Exception:
         return 0.0
 
@@ -178,6 +225,8 @@ def main() -> None:
                 round(N_POINTS / default_elapsed / BASELINE_PTS_PER_SEC, 4),
             "fast_strategy_pts_per_sec": round(N_POINTS / fast_elapsed, 1),
             "device_encode_sort_pts_per_sec": round(device_rate, 1),
+            "multichip_virtual4_pts_per_sec":
+                round(multichip_virtual4_rate(), 1),
             "laz_decode_pts_per_sec": round(laz_decode_rate(), 1),
             "baseline_assumption":
                 "reference multi-core CPU ~2.5e6 pts/s (unpublished; "

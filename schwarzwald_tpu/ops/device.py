@@ -324,11 +324,16 @@ class ShardedExchange:
                 valid.astype(jnp.int32))
             return hi, lo, ids, counts, hist
 
-        self._counts = shard_map(
+        import jax
+
+        # jit the shard_maps: un-jitted they run through the eager
+        # _shard_map_impl with per-op dispatch (~100x slower per batch on
+        # the CPU mesh); jitted, each (shape, capacity) compiles once
+        self._counts = jax.jit(shard_map(
             counts_step, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-            **check_kw)
+            **check_kw))
 
         self._exchange_cache = {}
 
@@ -369,11 +374,13 @@ class ShardedExchange:
                 del n_local
                 return m_hi, m_lo, m_id, owned
 
-            return shard_map(
+            import jax
+
+            return jax.jit(shard_map(
                 exchange_step, mesh=mesh,
                 in_specs=(P(axis), P(axis), P(axis)),
                 out_specs=(P(axis), P(axis), P(axis), P(axis)),
-                **check_kw)
+                **check_kw))
 
         self._make_exchange = make_exchange
 

@@ -76,14 +76,52 @@ class TilingAlgorithmMultiDevice(TilingAlgorithmFast):
         level = self.level_of_start_nodes
 
         per_device, _hist = self.exchange.route(keys, ids)
-        start_nodes = []
-        for owned_keys, owned_ids in per_device:
+
+        # Routing -> compute composition (round-2 verdict item 3): each
+        # owner's FRESH start nodes run the grid-sampler octree sweep ON
+        # THAT owner's device; sweeps are dispatched async so owner i's
+        # host persistence overlaps owner i+1's selection. Revisited
+        # subtrees (and sweep fallbacks) take the host merge path, exactly
+        # as TilingAlgorithmFast.process_batch does per batch.
+        devices = list(self.mesh.devices.flat)
+        pending = []  # (device_levels, fresh_nodes, fresh_keys, fresh_ids)
+        host_nodes = []
+        for d, (owned_keys, owned_ids) in enumerate(per_device):
             if owned_keys.size == 0:
                 continue
-            start_nodes.extend(
+            shard_nodes = list(
                 self._split_at_start_level(owned_keys, owned_ids, root))
-        self._journal_start_nodes([(n, k, i) for n, k, i in start_nodes])
-        for node, k, i in start_nodes:
+            if not (self.meta.use_device and level > 0):
+                host_nodes.extend(shard_nodes)
+                continue
+            fresh, revisit = [], []
+            for sn in shard_nodes:
+                (fresh if not self.persistence.node_exists(sn[0].name)
+                 else revisit).append(sn)
+            host_nodes.extend(revisit)
+            if fresh:
+                fk = np.concatenate([sn[1] for sn in fresh])
+                fi = np.concatenate([sn[2] for sn in fresh])
+                lv = self._device_select_levels(
+                    arena, fk, fi, root, min_node_level=level - 1,
+                    device=devices[d], materialize=False)
+                if lv is None:
+                    host_nodes.extend(fresh)
+                else:
+                    pending.append((lv, fresh, fk, fi))
+
+        for lv, fresh, fk, fi in pending:
+            levels = self._materialize_levels(lv)
+            if levels is None:
+                host_nodes.extend(fresh)
+                continue
+            self._persist_device_assignment(arena, fk, fi, levels, root)
+            for node, _, _ in fresh:
+                self._start_nodes_used.add(
+                    (morton.parse_node_name(node.name)[0], level))
+
+        self._journal_start_nodes([(n, k, i) for n, k, i in host_nodes])
+        for node, k, i in host_nodes:
             if level > 0:
                 self._start_nodes_used.add(
                     (morton.parse_node_name(node.name)[0], level))

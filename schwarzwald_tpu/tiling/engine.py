@@ -367,11 +367,19 @@ class TilingAlgorithmBase:
     # -- device fast path -----------------------------------------------------
 
     def _device_select_levels(self, arena, sorted_keys, sorted_ids,
-                              root: NodeStructure, min_node_level: int = -1):
+                              root: NodeStructure, min_node_level: int = -1,
+                              device=None, materialize: bool = True):
         """One jitted level-synchronous sweep (ops/device_tiling) computing
         every point's octree assignment. Returns int8 levels (node_level+2)
         or None to fall back to the host engine (unsupported strategy,
-        device error, or depths needing the re-root host path)."""
+        device error, or depths needing the re-root host path).
+
+        device: explicit jax device to dispatch on (multi-device path runs
+        one sweep per mesh device over its owned shard).
+        materialize=False returns the device array WITHOUT blocking — the
+        dispatch is async, so the caller can overlap host persistence of
+        one shard with the next shard's sweep; the caller then finishes
+        via _materialize_levels."""
         name = self.sampling_strategy.name
         if name not in ("RANDOM_GRID", "GRID_CENTER", "JITTERED"):
             return None
@@ -381,9 +389,10 @@ class TilingAlgorithmBase:
 
             from ..ops import device_tiling
 
-            backend = self.meta.use_device
-            dev = (jax.devices(backend)[0]
-                   if backend in ("cpu", "tpu") else jax.devices()[0])
+            if device is None:
+                backend = self.meta.use_device
+                device = (jax.devices(backend)[0]
+                          if backend in ("cpu", "tpu") else jax.devices()[0])
             root_ext_x = float(root.bounds.extent()[0])
             cands = tuple(device_tiling.candidate_levels(
                 root_ext_x, root.max_spacing, root.max_depth))
@@ -400,16 +409,30 @@ class TilingAlgorithmBase:
                     root_ext_x, root.max_spacing, root.max_depth)
             from ..util.trace import trace_span
             with trace_span("device_octree_sweep", "device"), \
-                    jax.default_device(dev):
-                levels = np.asarray(device_tiling.octree_select_grid(
+                    jax.default_device(device):
+                device_levels = device_tiling.octree_select_grid(
                     jnp.asarray(hi), jnp.asarray(lo), cands=cands,
                     max_points=self.meta.max_points_per_node,
                     max_depth=root.max_depth, strategy=name,
-                    min_node_level=min_node_level, **kwargs))
-            if (levels == 0).any():
-                return None  # re-root / unsupported depths: host handles
+                    min_node_level=min_node_level, **kwargs)
+            if not materialize:
+                return device_levels
+            return self._materialize_levels(device_levels)
         except Exception:
             return None
+
+    @staticmethod
+    def _materialize_levels(device_levels):
+        """Block on an async sweep result; None on device failure or when
+        any point needs the re-root host path."""
+        if device_levels is None:
+            return None
+        try:
+            levels = np.asarray(device_levels)
+        except Exception:
+            return None
+        if (levels == 0).any():
+            return None  # re-root / unsupported depths: host handles
         return levels
 
     def _persist_device_assignment(self, arena, sorted_keys, sorted_ids,

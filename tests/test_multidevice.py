@@ -112,3 +112,71 @@ def test_multidevice_octree_identical_to_single(mesh, rng, sampling_name):
         a = single.retrieve_points(name).positions
         b = multi.retrieve_points(name).positions
         np.testing.assert_array_equal(b, a, err_msg=name)
+
+
+def test_multidevice_compute_runs_selection_per_device(mesh, rng):
+    """Routing -> compute composition (round-2 verdict item 3): with
+    use_device set, each owner's FRESH start nodes are selected by the
+    octree sweep dispatched on THAT owner's device; output stays
+    identical to the single-device host run. The second batch revisits
+    nodes and must take the host merge path (no further sweeps)."""
+    from schwarzwald_tpu.parallel.multidevice import TilingAlgorithmMultiDevice
+    from schwarzwald_tpu.tiling import engine as engine_mod
+
+    b0 = rng.uniform(BOUNDS.min, BOUNDS.max, (4000, 3))
+    # batch 2 occupies exactly batch 1's start nodes, so every one of its
+    # nodes is a revisit (host merge path, zero further sweeps)
+    batches = [b0, np.clip(b0 + rng.uniform(-0.05, 0.05, b0.shape),
+                           BOUNDS.min + 1e-6, BOUNDS.max - 1e-6)]
+    meta_host = TilerMetaParameters(spacing_at_root=6.0,
+                                    max_points_per_node=300, concurrency=4)
+    meta_dev = TilerMetaParameters(spacing_at_root=6.0,
+                                   max_points_per_node=300, concurrency=4,
+                                   use_device="cpu")
+
+    single = MemoryPersistence()
+    algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                 SamplingStrategy("RANDOM_GRID", 300),
+                                 single, meta_host)
+    algo.level_of_start_nodes = 3
+    for pos in batches:
+        algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+    algo.finalize(BOUNDS)
+
+    sweep_devices = []
+    orig = engine_mod.TilingAlgorithmBase._device_select_levels
+
+    def spy(self, arena, keys, ids, root, min_node_level=-1, device=None,
+            materialize=True):
+        sweep_devices.append(device)
+        return orig(self, arena, keys, ids, root,
+                    min_node_level=min_node_level, device=device,
+                    materialize=materialize)
+
+    multi = MemoryPersistence()
+    malgo = TilingAlgorithmMultiDevice(
+        SamplingStrategy("RANDOM_GRID", 300), multi, meta_dev,
+        mesh=mesh, ownership_level=3)
+    engine_mod.TilingAlgorithmBase._device_select_levels = spy
+    try:
+        malgo.process_batch(PointBuffer(batches[0].copy()), BOUNDS)
+        first_batch_sweeps = list(sweep_devices)
+        malgo.process_batch(PointBuffer(batches[1].copy()), BOUNDS)
+    finally:
+        engine_mod.TilingAlgorithmBase._device_select_levels = orig
+    malgo.finalize(BOUNDS)
+
+    # batch 1: one sweep per mesh device that owned points, each pinned
+    # to a distinct device of the mesh
+    assert len(first_batch_sweeps) == N_DEV
+    assert len({str(d) for d in first_batch_sweeps}) == N_DEV
+    assert set(str(d) for d in first_batch_sweeps) \
+        == {str(d) for d in mesh.devices.flat}
+    # batch 2: every start node already exists -> host merge path only
+    assert len(sweep_devices) == len(first_batch_sweeps)
+
+    assert set(single.node_names()) == set(multi.node_names())
+    for name in single.node_names():
+        np.testing.assert_array_equal(
+            multi.retrieve_points(name).positions,
+            single.retrieve_points(name).positions, err_msg=name)
