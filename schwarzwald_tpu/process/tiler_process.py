@@ -322,6 +322,13 @@ class TilerProcess:
                        if isinstance(thread_config, FixedThreadCount)
                        else thread_config.num_threads)
 
+        use_device = self.args.use_device
+        if use_device == "auto":
+            from ..ops.device import resolve_use_device
+            use_device = resolve_use_device("auto")
+            log.info(f"--use-device auto resolved to "
+                     f"{use_device or 'host (device not local)'}")
+
         meta = TilerMetaParameters(
             spacing_at_root=self.args.spacing,
             max_depth=max_depth,
@@ -331,7 +338,7 @@ class TilerProcess:
             tiling_strategy=TilingStrategy(self.args.tiling_strategy),
             shift_points_to_origin=shift_to_center,
             concurrency=max(1, concurrency),
-            use_device=self.args.use_device,
+            use_device=use_device,
             cache_size_bytes=self.args.cache_size_bytes,
             multichip=self.args.multichip,
         )
