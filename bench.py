@@ -113,6 +113,124 @@ def device_encode_sort_rate() -> float:
         return 0.0
 
 
+def config4_rate(tmp: str) -> float:
+    """BASELINE config #4: JITTERED sampling, full attribute passthrough
+    (RGB, intensity, classification), --ignore error recovery over a
+    partially-corrupt input directory. ENTWINE_LAS output carries all the
+    attributes. pts/s over the valid points."""
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.attributes import (OutputFormat,
+                                                 PointAttribute)
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io import las
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+    from schwarzwald_tpu.util.errors import IgnoreErrors
+
+    rng = np.random.default_rng(4)
+    n_per, n_files = 250_000, 4
+    src_dir = os.path.join(tmp, "cfg4")
+    os.makedirs(src_dir, exist_ok=True)
+    bounds = AABB([0.0] * 3, [1000.0] * 3)
+    for i in range(n_files):
+        buf = PointBuffer(rng.uniform(1.0, 999.0, (n_per, 3)))
+        buf.set_column(PointAttribute.RGB,
+                       rng.integers(0, 65535, (n_per, 3), dtype=np.uint16))
+        buf.set_column(PointAttribute.Intensity,
+                       rng.integers(0, 65535, n_per, dtype=np.uint16))
+        buf.set_column(PointAttribute.Classification,
+                       rng.integers(0, 32, n_per, dtype=np.uint8))
+        las.write_las(os.path.join(src_dir, f"part{i}.las"), buf, bounds)
+    # a corrupt member exercises the --ignore recovery path mid-run
+    good = open(os.path.join(src_dir, "part0.las"), "rb").read()
+    with open(os.path.join(src_dir, "broken.las"), "wb") as f:
+        f.write(good[:len(good) // 3])
+
+    def run(i: int) -> float:
+        out = os.path.join(tmp, f"cfg4out{i}")
+        args = TilerArguments(
+            sources=[src_dir], output_directory=out,
+            diagonal_fraction=250, sampling_strategy="JITTERED",
+            tiling_strategy="FAST",
+            output_format=OutputFormat.ENTWINE_LAS,
+            errors_to_ignore=(IgnoreErrors.CORRUPTED_FILES
+                              | IgnoreErrors.INACCESSIBLE_FILES),
+            cache_size_bytes=1 << 30)
+        t0 = time.perf_counter()
+        TilerProcess(args).run()
+        elapsed = time.perf_counter() - t0
+        shutil.rmtree(out, ignore_errors=True)
+        return elapsed
+
+    try:
+        return (n_per * n_files) / min(run(0), run(1))
+    except Exception:
+        return 0.0
+
+
+def config5_rate(tmp: str) -> float:
+    """BASELINE config #5, scaled to this box: 2-process --multihost
+    out-of-core run over LAZ input (>= 2 batches per host, so the reader
+    thread's LAZ decode overlaps indexing), shared output filesystem.
+    pts/s over total points, wall-clock across both hosts."""
+    import threading
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io import las
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    rng = np.random.default_rng(5)
+    n_per, n_files = 250_000, 4
+    src_dir = os.path.join(tmp, "cfg5")
+    os.makedirs(src_dir, exist_ok=True)
+    bounds = AABB([0.0] * 3, [1000.0] * 3)
+    files = []
+    for i in range(n_files):
+        path = os.path.join(src_dir, f"part{i}.laz")
+        las.write_las(path, PointBuffer(rng.uniform(1.0, 999.0, (n_per, 3))),
+                      bounds, compressed=True)
+        files.append(path)
+
+    def run(rep: int) -> float:
+        out = os.path.join(tmp, f"cfg5out{rep}")
+        errors = []
+
+        def host(index: int):
+            try:
+                TilerProcess(TilerArguments(
+                    sources=files, output_directory=out,
+                    diagonal_fraction=250,
+                    sampling_strategy="RANDOM_GRID", tiling_strategy="FAST",
+                    output_format=OutputFormat.BIN,
+                    internal_cache_size=200_000,  # >= 2 batches per host
+                    max_batch_read_size=100_000,
+                    multihost_index=index, multihost_count=2,
+                    cache_size_bytes=1 << 30)).run()
+            except BaseException as err:
+                errors.append(err)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=host, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = time.perf_counter() - t0
+        if errors:
+            raise errors[0]
+        shutil.rmtree(out, ignore_errors=True)
+        return elapsed
+
+    try:
+        return (n_per * n_files) / min(run(0), run(1))
+    except Exception:
+        return 0.0
+
+
 def multichip_virtual4_rate() -> float:
     """End-to-end TilingAlgorithmMultiDevice throughput on a virtual
     4-device CPU mesh (routing all_to_all + per-owner device sweeps +
@@ -253,6 +371,10 @@ def main() -> None:
             "device_encode_sort_pts_per_sec": round(device_rate, 1),
             "multichip_virtual4_pts_per_sec":
                 round(multichip_virtual4_rate(), 1),
+            "config4_jittered_attrs_ignore_pts_per_sec":
+                round(config4_rate(tmp), 1),
+            "config5_multihost_laz_pts_per_sec":
+                round(config5_rate(tmp), 1),
             "laz_decode_pts_per_sec": round(laz_decode_rate(), 1),
             "baseline_assumption":
                 "reference multi-core CPU ~2.5e6 pts/s (unpublished; "
