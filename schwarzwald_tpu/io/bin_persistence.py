@@ -112,6 +112,14 @@ class BinaryPersistence:
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
 
+    def node_names(self) -> list:
+        """Committed node names (engine convention), for the device
+        revisit sweep's subtree enumeration."""
+        ext = self.extension
+        return sorted(f[:-len(ext)] for f in os.listdir(self.work_dir)
+                      if f.endswith(ext)
+                      and os.path.isfile(os.path.join(self.work_dir, f)))
+
     def begin_batch(self) -> None:
         self._staging.begin()
 

@@ -91,6 +91,11 @@ class Cesium3DTilesPersistence:
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
 
+    def node_names(self) -> list:
+        """Committed node names, for the device revisit sweep."""
+        return sorted(f[:-5] for f in os.listdir(self.work_dir)
+                      if f.endswith(".pnts"))
+
     def begin_batch(self) -> None:
         self._staging.begin()
 

@@ -145,6 +145,16 @@ class EntwinePersistence:
     def node_exists(self, node_name: str) -> bool:
         return self._las.node_exists(potree_name_to_entwine_name(node_name))
 
+    def node_names(self) -> list:
+        """Node names converted back to the engine's potree convention."""
+        from ..core import morton
+
+        out = []
+        for name in self._las.node_names():
+            key, levels = morton.parse_node_name(name)
+            out.append(morton.node_name_potree(key, levels))
+        return sorted(out)
+
     def simulate_retrieve(self, points, bounds):
         return self._las.simulate_retrieve(points, bounds)
 

@@ -74,6 +74,13 @@ class LASPersistence:
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))
 
+    def node_names(self) -> list:
+        """Committed node names (whatever convention the caller persists
+        with), for the device revisit sweep."""
+        ext = self.extension
+        return sorted(f[:-len(ext)] for f in os.listdir(self.work_dir)
+                      if f.endswith(ext))
+
     def begin_batch(self) -> None:
         self._staging.begin()
 

@@ -226,9 +226,10 @@ def _pick_grid_center(hi, lo, positions, cand: int, remaining, iota,
 def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                        max_depth: int, strategy: str = "RANDOM_GRID",
                        positions=None, root_min=None, root_max=None,
-                       jit_cfgs: tuple = None, min_node_level: int = -1):
-    """Per-point octree assignment level for a Morton-sorted fresh batch
-    under RANDOM_GRID, GRID_CENTER or JITTERED sampling.
+                       jit_cfgs: tuple = None, min_node_level: int = -1,
+                       cached_level=None):
+    """Per-point octree assignment level for a Morton-sorted batch under
+    RANDOM_GRID, GRID_CENTER or JITTERED sampling.
 
     Returns int8 levels: 0 = unassigned (host fallback), otherwise
     node_level + 2 (so root -1 -> 1). GRID_CENTER/JITTERED need positions
@@ -240,6 +241,21 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     strategy's fixed start-node level (each start node's subtree is tiled
     independently from that level down, TilingAlgorithms.cpp:1314-1351);
     -1 starts at the root (ACCURATE semantics).
+
+    cached_level (int8 per point, or None for a fresh batch): revisit
+    support. -128 marks incoming batch points; K >= min_node_level marks
+    a point re-read from the persisted node it currently lives at (loop
+    level K). Host-revisit semantics reproduced exactly:
+      * a cached point participates only at its own level and deeper —
+        the host never reconsiders a node's points for its ancestors
+        (read_pnts_from_disk merges at the owning node,
+        TilingAlgorithms.cpp:50-109);
+      * a node that has cached points ALWAYS samples (the
+        AlwaysAdhereToMinSpacing rule, TilingAlgorithms.cpp:272-275) —
+        take-all applies only to nodes without a persisted file;
+      * the caller must order the arrays by (key, tier) with incoming
+        before cached on ties (engine._merge_sorted: std::merge with the
+        batch as the first range) and shallower cache before deeper.
     """
     n = hi.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -262,31 +278,55 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
             if not is_terminal and cand >= MAX_LEVELS:
                 break  # re-rooting territory: host engine finishes these
 
+        if cached_level is None:
+            participating = remaining
+        else:
+            participating = remaining & (
+                (cached_level == jnp.int8(-128))
+                | (cached_level <= jnp.int8(node_level)))
+
         if is_terminal:
-            selected = remaining
+            selected = participating
         else:
             node_first = _first_in_cell(hi, lo, node_level + 1)
-            _, before_node, in_node = _segment_fields(node_first, remaining,
-                                                      iota)
+            _, before_node, in_node = _segment_fields(node_first,
+                                                      participating, iota)
             take_all = in_node <= max_points
+            untouched = None
+            if cached_level is not None:
+                # AlwaysAdhere: any cached-at-this-level point in the
+                # segment means the node has a persisted file -> sample.
+                # But a node that receives NO entering points this batch
+                # (no incoming, nothing demoted from above) is never
+                # VISITED by the host recursion at all — its cache stays
+                # verbatim (crucially: a take-all cache is not one-per-
+                # cell, so re-sampling it would wrongly demote points).
+                own = participating & (cached_level == jnp.int8(node_level))
+                _, _, own_in_node = _segment_fields(node_first, own, iota)
+                take_all = take_all & (own_in_node == 0)
+                untouched = (own_in_node > 0) & (in_node == own_in_node)
 
             if strategy == "JITTERED":
                 pick = _pick_jittered(hi, lo, positions, node_level,
                                       dict(zip(("levels", "grid_level",
                                                 "actual", "plen", "perms"),
                                                cfg)),
-                                      remaining, iota, root_min, root_max)
+                                      participating, iota, root_min,
+                                      root_max)
             elif cand == -1:
-                pick = remaining & (before_node == 0)
+                pick = participating & (before_node == 0)
             elif strategy == "GRID_CENTER":
-                pick = _pick_grid_center(hi, lo, positions, cand, remaining,
-                                         iota, root_min, root_max)
+                pick = _pick_grid_center(hi, lo, positions, cand,
+                                         participating, iota, root_min,
+                                         root_max)
             else:
                 pick_first = _first_in_cell(hi, lo, cand + 1)
-                _, before_cand, _ = _segment_fields(pick_first, remaining,
-                                                    iota)
-                pick = remaining & (before_cand == 0)
-            selected = jnp.where(take_all, remaining, pick)
+                _, before_cand, _ = _segment_fields(pick_first,
+                                                    participating, iota)
+                pick = participating & (before_cand == 0)
+            selected = jnp.where(take_all, participating, pick)
+            if untouched is not None:
+                selected = jnp.where(untouched, own, selected)
 
         out = jnp.where(selected, jnp.int8(node_level + 2), out)
         remaining = remaining & ~selected

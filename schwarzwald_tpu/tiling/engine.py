@@ -368,7 +368,8 @@ class TilingAlgorithmBase:
 
     def _device_select_levels(self, arena, sorted_keys, sorted_ids,
                               root: NodeStructure, min_node_level: int = -1,
-                              device=None, materialize: bool = True):
+                              device=None, materialize: bool = True,
+                              cached_levels=None):
         """One jitted level-synchronous sweep (ops/device_tiling) computing
         every point's octree assignment. Returns int8 levels (node_level+2)
         or None to fall back to the host engine (unsupported strategy,
@@ -407,6 +408,9 @@ class TilingAlgorithmBase:
             if name == "JITTERED":
                 kwargs["jit_cfgs"] = device_tiling.jittered_static_configs(
                     root_ext_x, root.max_spacing, root.max_depth)
+            if cached_levels is not None:
+                kwargs["cached_level"] = jnp.asarray(
+                    cached_levels.astype(np.int8))
             from ..util.trace import trace_span
             with trace_span("device_octree_sweep", "device"), \
                     jax.default_device(device):
@@ -582,12 +586,168 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                             (morton.parse_node_name(node.name)[0], level))
                     start_nodes = [sn for sn in start_nodes
                                    if sn[0].name not in fresh_names]
+            # Revisited subtrees: the device sweep over the merged
+            # (cached + incoming) point set, when worthwhile (round-2
+            # verdict item 4 — the device path for out-of-core batches).
+            handled = self._device_revisit_start_nodes(
+                arena, start_nodes, root, level)
+            if handled:
+                handled_names = {n.name for n in handled}
+                for n in handled:
+                    self._start_nodes_used.add(
+                        (morton.parse_node_name(n.name)[0], level))
+                start_nodes = [sn for sn in start_nodes
+                               if sn[0].name not in handled_names]
 
         for node, k, i in start_nodes:
             if level > 0:
                 self._start_nodes_used.add(
                     (morton.parse_node_name(node.name)[0], level))
             self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+
+    # -- device revisit sweep -------------------------------------------------
+
+    # Use the device for a revisited subtree only when the incoming batch
+    # is substantial relative to the cached subtree: the sweep re-reads the
+    # WHOLE subtree while the host recursion touches only nodes on incoming
+    # paths, so tiny top-ups are cheaper on the host.
+    DEVICE_REVISIT_MIN_INCOMING = 4096
+    DEVICE_REVISIT_MAX_CACHE_RATIO = 4.0
+
+    def _device_revisit_start_nodes(self, arena, revisit_nodes, root,
+                                    level: int):
+        """Device octree sweep over REVISITED start-node subtrees (round-2
+        verdict item 4): gather each subtree's persisted points (keys
+        re-derived per node, exactly as the host merge path does), order
+        everything by (key, tier) with incoming-before-cached ties
+        (_merge_sorted's std::merge rule) and shallower cache first, run
+        the selection sweep with per-point participation floors +
+        per-node AlwaysAdhere, and rewrite the changed nodes. Byte-
+        identical to the host revisit path (tests/test_device_tiling.py).
+
+        Returns the list of start nodes actually handled on the device;
+        the caller host-tiles the rest."""
+        if not hasattr(self.persistence, "node_names"):
+            return []
+        if self.sampling_strategy.name not in ("RANDOM_GRID", "GRID_CENTER",
+                                               "JITTERED"):
+            return []
+        try:
+            all_names = self.persistence.node_names()
+        except Exception:
+            return []
+        from ..core.node import node_from_index
+
+        handled = []
+        for node, in_keys, in_ids in revisit_nodes:
+            if in_keys.size < self.DEVICE_REVISIT_MIN_INCOMING:
+                continue
+            prefix = node.name
+            subtree = [n for n in all_names
+                       if n.startswith(prefix) and n[len(prefix):].isdigit()
+                       or n == prefix]
+            parts_k = [in_keys]
+            parts_i = [in_ids]
+            parts_t = [np.full(in_keys.size, -128, dtype=np.int8)]
+            cached_counts = {}
+            total_cached = 0
+            ok = True
+            for name in sorted(subtree, key=len):  # shallower first
+                depth = len(name) - 1
+                sub_node = node_from_index(
+                    morton.parse_node_name(name)[0], depth, root) \
+                    if depth > 0 else root
+                ck, ci = self._read_cached_points(sub_node, arena)
+                if ci is None:
+                    continue
+                cached_counts[name] = ci.size
+                total_cached += ci.size
+                if total_cached > (self.DEVICE_REVISIT_MAX_CACHE_RATIO
+                                   * in_keys.size):
+                    ok = False
+                    break
+                parts_k.append(ck)
+                parts_i.append(ci)
+                # loop-level of the cached node: depth D node is sampled
+                # at sweep level D-1
+                parts_t.append(np.full(ci.size, depth - 1, dtype=np.int8))
+            if not ok:
+                continue
+            keys = np.concatenate(parts_k)
+            ids = np.concatenate(parts_i)
+            tiers = np.concatenate(parts_t)
+            # (key asc, tier asc) with incoming (-128) before cached and
+            # shallower cache before deeper — exactly the host merge
+            # precedence; lexsort is stable, and within one tier the
+            # concatenation order is already the host's (batch order /
+            # node file order)
+            order = np.lexsort((tiers, keys))
+            keys, ids, tiers = keys[order], ids[order], tiers[order]
+            lv = self._device_select_levels(
+                arena, keys, ids, root, min_node_level=level - 1,
+                cached_levels=tiers)
+            if lv is None:
+                continue
+            self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
+                                             root, cached_counts)
+            handled.append(node)
+        return handled
+
+    def _sweep_is_terminal(self, node_level: int, root) -> bool:
+        """Host-side replica of octree_select_grid's terminal rule for a
+        node at sweep level `node_level` (persist-order decisions)."""
+        from ..ops import device_tiling
+
+        max_level = min(MAX_OCTREE_LEVELS - 1, root.max_depth)
+        if self.sampling_strategy.name == "JITTERED":
+            return node_level >= max_level
+        cands = device_tiling.candidate_levels(
+            float(root.bounds.extent()[0]), root.max_spacing, root.max_depth)
+        cand = cands[node_level + 1]
+        return (node_level >= max_level if cand > node_level
+                else cand >= max_level)
+
+    def _persist_revisit_assignment(self, arena, keys, ids, tiers, levels,
+                                    root, cached_counts: dict) -> None:
+        """Persist a revisit sweep: array order is already the host's
+        merged (key, tier) order for internal nodes; TERMINAL nodes
+        concatenate (incoming/demoted stream) then (own cache in file
+        order) — _tile_terminal_node's concat, not a merge. Nodes whose
+        selected set is exactly their unchanged own cache are skipped
+        (re-selection of an accepted set is idempotent for the grid
+        samplers, so the bytes would be identical)."""
+        from ..core.node import node_from_index
+
+        for lv in np.unique(levels):
+            node_level = int(lv) - 2
+            idx = np.flatnonzero(levels == lv)
+            node_keys = keys[idx]
+            node_tiers = tiers[idx]
+            prefixes = morton.truncate_to_level(node_keys, node_level)
+            starts = indexing.run_starts(prefixes)
+            ends = np.append(starts[1:], idx.size)
+            terminal = (node_level >= 0
+                        and self._sweep_is_terminal(node_level, root))
+            for s, e in zip(starts, ends):
+                sel = idx[s:e]
+                own = node_tiers[s:e] == node_level
+                node = node_from_index(int(prefixes[s]), node_level + 1,
+                                       root) if node_level >= 0 else root
+                n_own = int(own.sum())
+                cached = cached_counts.get(node.name, 0)
+                if n_own == sel.size and n_own == cached:
+                    continue  # unchanged: host would not rewrite it either
+                if terminal and n_own:
+                    # own cache last, in file order (= arena append order,
+                    # ascending ids) — _tile_terminal_node concatenates the
+                    # incoming stream with the cached file, it never merges
+                    sel_own = sel[own]
+                    sel = np.concatenate(
+                        [sel[~own],
+                         sel_own[np.argsort(ids[sel_own], kind="stable")]])
+                self._persist_node(arena.gather(ids[sel]), node.bounds,
+                                   node.name)
+                self._report_indexed(sel.size - cached)
 
     @staticmethod
     def _journal_string(message: str) -> None:

@@ -292,3 +292,97 @@ def test_fast_fresh_subtree_device_equals_host(rng, on_cpu):
         np.testing.assert_array_equal(dev.retrieve_points(name).positions,
                                       host.retrieve_points(name).positions,
                                       err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# Device revisit sweep (round-3: out-of-core batches on the device)
+# ---------------------------------------------------------------------------
+
+def _run_fast(batches, meta, sampling, pin_level=3, device=False):
+    sink = MemoryPersistence()
+    algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                 SamplingStrategy(sampling, meta.max_points_per_node),
+                                 sink, meta)
+    algo.level_of_start_nodes = pin_level
+    if device:
+        algo.DEVICE_REVISIT_MIN_INCOMING = 1
+        algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
+    for pos in batches:
+        algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+    algo.finalize(BOUNDS)
+    return sink, algo
+
+
+def _assert_identical(host_sink, dev_sink, sampling):
+    assert set(host_sink.node_names()) == set(dev_sink.node_names()), sampling
+    for name in host_sink.node_names():
+        a = host_sink.retrieve_points(name)
+        b = dev_sink.retrieve_points(name)
+        np.testing.assert_array_equal(
+            b.positions, a.positions,
+            err_msg=f"{sampling}: node {name} differs (order or content)")
+
+
+@pytest.mark.parametrize("sampling", ["RANDOM_GRID", "GRID_CENTER",
+                                      "JITTERED"])
+def test_device_revisit_sweep_identical_to_host(on_cpu, rng, sampling):
+    """Multi-batch FAST: batch 1 creates the subtrees (fresh sweep),
+    batches 2-3 REVISIT them — the device revisit sweep (host merge
+    precedence + participation floors + per-node AlwaysAdhere) must
+    reproduce the host merge path byte-for-byte, node for node,
+    including point ORDER within each node."""
+    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
+               for _ in range(3)]
+    # JITTERED needs >= 16^3 grids at every level (the reference raises
+    # below that); extent/spacing = 32 keeps every level legal
+    spacing = 2.0 if sampling == "JITTERED" else 6.0
+    meta_h = TilerMetaParameters(spacing_at_root=spacing,
+                                 max_points_per_node=200, concurrency=4)
+    meta_d = TilerMetaParameters(spacing_at_root=spacing,
+                                 max_points_per_node=200, concurrency=4,
+                                 use_device="cpu")
+    host_sink, _ = _run_fast(batches, meta_h, sampling)
+    dev_sink, dev_algo = _run_fast(batches, meta_d, sampling, device=True)
+    _assert_identical(host_sink, dev_sink, sampling)
+
+
+def test_device_revisit_sweep_with_terminal_nodes(on_cpu, rng):
+    """max_depth forces terminal nodes, whose host persist order is a
+    CONCAT (incoming stream, then cached file order), not a merge — the
+    revisit sweep must reproduce that order exactly across batches."""
+    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (6000, 3))
+               for _ in range(3)]
+    meta_h = TilerMetaParameters(spacing_at_root=4.0, max_points_per_node=50,
+                                 max_depth=5, concurrency=4)
+    meta_d = TilerMetaParameters(spacing_at_root=4.0, max_points_per_node=50,
+                                 max_depth=5, concurrency=4,
+                                 use_device="cpu")
+    host_sink, _ = _run_fast(batches, meta_h, "RANDOM_GRID")
+    dev_sink, _ = _run_fast(batches, meta_d, "RANDOM_GRID", device=True)
+    _assert_identical(host_sink, dev_sink, "RANDOM_GRID/terminal")
+
+
+def test_device_revisit_sweep_actually_ran(on_cpu, rng):
+    """Guard against silent fallback: the revisit path must handle start
+    nodes on the device (not fall back to host) for this workload."""
+    from schwarzwald_tpu.tiling import engine as eng
+
+    calls = {"handled": 0}
+    orig = eng.TilingAlgorithmFast._device_revisit_start_nodes
+
+    def spy(self, arena, revisit_nodes, root, level):
+        handled = orig(self, arena, revisit_nodes, root, level)
+        calls["handled"] += len(handled)
+        return handled
+
+    eng.TilingAlgorithmFast._device_revisit_start_nodes = spy
+    try:
+        batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
+                   for _ in range(2)]
+        meta_d = TilerMetaParameters(spacing_at_root=6.0,
+                                     max_points_per_node=200, concurrency=4,
+                                     use_device="cpu")
+        _run_fast(batches, meta_d, "RANDOM_GRID", device=True)
+    finally:
+        eng.TilingAlgorithmFast._device_revisit_start_nodes = orig
+    assert calls["handled"] > 0
