@@ -399,18 +399,37 @@ class TilingAlgorithmBase:
                 root_ext_x, root.max_spacing, root.max_depth))
             hi = (sorted_keys >> np.uint64(32)).astype(np.uint32)
             lo = sorted_keys.astype(np.uint32)
-            kwargs = {}
+            # Pad to the next power of two so the jitted sweep compiles a
+            # logarithmically bounded set of shapes instead of one program
+            # per batch size. Padding keys are the max sentinel (sorted
+            # order preserved at the tail) and their cached_level 127
+            # never participates at any level, so they stay unassigned.
+            n_real = hi.size
+            n_pad = 1 << max(0, (n_real - 1).bit_length())
+            if cached_levels is None:
+                cached_levels = np.full(n_real, -128, dtype=np.int8)
+            if n_pad != n_real:
+                pad = n_pad - n_real
+                hi = np.concatenate(
+                    [hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+                lo = np.concatenate(
+                    [lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+                cached_levels = np.concatenate(
+                    [cached_levels, np.full(pad, 127, np.int8)])
+            kwargs = {"cached_level": jnp.asarray(
+                cached_levels.astype(np.int8))}
             if name in ("GRID_CENTER", "JITTERED"):
-                kwargs["positions"] = jnp.asarray(
-                    arena.positions(sorted_ids))
+                positions = arena.positions(sorted_ids)
+                if n_pad != n_real:
+                    positions = np.concatenate(
+                        [positions,
+                         np.zeros((n_pad - n_real, 3), positions.dtype)])
+                kwargs["positions"] = jnp.asarray(positions)
                 kwargs["root_min"] = jnp.asarray(root.bounds.min)
                 kwargs["root_max"] = jnp.asarray(root.bounds.max)
             if name == "JITTERED":
                 kwargs["jit_cfgs"] = device_tiling.jittered_static_configs(
                     root_ext_x, root.max_spacing, root.max_depth)
-            if cached_levels is not None:
-                kwargs["cached_level"] = jnp.asarray(
-                    cached_levels.astype(np.int8))
             from ..util.trace import trace_span
             with trace_span("device_octree_sweep", "device"), \
                     jax.default_device(device):
@@ -420,19 +439,20 @@ class TilingAlgorithmBase:
                     max_depth=root.max_depth, strategy=name,
                     min_node_level=min_node_level, **kwargs)
             if not materialize:
-                return device_levels
-            return self._materialize_levels(device_levels)
+                return (device_levels, n_real)
+            return self._materialize_levels((device_levels, n_real))
         except Exception:
             return None
 
     @staticmethod
-    def _materialize_levels(device_levels):
+    def _materialize_levels(result):
         """Block on an async sweep result; None on device failure or when
         any point needs the re-root host path."""
-        if device_levels is None:
+        if result is None:
             return None
+        device_levels, n_real = result
         try:
-            levels = np.asarray(device_levels)
+            levels = np.asarray(device_levels)[:n_real]
         except Exception:
             return None
         if (levels == 0).any():
