@@ -197,14 +197,6 @@ class LAZReader:
         else:
             raise LAZNotAvailableError(
                 f"{path}: unknown compressor {vlr.compressor}")
-        if vlr.compressor != COMPRESSOR_POINTWISE and \
-                vlr.chunk_size == VARIABLE_CHUNK_SIZE:
-            # adaptive chunking interleaves per-chunk point counts into the
-            # chunk table, which laz_read_chunk_table does not parse — gate
-            # with a clear message instead of misparsing
-            raise LAZNotAvailableError(
-                f"{path}: variable-size (adaptive) LAZ chunking not "
-                "supported")
         if vlr.record_length != header.point_record_length:
             raise ValueError(
                 f"{path}: laszip items sum to {vlr.record_length} bytes but "
@@ -224,6 +216,7 @@ class LAZReader:
             return
 
         self.chunk_size = vlr.chunk_size
+        self.variable_chunks = vlr.chunk_size == VARIABLE_CHUNK_SIZE
         self._data_start = header.offset_to_point_data + 8
         # The chunk table read is LAZY (first read_records): opening stays a
         # header+VLR parse (cheap metadata scans over many files), and a
@@ -231,6 +224,10 @@ class LAZReader:
         # --ignore CORRUPTED_FILES machinery handles
         # (PointSource.cpp:36-50 semantics).
         self._chunk_starts = None
+        # variable (adaptive) chunking only: per-chunk point counts and
+        # the exclusive point-index prefix (for point -> chunk mapping)
+        self._chunk_counts = None
+        self._point_starts = None
 
     def _ensure_chunk_table(self) -> None:
         if self._chunk_starts is not None:
@@ -253,8 +250,22 @@ class LAZReader:
             f.seek(table_offset)
             table = np.frombuffer(f.read(file_end - table_offset),
                                   dtype=np.uint8)
-        n_chunks_bound = n // max(1, self.chunk_size) + 2
-        sizes = self._lib.laz_read_chunk_table(table, n_chunks_bound)
+        if self.variable_chunks:
+            if table.size < 8:
+                raise ValueError(f"{self.path}: truncated LAZ chunk table")
+            n_chunks = int(struct.unpack_from("<I", table.tobytes(), 4)[0])
+            counts, sizes = self._lib.laz_read_chunk_table_variable(
+                table, n_chunks)
+            if int(counts.sum()) != n:
+                raise ValueError(
+                    f"{self.path}: variable chunk table counts sum to "
+                    f"{int(counts.sum())}, header says {n}")
+            self._chunk_counts = counts
+            self._point_starts = np.zeros(counts.size + 1, dtype=np.int64)
+            np.cumsum(counts, out=self._point_starts[1:])
+        else:
+            n_chunks_bound = n // max(1, self.chunk_size) + 2
+            sizes = self._lib.laz_read_chunk_table(table, n_chunks_bound)
         self._chunk_starts = np.zeros(sizes.size, dtype=np.int64)
         np.cumsum(sizes[:-1], out=self._chunk_starts[1:])
 
@@ -273,6 +284,8 @@ class LAZReader:
                 return crecords[lo:lo + count * rl]
 
         self._ensure_chunk_table()
+        if self.variable_chunks:
+            return self._read_records_variable(start, count)
         cs = self.chunk_size
         c0 = start // cs
         c1 = (start + count - 1) // cs + 1
@@ -298,6 +311,38 @@ class LAZReader:
         else:
             records = self._lib.laz_decode_points(
                 data, n_points, cs, self._types, self._sizes, rl)
+        self._cache = (first_point, records)
+        lo = (start - first_point) * rl
+        return records[lo:lo + count * rl]
+
+    def _read_records_variable(self, start: int, count: int) -> np.ndarray:
+        """Adaptive chunking: chunks carry their own point counts; map the
+        point range to chunks via the count prefix and decode each chunk
+        independently."""
+        rl = self.vlr.record_length
+        c0 = int(np.searchsorted(self._point_starts, start,
+                                 side="right")) - 1
+        c1 = int(np.searchsorted(self._point_starts, start + count - 1,
+                                 side="right"))
+        c1 = min(c1, self._chunk_counts.size)
+        first_point = int(self._point_starts[c0])
+        byte_lo = self._data_start + int(self._chunk_starts[c0])
+        if c1 < self._chunk_starts.size:
+            byte_hi = self._data_start + int(self._chunk_starts[c1])
+        else:
+            byte_hi = None
+        with open(self.path, "rb") as f:
+            f.seek(byte_lo)
+            data = np.frombuffer(
+                f.read((byte_hi - byte_lo) if byte_hi else -1),
+                dtype=np.uint8)
+        parts = []
+        for c in range(c0, c1):
+            off = int(self._chunk_starts[c] - self._chunk_starts[c0])
+            n_c = int(self._chunk_counts[c])
+            parts.append(self._lib.laz_decode_points(
+                data[off:], n_c, n_c, self._types, self._sizes, rl))
+        records = np.concatenate(parts) if len(parts) > 1 else parts[0]
         self._cache = (first_point, records)
         lo = (start - first_point) * rl
         return records[lo:lo + count * rl]

@@ -67,6 +67,9 @@ class NativeLib:
         lib.laz_read_chunk_table.argtypes = [
             _u8p, ctypes.c_int64, _u32p, ctypes.c_int64]
         lib.laz_read_chunk_table.restype = ctypes.c_int64
+        lib.laz_read_chunk_table_variable.argtypes = [
+            _u8p, ctypes.c_int64, _u32p, _u32p, ctypes.c_int64]
+        lib.laz_read_chunk_table_variable.restype = ctypes.c_int64
         lib.laz_decode_chunks_parallel.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             _i64p, ctypes.c_int64, _u16p, _i32p, ctypes.c_int32, _u8p]
@@ -262,6 +265,20 @@ class NativeLib:
         if rc < 0:
             raise ValueError(f"LAZ chunk table read failed (code {rc})")
         return sizes[:rc]
+
+    def laz_read_chunk_table_variable(self, data: np.ndarray,
+                                      max_chunks: int) -> tuple:
+        """(per-chunk point counts, per-chunk byte sizes) of an
+        adaptive-chunking table (VLR chunk_size == U32_MAX)."""
+        counts = np.empty(max_chunks, dtype=np.uint32)
+        sizes = np.empty(max_chunks, dtype=np.uint32)
+        rc = self._lib.laz_read_chunk_table_variable(
+            np.ascontiguousarray(data, dtype=np.uint8), data.size,
+            counts, sizes, max_chunks)
+        if rc < 0:
+            raise ValueError(
+                f"LAZ variable chunk table read failed (code {rc})")
+        return counts[:rc], sizes[:rc]
 
     def las_encode(self, records: np.ndarray, stride: int, fmt: int,
                    scale, offset, *, positions=None, intensity=None,

@@ -2530,6 +2530,38 @@ int64_t laz_read_chunk_table(const uint8_t* data, int64_t n_bytes,
   return (int64_t)number_chunks;
 }
 
+// Read a VARIABLE-size (adaptive) chunk table: per chunk the point count
+// (IC context 0, pred = previous count) and the byte size (context 1,
+// pred = previous size) interleave in one coder stream — the layout
+// LASzip uses when chunk_size in the VLR is U32_MAX. Returns the number
+// of chunks, or negative on error.
+int64_t laz_read_chunk_table_variable(const uint8_t* data, int64_t n_bytes,
+                                      uint32_t* out_counts,
+                                      uint32_t* out_sizes,
+                                      int64_t max_chunks) {
+  if (n_bytes < 8) return -3;
+  U32 version, number_chunks;
+  std::memcpy(&version, data, 4);
+  std::memcpy(&number_chunks, data + 4, 4);
+  if (version != 0) return -4;
+  if ((int64_t)number_chunks > max_chunks) return -5;
+  if (number_chunks == 0) return 0;
+  ArithmeticDecoder dec;
+  dec.init(data + 8, (size_t)(n_bytes - 8));
+  IntegerCompressor ic;
+  ic.setup(32, 2);
+  ic.dec = &dec;
+  ic.init_models(true);
+  for (U32 i = 0; i < number_chunks; i++) {
+    out_counts[i] =
+        (U32)ic.decompress(i ? (I32)out_counts[i - 1] : 0, 0);
+    out_sizes[i] =
+        (U32)ic.decompress(i ? (I32)out_sizes[i - 1] : 0, 1);
+    if (dec.overrun) return -3;
+  }
+  return (int64_t)number_chunks;
+}
+
 // ---------------------------------------------------------------------------
 // Test-only primitive drivers
 // ---------------------------------------------------------------------------

@@ -705,18 +705,105 @@ def test_layered_decoder_survives_corrupt_streams(rng):
                                 dtype=np.uint8).view(np.uint8))
 
 
-def test_variable_chunk_size_gated(tmp_path, rng):
-    """chunk_size == 0xFFFFFFFF (adaptive chunking) is unsupported: opening
-    must raise the clear gate error, not misparse the chunk table."""
-    buf = make_buffer(rng, 1000, with_gps=False, with_rgb=False)
-    path = tmp_path / "v.laz"
-    las.write_las(str(path), buf, BOUNDS, compressed=True)
-    data = bytearray(path.read_bytes())
-    # the chunk_size field sits at VLR payload offset 12; the VLR payload
-    # starts after the 227-byte header + 54-byte VLR header
-    off = 227 + 54 + 12
-    assert struct.unpack_from("<I", data, off)[0] == laz.DEFAULT_CHUNK_SIZE
-    struct.pack_into("<I", data, off, laz.VARIABLE_CHUNK_SIZE)
-    path.write_bytes(bytes(data))
-    with pytest.raises(laz.LAZNotAvailableError, match="variable-size"):
-        las.LASFile(str(path))
+def _build_variable_chunk_laz(tmp_path, rng, chunk_counts):
+    """Assemble an adaptive-chunking (chunk_size == U32_MAX) .laz from
+    independently encoded chunks + a variable chunk table built with the
+    spec-transcribed Python coder (tests/test_laz_primitives.py) — the
+    file layout a third-party LASzip writer would produce. Returns
+    (laz_path, plain_las_path) holding identical points."""
+    import dataclasses
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_laz_primitives import SpecEncoder, SpecIntegerCompressor
+
+    from schwarzwald_tpu.io.las import build_header_bytes
+
+    codec = lib()
+    n = int(sum(chunk_counts))
+    buf = make_buffer(rng, n, with_rgb=False)
+    plain = str(tmp_path / "plain.las")
+    las.write_las(plain, buf, BOUNDS)
+    f = las.LASFile(plain)
+    header = f.header
+    rl = header.point_record_length
+    raw = np.fromfile(plain, dtype=np.uint8)[
+        header.offset_to_point_data:
+        header.offset_to_point_data + n * rl]
+    fmt = header.point_data_format
+    items = laz.items_for_point_format(fmt, rl)
+    types = np.array([t for t, _, _ in items], dtype=np.uint16)
+    sizes = np.array([s for _, s, _ in items], dtype=np.int32)
+
+    chunk_bytes = []
+    off = 0
+    for cn in chunk_counts:
+        sub = np.ascontiguousarray(raw[off * rl:(off + cn) * rl])
+        stream = codec.laz_encode_stream(sub, rl, cn, types, sizes)
+        table_off = struct.unpack("<q", stream[:8].tobytes())[0]
+        chunk_bytes.append(stream[8:table_off].tobytes())
+        off += cn
+    body = b"".join(chunk_bytes)
+
+    enc = SpecEncoder()
+    ic = SpecIntegerCompressor(enc, 32, 2)
+    prev_c = prev_s = 0
+    for cn, cb in zip(chunk_counts, chunk_bytes):
+        ic.compress(prev_c, cn, 0)
+        ic.compress(prev_s, len(cb), 1)
+        prev_c, prev_s = cn, len(cb)
+    table = struct.pack("<II", 0, len(chunk_counts)) + enc.done()
+
+    vlr_bytes = laz.build_laszip_vlr(items, laz.VARIABLE_CHUNK_SIZE)
+    patched = dataclasses.replace(
+        header,
+        point_data_format=fmt | 0x80,
+        offset_to_point_data=header.header_size + len(vlr_bytes),
+        n_vlrs=1)
+    out = str(tmp_path / "variable.laz")
+    with open(out, "wb") as fh:
+        fh.write(build_header_bytes(patched))
+        fh.write(vlr_bytes)
+        # absolute chunk-table offset, like write_laz
+        fh.write(struct.pack(
+            "<q", patched.offset_to_point_data + 8 + len(body)))
+        fh.write(body)
+        fh.write(table)
+    return out, plain
+
+
+def test_variable_chunk_laz_reads(tmp_path, rng):
+    """Adaptive chunking (chunk_size == U32_MAX): full decode + random
+    access through the variable chunk table, against the identical plain
+    .las."""
+    path, plain = _build_variable_chunk_laz(tmp_path, rng,
+                                            [700, 1300, 500, 500])
+    f = las.LASFile(path)
+    assert f.header.is_compressed
+    assert f.header.point_count == 3000
+    reader = laz.LAZReader(path, f.header)
+    assert reader.variable_chunks
+    want = las.read_las(plain)
+    got = las.read_las(path)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    np.testing.assert_array_equal(got.get(A.Intensity),
+                                  want.get(A.Intensity))
+    # random access crossing chunk boundaries of differing sizes
+    for start_, count in [(0, 10), (695, 10), (1990, 20), (2999, 1),
+                          (700, 1300)]:
+        g = f.read_points(start_, count).positions
+        np.testing.assert_array_equal(
+            g, want.positions[start_:start_ + count], err_msg=str(start_))
+
+
+def test_variable_chunk_count_mismatch_raises(tmp_path, rng):
+    """A variable table whose counts do not sum to the header count is a
+    clear error, not a garbage decode."""
+    path, _ = _build_variable_chunk_laz(tmp_path, rng, [1500, 1500])
+    blob = bytearray(open(path, "rb").read())
+    struct.pack_into("<I", blob, 107, 2999)  # legacy point count field
+    open(path, "wb").write(bytes(blob))
+    f = las.LASFile(path)
+    reader = laz.LAZReader(path, f.header)
+    with pytest.raises(ValueError, match="counts sum"):
+        reader.read_records(0, 100)
