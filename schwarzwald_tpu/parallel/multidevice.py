@@ -72,7 +72,13 @@ class TilingAlgorithmMultiDevice(TilingAlgorithmFast):
         keys = self.index_batch(buffer, bounds)
         arena = PointArena()
         ids = arena.append(buffer)
-        root = self._make_root(bounds)
+        self.process_sorted(arena, keys, ids, self._make_root(bounds))
+
+    def process_sorted(self, arena, keys, ids, root) -> None:
+        """Tile an already-indexed (key, arena-id) stream over the mesh —
+        the entry the multi-host layer uses for its OWNED subset after
+        host-level routing (keys need not be presorted; the exchange
+        sorts per shard)."""
         level = self.level_of_start_nodes
 
         per_device, _hist = self.exchange.route(keys, ids)

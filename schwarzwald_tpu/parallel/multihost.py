@@ -284,14 +284,26 @@ class TilingAlgorithmMultiHost:
 
     def __init__(self, sampling_strategy, persistence, meta,
                  plan: MultiHostPlan, coordinator: MultiHostCoordinator,
-                 progress_reporter=None):
+                 progress_reporter=None, inner=None):
         from ..io.bin_persistence import BinaryPersistence
         from ..tiling.engine import TilingAlgorithmFast
 
         self.plan = plan
         self.coordinator = coordinator
-        self.inner = TilingAlgorithmFast(sampling_strategy, persistence,
-                                         meta, progress_reporter)
+        if inner is not None:
+            self.inner = inner
+        elif meta.multichip > 0:
+            # multihost x multichip composition: this host's owned subset
+            # fans out over its LOCAL device mesh (SURVEY §2.5 plan —
+            # DCN-level routing between hosts, ICI all_to_all within)
+            from .multidevice import TilingAlgorithmMultiDevice, make_mesh
+            self.inner = TilingAlgorithmMultiDevice(
+                sampling_strategy, persistence, meta, progress_reporter,
+                mesh=make_mesh(meta.multichip),
+                ownership_level=plan.start_level)
+        else:
+            self.inner = TilingAlgorithmFast(sampling_strategy, persistence,
+                                             meta, progress_reporter)
         self.inner.level_of_start_nodes = plan.start_level
         self._spill_sinks = {
             owner: BinaryPersistence(coordinator.spill_dir(owner))
@@ -327,11 +339,19 @@ class TilingAlgorithmMultiHost:
         level = self.plan.start_level
         lo_own, hi_own = self.plan.owned_node_range
 
+        owned_k, owned_i = [], []
         for node, k, i in inner._split_at_start_level(keys, ids, root):
             node_key = morton.parse_node_name(node.name)[0]
             if lo_own <= node_key < hi_own:
-                inner._start_nodes_used.add((node_key, level))
-                inner._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+                if hasattr(inner, "process_sorted"):
+                    # multichip inner: collect the owned stream and fan it
+                    # out over the local mesh in one routed pass
+                    owned_k.append(k)
+                    owned_i.append(i)
+                else:
+                    inner._start_nodes_used.add((node_key, level))
+                    inner._do_tiling_for_node(arena,
+                                              NodeTask(node, root, k, i))
             else:
                 owner = self._owner_of(node_key)
                 sink = self._spill_sinks[owner]
@@ -339,6 +359,9 @@ class TilingAlgorithmMultiHost:
                         f"_{self._spill_seq:06d}")
                 self._spill_seq += 1
                 sink.persist_points(arena.gather(i), node.bounds, name)
+        if owned_k:
+            inner.process_sorted(arena, np.concatenate(owned_k),
+                                 np.concatenate(owned_i), root)
 
     def ingest_foreign(self, bounds) -> int:
         """Step 3: process every spill batch addressed to this host."""

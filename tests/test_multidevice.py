@@ -180,3 +180,75 @@ def test_multidevice_compute_runs_selection_per_device(mesh, rng):
         np.testing.assert_array_equal(
             multi.retrieve_points(name).positions,
             single.retrieve_points(name).positions, err_msg=name)
+
+
+def test_multihost_with_multichip_inner(mesh, tmp_path, rng):
+    """Multihost x multichip composition: each host's owned subset fans
+    out over its local device mesh (process_sorted), foreign points spill
+    through the coordinator, and the combined octree matches the
+    single-device FAST run at the ownership level."""
+    import threading
+
+    from schwarzwald_tpu.core import morton
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    from schwarzwald_tpu.parallel.multidevice import TilingAlgorithmMultiDevice
+    from schwarzwald_tpu.parallel.multihost import (MultiHostCoordinator,
+                                                    TilingAlgorithmMultiHost,
+                                                    plan_multihost_tiling)
+
+    out = tmp_path / "out"
+    out.mkdir()
+    n = 8000
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, (n, 3))
+    halves = [pos[: n // 2], pos[n // 2:]]
+    meta = TilerMetaParameters(spacing_at_root=6.0, max_points_per_node=300,
+                               concurrency=4)
+
+    errors = []
+
+    def host(index):
+        try:
+            coord = MultiHostCoordinator(str(out), index, 2, timeout=120.0)
+            plan = plan_multihost_tiling(
+                [("a", n // 2), ("b", n // 2)], BOUNDS, start_level=3,
+                process_index=index, process_count=2)
+            sink = BinaryPersistence(str(out))
+            inner = TilingAlgorithmMultiDevice(
+                SamplingStrategy("RANDOM_GRID", 300), sink, meta,
+                mesh=mesh, ownership_level=3)
+            algo = TilingAlgorithmMultiHost(
+                SamplingStrategy("RANDOM_GRID", 300), sink, meta, plan,
+                coord, inner=inner)
+            algo.process_batch(PointBuffer(halves[index].copy()), BOUNDS)
+            algo.finalize(BOUNDS)
+        except BaseException as err:
+            errors.append((index, err))
+
+    threads = [threading.Thread(target=host, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    # single-device reference with the same pinned level
+    single = MemoryPersistence()
+    ref = make_tiling_algorithm(TilingStrategy.Fast,
+                                SamplingStrategy("RANDOM_GRID", 300),
+                                single, meta)
+    ref.level_of_start_nodes = 3
+    ref.process_batch(PointBuffer(pos.copy()), BOUNDS)
+    ref.finalize(BOUNDS)
+
+    import os
+
+    sink = BinaryPersistence(str(out))
+    got = {f[:-4] for f in os.listdir(out) if f.endswith(".bin")}
+    deep_total = sum(sink.retrieve_points(name).count
+                     for name in got if len(name) - 1 >= 3)
+    assert deep_total == n  # exact conservation at/below ownership level
+    # same occupied level-3 blocks as the single-device run
+    want = set(single.node_names())
+    assert {g[:4] for g in got if len(g) - 1 >= 3} \
+        == {w[:4] for w in want if len(w) - 1 >= 3}
+    assert "r" in got  # ancestors reconstructed
