@@ -486,145 +486,6 @@ class TilingAlgorithmBase:
                                    node.bounds, node.name)
                 self._report_indexed(int(e - s))
 
-    # -- batch API ----------------------------------------------------------
-
-    def index_batch(self, buffer: PointBuffer, bounds: AABB):
-        """Clamp + Morton-encode a batch, writing clamped positions back into
-        the buffer (index_point mutates positions in place,
-        OctreeAlgorithms.h:157-170). Uses keys precomputed by the fused
-        read path when present."""
-        if buffer.morton_keys is not None:
-            return buffer.morton_keys
-        keys, clamped = indexing.index_points(buffer.positions,
-                                              bounds.min, bounds.max)
-        buffer.positions = clamped
-        return keys
-
-    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
-        raise NotImplementedError
-
-    def finalize(self, bounds: AABB) -> None:
-        pass
-
-
-class TilingAlgorithmAccurate(TilingAlgorithmBase):
-    """TilingAlgorithmV1 (ACCURATE): global sort, recurse from the root."""
-
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self._any_batch_processed = False
-
-    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
-        if not buffer.count:
-            return
-        keys = self.index_batch(buffer, bounds)
-        arena = PointArena()
-        ids = arena.append(buffer)
-        order = indexing.sort_by_key(keys)
-        root = self._make_root(bounds)
-        # The device fast path persists node contents computed from this
-        # batch alone; it must never overwrite nodes persisted by an earlier
-        # (resumed / pre-populated) run — under ACCURATE the root is always
-        # written, so its existence detects any prior output.
-        if (self.meta.use_device and not self._any_batch_processed
-                and not self.persistence.node_exists("r")
-                and self._device_batch(arena, keys[order], ids[order],
-                                       root)):
-            self._any_batch_processed = True
-            return
-        self._any_batch_processed = True
-        self._do_tiling_for_node(
-            arena, NodeTask(root, root, keys[order], ids[order]))
-
-    def _device_batch(self, arena, sorted_keys, sorted_ids,
-                      root: NodeStructure) -> bool:
-        """First-batch fast path: the whole octree assignment in one device
-        jit (ops/device_tiling level-synchronous sweep) — valid only for
-        fresh nodes (no cached merges; later batches use the host engine).
-        Returns False to fall back (unsupported strategy / device error /
-        levels needing the re-root host path)."""
-        levels = self._device_select_levels(arena, sorted_keys, sorted_ids,
-                                            root)
-        if levels is None:
-            return False
-        self._persist_device_assignment(arena, sorted_keys, sorted_ids,
-                                        levels, root)
-        return True
-
-
-class TilingAlgorithmFast(TilingAlgorithmBase):
-    """TilingAlgorithmV3 (FAST): fixed start-node level, per-batch split,
-    ancestor reconstruction at finalize."""
-
-    def __init__(self, *args, **kwargs):
-        super().__init__(*args, **kwargs)
-        self.level_of_start_nodes: int | None = None
-        # (key, levels) of every start node ever tiled — makes finalize
-        # O(start nodes used) instead of probing 8**level names
-        # (checkpointed for --resume so a resumed run reconstructs the
-        # ancestors of nodes written by the interrupted run too).
-        self._start_nodes_used: set[tuple] = set()
-
-    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
-        if not buffer.count:
-            return
-        keys = self.index_batch(buffer, bounds)
-        arena = PointArena()
-        ids = arena.append(buffer)
-        order = indexing.sort_by_key(keys)
-        keys, ids = keys[order], ids[order]
-
-        if self.level_of_start_nodes is None:
-            self.level_of_start_nodes = self._estimate_start_node_level(keys)
-            self._journal_string(
-                f"Level of start nodes: {self.level_of_start_nodes}")
-
-        root = self._make_root(bounds)
-        start_nodes = list(self._split_at_start_level(keys, ids, root))
-        self._journal_start_nodes(start_nodes)
-        level = self.level_of_start_nodes
-
-        if self.meta.use_device and level > 0:
-            # Fresh start nodes (no persisted file yet) have no cached
-            # merges anywhere in their subtree, so their complete octree
-            # assignment runs as ONE device sweep from the start level
-            # (VERDICT round-1 item 3: fresh start-nodes per batch are
-            # exactly the "no cached merge" case). Revisited subtrees take
-            # the host merge path.
-            fresh = [sn for sn in start_nodes
-                     if not self.persistence.node_exists(sn[0].name)]
-            if fresh:
-                fk = np.concatenate([sn[1] for sn in fresh])
-                fi = np.concatenate([sn[2] for sn in fresh])
-                lv = self._device_select_levels(
-                    arena, fk, fi, root, min_node_level=level - 1)
-                if lv is not None:
-                    self._persist_device_assignment(arena, fk, fi, lv, root)
-                    fresh_names = {sn[0].name for sn in fresh}
-                    for node, _, _ in fresh:
-                        self._start_nodes_used.add(
-                            (morton.parse_node_name(node.name)[0], level))
-                    start_nodes = [sn for sn in start_nodes
-                                   if sn[0].name not in fresh_names]
-            # Revisited subtrees: the device sweep over the merged
-            # (cached + incoming) point set, when worthwhile (round-2
-            # verdict item 4 — the device path for out-of-core batches).
-            handled = self._device_revisit_start_nodes(
-                arena, start_nodes, root, level)
-            if handled:
-                handled_names = {n.name for n in handled}
-                for n in handled:
-                    self._start_nodes_used.add(
-                        (morton.parse_node_name(n.name)[0], level))
-                start_nodes = [sn for sn in start_nodes
-                               if sn[0].name not in handled_names]
-
-        for node, k, i in start_nodes:
-            if level > 0:
-                self._start_nodes_used.add(
-                    (morton.parse_node_name(node.name)[0], level))
-            self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
-
     # -- device revisit sweep -------------------------------------------------
 
     # Use the device for a revisited subtree only when the incoming batch
@@ -743,8 +604,12 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             idx = np.flatnonzero(levels == lv)
             node_keys = keys[idx]
             node_tiers = tiers[idx]
-            prefixes = morton.truncate_to_level(node_keys, node_level)
-            starts = indexing.run_starts(prefixes)
+            if node_level == -1:  # the root is a single segment
+                prefixes = np.zeros(idx.size, dtype=np.uint64)
+                starts = np.zeros(1 if idx.size else 0, dtype=np.int64)
+            else:
+                prefixes = morton.truncate_to_level(node_keys, node_level)
+                starts = indexing.run_starts(prefixes)
             ends = np.append(starts[1:], idx.size)
             terminal = (node_level >= 0
                         and self._sweep_is_terminal(node_level, root))
@@ -768,6 +633,155 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                 self._persist_node(arena.gather(ids[sel]), node.bounds,
                                    node.name)
                 self._report_indexed(sel.size - cached)
+
+    # -- batch API ----------------------------------------------------------
+
+    def index_batch(self, buffer: PointBuffer, bounds: AABB):
+        """Clamp + Morton-encode a batch, writing clamped positions back into
+        the buffer (index_point mutates positions in place,
+        OctreeAlgorithms.h:157-170). Uses keys precomputed by the fused
+        read path when present."""
+        if buffer.morton_keys is not None:
+            return buffer.morton_keys
+        keys, clamped = indexing.index_points(buffer.positions,
+                                              bounds.min, bounds.max)
+        buffer.positions = clamped
+        return keys
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        raise NotImplementedError
+
+    def finalize(self, bounds: AABB) -> None:
+        pass
+
+
+class TilingAlgorithmAccurate(TilingAlgorithmBase):
+    """TilingAlgorithmV1 (ACCURATE): global sort, recurse from the root."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._any_batch_processed = False
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        if not buffer.count:
+            return
+        keys = self.index_batch(buffer, bounds)
+        arena = PointArena()
+        ids = arena.append(buffer)
+        order = indexing.sort_by_key(keys)
+        root = self._make_root(bounds)
+        # The device fast path persists node contents computed from this
+        # batch alone; it must never overwrite nodes persisted by an earlier
+        # (resumed / pre-populated) run — under ACCURATE the root is always
+        # written, so its existence detects any prior output.
+        if (self.meta.use_device and not self._any_batch_processed
+                and not self.persistence.node_exists("r")
+                and self._device_batch(arena, keys[order], ids[order],
+                                       root)):
+            self._any_batch_processed = True
+            return
+        if self.meta.use_device and self.persistence.node_exists("r"):
+            # Later batches: the whole tree is one revisited "start node"
+            # at the root — the revisit sweep (host-merge precedence +
+            # participation floors, see TilingAlgorithmBase) covers
+            # ACCURATE's out-of-core batches on the device too.
+            handled = self._device_revisit_start_nodes(
+                arena, [(root, keys[order], ids[order])], root, 0)
+            if handled:
+                self._any_batch_processed = True
+                return
+        self._any_batch_processed = True
+        self._do_tiling_for_node(
+            arena, NodeTask(root, root, keys[order], ids[order]))
+
+    def _device_batch(self, arena, sorted_keys, sorted_ids,
+                      root: NodeStructure) -> bool:
+        """First-batch fast path: the whole octree assignment in one device
+        jit (ops/device_tiling level-synchronous sweep) — valid only for
+        fresh nodes (no cached merges; later batches use the host engine).
+        Returns False to fall back (unsupported strategy / device error /
+        levels needing the re-root host path)."""
+        levels = self._device_select_levels(arena, sorted_keys, sorted_ids,
+                                            root)
+        if levels is None:
+            return False
+        self._persist_device_assignment(arena, sorted_keys, sorted_ids,
+                                        levels, root)
+        return True
+
+
+class TilingAlgorithmFast(TilingAlgorithmBase):
+    """TilingAlgorithmV3 (FAST): fixed start-node level, per-batch split,
+    ancestor reconstruction at finalize."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.level_of_start_nodes: int | None = None
+        # (key, levels) of every start node ever tiled — makes finalize
+        # O(start nodes used) instead of probing 8**level names
+        # (checkpointed for --resume so a resumed run reconstructs the
+        # ancestors of nodes written by the interrupted run too).
+        self._start_nodes_used: set[tuple] = set()
+
+    def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
+        if not buffer.count:
+            return
+        keys = self.index_batch(buffer, bounds)
+        arena = PointArena()
+        ids = arena.append(buffer)
+        order = indexing.sort_by_key(keys)
+        keys, ids = keys[order], ids[order]
+
+        if self.level_of_start_nodes is None:
+            self.level_of_start_nodes = self._estimate_start_node_level(keys)
+            self._journal_string(
+                f"Level of start nodes: {self.level_of_start_nodes}")
+
+        root = self._make_root(bounds)
+        start_nodes = list(self._split_at_start_level(keys, ids, root))
+        self._journal_start_nodes(start_nodes)
+        level = self.level_of_start_nodes
+
+        if self.meta.use_device and level > 0:
+            # Fresh start nodes (no persisted file yet) have no cached
+            # merges anywhere in their subtree, so their complete octree
+            # assignment runs as ONE device sweep from the start level
+            # (VERDICT round-1 item 3: fresh start-nodes per batch are
+            # exactly the "no cached merge" case). Revisited subtrees take
+            # the host merge path.
+            fresh = [sn for sn in start_nodes
+                     if not self.persistence.node_exists(sn[0].name)]
+            if fresh:
+                fk = np.concatenate([sn[1] for sn in fresh])
+                fi = np.concatenate([sn[2] for sn in fresh])
+                lv = self._device_select_levels(
+                    arena, fk, fi, root, min_node_level=level - 1)
+                if lv is not None:
+                    self._persist_device_assignment(arena, fk, fi, lv, root)
+                    fresh_names = {sn[0].name for sn in fresh}
+                    for node, _, _ in fresh:
+                        self._start_nodes_used.add(
+                            (morton.parse_node_name(node.name)[0], level))
+                    start_nodes = [sn for sn in start_nodes
+                                   if sn[0].name not in fresh_names]
+            # Revisited subtrees: the device sweep over the merged
+            # (cached + incoming) point set, when worthwhile (round-2
+            # verdict item 4 — the device path for out-of-core batches).
+            handled = self._device_revisit_start_nodes(
+                arena, start_nodes, root, level)
+            if handled:
+                handled_names = {n.name for n in handled}
+                for n in handled:
+                    self._start_nodes_used.add(
+                        (morton.parse_node_name(n.name)[0], level))
+                start_nodes = [sn for sn in start_nodes
+                               if sn[0].name not in handled_names]
+
+        for node, k, i in start_nodes:
+            if level > 0:
+                self._start_nodes_used.add(
+                    (morton.parse_node_name(node.name)[0], level))
+            self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
 
     @staticmethod
     def _journal_string(message: str) -> None:

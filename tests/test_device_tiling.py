@@ -386,3 +386,32 @@ def test_device_revisit_sweep_actually_ran(on_cpu, rng):
     finally:
         eng.TilingAlgorithmFast._device_revisit_start_nodes = orig
     assert calls["handled"] > 0
+
+
+def test_device_revisit_sweep_accurate_multi_batch(on_cpu, rng):
+    """ACCURATE later batches revisit the whole tree from the root; the
+    revisit sweep must reproduce the host byte-for-byte there too."""
+    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
+               for _ in range(3)]
+    meta_h = TilerMetaParameters(spacing_at_root=6.0,
+                                 max_points_per_node=200, concurrency=4)
+    meta_d = TilerMetaParameters(spacing_at_root=6.0,
+                                 max_points_per_node=200, concurrency=4,
+                                 use_device="cpu")
+
+    def run(meta, device):
+        sink = MemoryPersistence()
+        algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                     SamplingStrategy("RANDOM_GRID", 200),
+                                     sink, meta)
+        if device:
+            algo.DEVICE_REVISIT_MIN_INCOMING = 1
+            algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
+        for pos in batches:
+            algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+        algo.finalize(BOUNDS)
+        return sink
+
+    host_sink = run(meta_h, False)
+    dev_sink = run(meta_d, True)
+    _assert_identical(host_sink, dev_sink, "ACCURATE/revisit")
