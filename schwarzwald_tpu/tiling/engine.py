@@ -519,7 +519,13 @@ class TilingAlgorithmBase:
             return []
         from ..core.node import node_from_index
 
+        # Phase 1: gather every accepted subtree's cached points (guards
+        # applied per start node). Subtrees are disjoint key ranges, so
+        # ALL accepted start nodes run as ONE sweep — one dispatch per
+        # batch instead of one per start node.
         handled = []
+        parts_k, parts_i, parts_t = [], [], []
+        cached_counts: dict = {}
         for node, in_keys, in_ids in revisit_nodes:
             if in_keys.size < self.DEVICE_REVISIT_MIN_INCOMING:
                 continue
@@ -527,10 +533,10 @@ class TilingAlgorithmBase:
             subtree = [n for n in all_names
                        if n.startswith(prefix) and n[len(prefix):].isdigit()
                        or n == prefix]
-            parts_k = [in_keys]
-            parts_i = [in_ids]
-            parts_t = [np.full(in_keys.size, -128, dtype=np.int8)]
-            cached_counts = {}
+            node_k = [in_keys]
+            node_i = [in_ids]
+            node_t = [np.full(in_keys.size, -128, dtype=np.int8)]
+            node_counts = {}
             total_cached = 0
             ok = True
             for name in sorted(subtree, key=len):  # shallower first
@@ -541,37 +547,44 @@ class TilingAlgorithmBase:
                 ck, ci = self._read_cached_points(sub_node, arena)
                 if ci is None:
                     continue
-                cached_counts[name] = ci.size
+                node_counts[name] = ci.size
                 total_cached += ci.size
                 if total_cached > (self.DEVICE_REVISIT_MAX_CACHE_RATIO
                                    * in_keys.size):
                     ok = False
                     break
-                parts_k.append(ck)
-                parts_i.append(ci)
+                node_k.append(ck)
+                node_i.append(ci)
                 # loop-level of the cached node: depth D node is sampled
                 # at sweep level D-1
-                parts_t.append(np.full(ci.size, depth - 1, dtype=np.int8))
+                node_t.append(np.full(ci.size, depth - 1, dtype=np.int8))
             if not ok:
                 continue
-            keys = np.concatenate(parts_k)
-            ids = np.concatenate(parts_i)
-            tiers = np.concatenate(parts_t)
-            # (key asc, tier asc) with incoming (-128) before cached and
-            # shallower cache before deeper — exactly the host merge
-            # precedence; lexsort is stable, and within one tier the
-            # concatenation order is already the host's (batch order /
-            # node file order)
-            order = np.lexsort((tiers, keys))
-            keys, ids, tiers = keys[order], ids[order], tiers[order]
-            lv = self._device_select_levels(
-                arena, keys, ids, root, min_node_level=level - 1,
-                cached_levels=tiers)
-            if lv is None:
-                continue
-            self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
-                                             root, cached_counts)
+            parts_k.extend(node_k)
+            parts_i.extend(node_i)
+            parts_t.extend(node_t)
+            cached_counts.update(node_counts)
             handled.append(node)
+        if not handled:
+            return []
+
+        keys = np.concatenate(parts_k)
+        ids = np.concatenate(parts_i)
+        tiers = np.concatenate(parts_t)
+        # (key asc, tier asc) with incoming (-128) before cached and
+        # shallower cache before deeper — exactly the host merge
+        # precedence; lexsort is stable, and within one tier the
+        # concatenation order is already the host's (batch order /
+        # node file order)
+        order = np.lexsort((tiers, keys))
+        keys, ids, tiers = keys[order], ids[order], tiers[order]
+        lv = self._device_select_levels(
+            arena, keys, ids, root, min_node_level=level - 1,
+            cached_levels=tiers)
+        if lv is None:
+            return []
+        self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
+                                         root, cached_counts)
         return handled
 
     def _sweep_is_terminal(self, node_level: int, root) -> bool:
