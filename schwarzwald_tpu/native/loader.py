@@ -45,6 +45,8 @@ class NativeLib:
             _f64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_double,
             ctypes.c_void_p, _u8p]
         lib.radix_argsort_u64.argtypes = [_u64p, ctypes.c_int64, _i64p]
+        lib.radix_sort_kv_u64.argtypes = [_u64p, ctypes.c_int64, _i64p,
+                                          _u64p]
         lib.index_points_fused.argtypes = [
             _f64p, ctypes.c_int64, _f64p, _f64p, _u64p]
         lib.las_decode_index_fused.argtypes = [
@@ -115,6 +117,14 @@ class NativeLib:
         out = np.empty(keys.size, dtype=np.int64)
         self._lib.radix_argsort_u64(keys, keys.size, out)
         return out
+
+    def radix_sort_kv(self, keys: np.ndarray) -> tuple:
+        """(sorted_keys, order) in one pass (no host-side keys[order])."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        order = np.empty(keys.size, dtype=np.int64)
+        sorted_keys = np.empty(keys.size, dtype=np.uint64)
+        self._lib.radix_sort_kv_u64(keys, keys.size, order, sorted_keys)
+        return sorted_keys, order
 
     def index_points_fused(self, positions: np.ndarray, bmin,
                            bmax) -> np.ndarray:

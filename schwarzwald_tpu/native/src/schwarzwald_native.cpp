@@ -336,18 +336,35 @@ void msd_sort_range(KeyIdx* pairs, KeyIdx* scratch, int64_t lo, int64_t hi,
 }  // namespace
 
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
-  {
-    static std::mutex pair_mutex;
-    std::lock_guard<std::mutex> guard(pair_mutex);
-    static std::vector<KeyIdx> pairs, scratch;
-    if (static_cast<int64_t>(pairs.size()) < n) {
-      pairs.resize(n);
-      scratch.resize(n);
-    }
-    for (int64_t i = 0; i < n; ++i) pairs[i] = {keys[i], i};
-    msd_sort_range(pairs.data(), scratch.data(), 0, n, 7);
-    for (int64_t i = 0; i < n; ++i) out_order[i] = pairs[i].idx;
-    return;
+  static std::mutex pair_mutex;
+  std::lock_guard<std::mutex> guard(pair_mutex);
+  static std::vector<KeyIdx> pairs, scratch;
+  if (static_cast<int64_t>(pairs.size()) < n) {
+    pairs.resize(n);
+    scratch.resize(n);
+  }
+  for (int64_t i = 0; i < n; ++i) pairs[i] = {keys[i], i};
+  msd_sort_range(pairs.data(), scratch.data(), 0, n, 7);
+  for (int64_t i = 0; i < n; ++i) out_order[i] = pairs[i].idx;
+}
+
+// Sort variant that also materializes the sorted keys — the engine's
+// batch path needs both, and emitting them here avoids a separate
+// 8-bytes-per-element gather (keys[order]) on the host.
+void radix_sort_kv_u64(const uint64_t* keys, int64_t n, int64_t* out_order,
+                       uint64_t* out_keys) {
+  static std::mutex pair_mutex;
+  std::lock_guard<std::mutex> guard(pair_mutex);
+  static std::vector<KeyIdx> pairs, scratch;
+  if (static_cast<int64_t>(pairs.size()) < n) {
+    pairs.resize(n);
+    scratch.resize(n);
+  }
+  for (int64_t i = 0; i < n; ++i) pairs[i] = {keys[i], i};
+  msd_sort_range(pairs.data(), scratch.data(), 0, n, 7);
+  for (int64_t i = 0; i < n; ++i) {
+    out_order[i] = pairs[i].idx;
+    out_keys[i] = pairs[i].key;
   }
 }
 

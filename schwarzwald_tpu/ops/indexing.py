@@ -72,6 +72,19 @@ def sort_by_key(keys: np.ndarray):
     return np.argsort(keys, kind="stable")
 
 
+def sort_with_keys(keys: np.ndarray) -> tuple:
+    """(sorted_keys, order) — like sort_by_key but the sorted keys come
+    straight from the native sort's internal state instead of a separate
+    keys[order] gather (8 bytes/element saved on the batch hot path)."""
+    if keys.size >= 1 << 16:
+        from .. import native
+        lib = native.las_codec()
+        if lib is not None:
+            return lib.radix_sort_kv(keys)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], order
+
+
 def child_octant_boundaries(sorted_keys: np.ndarray, start: int, end: int,
                             level: int) -> np.ndarray:
     """Boundaries of the 8 child ranges of sorted_keys[start:end].

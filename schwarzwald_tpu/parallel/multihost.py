@@ -332,9 +332,8 @@ class TilingAlgorithmMultiHost:
         inner = self.inner
         keys = inner.index_batch(buffer, bounds)
         arena = PointArena()
-        ids = arena.append(buffer)
-        order = indexing.sort_by_key(keys)
-        keys, ids = keys[order], ids[order]
+        arena.append(buffer)
+        keys, ids = indexing.sort_with_keys(keys)
         root = inner._make_root(bounds)
         level = self.plan.start_level
         lo_own, hi_own = self.plan.owned_node_range

@@ -680,8 +680,9 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
             return
         keys = self.index_batch(buffer, bounds)
         arena = PointArena()
-        ids = arena.append(buffer)
-        order = indexing.sort_by_key(keys)
+        arena.append(buffer)
+        # fresh arena: ids are 0..n-1, so the sorted ids ARE the sort order
+        skeys, order = indexing.sort_with_keys(keys)
         root = self._make_root(bounds)
         # The device fast path persists node contents computed from this
         # batch alone; it must never overwrite nodes persisted by an earlier
@@ -689,8 +690,7 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
         # written, so its existence detects any prior output.
         if (self.meta.use_device and not self._any_batch_processed
                 and not self.persistence.node_exists("r")
-                and self._device_batch(arena, keys[order], ids[order],
-                                       root)):
+                and self._device_batch(arena, skeys, order, root)):
             self._any_batch_processed = True
             return
         if self.meta.use_device and self.persistence.node_exists("r"):
@@ -699,13 +699,12 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
             # participation floors, see TilingAlgorithmBase) covers
             # ACCURATE's out-of-core batches on the device too.
             handled = self._device_revisit_start_nodes(
-                arena, [(root, keys[order], ids[order])], root, 0)
+                arena, [(root, skeys, order)], root, 0)
             if handled:
                 self._any_batch_processed = True
                 return
         self._any_batch_processed = True
-        self._do_tiling_for_node(
-            arena, NodeTask(root, root, keys[order], ids[order]))
+        self._do_tiling_for_node(arena, NodeTask(root, root, skeys, order))
 
     def _device_batch(self, arena, sorted_keys, sorted_ids,
                       root: NodeStructure) -> bool:
@@ -741,9 +740,10 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             return
         keys = self.index_batch(buffer, bounds)
         arena = PointArena()
-        ids = arena.append(buffer)
-        order = indexing.sort_by_key(keys)
-        keys, ids = keys[order], ids[order]
+        arena.append(buffer)
+        # fresh arena: ids are 0..n-1, so ids[order] IS order; sorted keys
+        # come straight from the native sort (no keys[order] gather)
+        keys, ids = indexing.sort_with_keys(keys)
 
         if self.level_of_start_nodes is None:
             self.level_of_start_nodes = self._estimate_start_node_level(keys)
@@ -949,9 +949,8 @@ class TilingAlgorithmAdaptive(TilingAlgorithmFast):
             return
         keys = self.index_batch(buffer, bounds)
         arena = PointArena()
-        ids = arena.append(buffer)
-        order = indexing.sort_by_key(keys)
-        keys, ids = keys[order], ids[order]
+        arena.append(buffer)
+        keys, ids = indexing.sort_with_keys(keys)
         self.level_of_start_nodes = max(self.level_of_start_nodes or 0, 0)
 
         root = self._make_root(bounds)
