@@ -2396,33 +2396,64 @@ int64_t laz_encode_stream(const uint8_t* records, int64_t n_points,
   }
   if (chunk_size <= 0) chunk_size = 50000;
 
-  std::vector<U8> buf;
-  buf.reserve((size_t)(n_points ? n_points : 1) * rl / 3 + 1024);
-  buf.resize(8, 0);  // chunk table offset placeholder
-
-  std::vector<U32> chunk_bytes;
-  int64_t done = 0;
-  while (done < n_points) {
-    int64_t count = n_points - done;
+  // Chunks restart the coder (that is what makes random access and the
+  // parallel decode possible), so they ENCODE independently too: each
+  // chunk gets its own buffer + coder state across host threads, then
+  // the buffers concatenate in order.
+  const int64_t n_chunks =
+      n_points > 0 ? (n_points + chunk_size - 1) / chunk_size : 0;
+  std::vector<std::vector<U8>> chunk_bufs((size_t)n_chunks);
+  std::vector<int> chunk_err((size_t)n_chunks, 0);
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t c = 0; c < n_chunks; c++) {
+    const int64_t start = c * (int64_t)chunk_size;
+    int64_t count = n_points - start;
     if (count > chunk_size) count = chunk_size;
-    size_t chunk_start = buf.size();
+    std::vector<U8>& b = chunk_bufs[(size_t)c];
+    b.reserve((size_t)count * rl / 3 + 256);
     // raw first point
-    buf.insert(buf.end(), records + done * rl, records + (done + 1) * rl);
+    b.insert(b.end(), records + start * rl, records + (start + 1) * rl);
     if (layered) {
-      litems.enc_chunk_begin(records + done * rl);
+      LayeredItemSet lit;
+      if (lit.create(item_types, item_sizes, num_items, false)) {
+        chunk_err[(size_t)c] = -2;
+        continue;
+      }
+      lit.enc_chunk_begin(records + start * rl);
       for (int64_t i = 1; i < count; i++)
-        litems.enc_point(records + (done + i) * rl);
-      if (!litems.enc_chunk_end(buf, (U32)count)) return -4;
+        lit.enc_point(records + (start + i) * rl);
+      if (!lit.enc_chunk_end(b, (U32)count)) chunk_err[(size_t)c] = -4;
     } else {
-      items.init(records + done * rl);
-      enc.init(&buf);
+      ArithmeticEncoder cenc;
+      ItemSet cit;
+      if (cit.create(item_types, item_sizes, num_items, false, &cenc,
+                     nullptr)) {
+        chunk_err[(size_t)c] = -2;
+        continue;
+      }
+      cit.init(records + start * rl);
+      cenc.init(&b);
       for (int64_t i = 1; i < count; i++)
-        items.write(records + (done + i) * rl);
-      enc.done();
-      if (enc.error) return -4;
+        cit.write(records + (start + i) * rl);
+      cenc.done();
+      if (cenc.error) chunk_err[(size_t)c] = -4;
     }
-    chunk_bytes.push_back((U32)(buf.size() - chunk_start));
-    done += count;
+  }
+  for (int64_t c = 0; c < n_chunks; c++)
+    if (chunk_err[(size_t)c]) return chunk_err[(size_t)c];
+
+  std::vector<U8> buf;
+  {
+    size_t total = 8;
+    for (const auto& b : chunk_bufs) total += b.size();
+    buf.reserve(total + 64 + (size_t)n_chunks * 4);
+  }
+  buf.resize(8, 0);  // chunk table offset placeholder
+  std::vector<U32> chunk_bytes;
+  chunk_bytes.reserve((size_t)n_chunks);
+  for (const auto& b : chunk_bufs) {
+    buf.insert(buf.end(), b.begin(), b.end());
+    chunk_bytes.push_back((U32)b.size());
   }
 
   // chunk table (version, count, then sizes delta-coded with an
