@@ -19,7 +19,6 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <mutex>
 #include <unordered_map>
 #include <vector>
 
@@ -61,11 +60,12 @@ void poisson_accept_mask(const double* positions, int64_t n,
 
   // Persistent scratch (clear() keeps capacity): accepted points live in a
   // pooled arena chained per cell, avoiding per-call / per-cell allocation.
-  static std::mutex scratch_mutex;
-  std::lock_guard<std::mutex> scratch_guard(scratch_mutex);
-  static std::unordered_map<int64_t, int32_t> cell_head;
-  static std::vector<double> arena;      // x,y,z per accepted point
-  static std::vector<int32_t> next_link;  // chain within a cell
+  // thread_local rather than mutex-guarded: concurrent callers (multihost
+  // runs hosts as threads; finalize could fan out) scale instead of
+  // serializing on a lock.
+  static thread_local std::unordered_map<int64_t, int32_t> cell_head;
+  static thread_local std::vector<double> arena;   // x,y,z per accepted
+  static thread_local std::vector<int32_t> next_link;  // chain per cell
   arena.clear();
   next_link.clear();
 
@@ -83,8 +83,8 @@ void poisson_accept_mask(const double* positions, int64_t n,
   // hash path — the grid is pure acceleration.
   constexpr int64_t DENSE_CELL_LIMIT = int64_t(1) << 24;  // 16.7M * 4B = 67MB
   const bool use_dense = gx * gy * gz <= DENSE_CELL_LIMIT;
-  static std::vector<int32_t> dense_head;
-  static std::vector<int64_t> dirty_cells;
+  static thread_local std::vector<int32_t> dense_head;
+  static thread_local std::vector<int64_t> dirty_cells;
   if (use_dense) {
     if (static_cast<int64_t>(dense_head.size()) < gx * gy * gz)
       dense_head.resize(gx * gy * gz, -1);
@@ -336,9 +336,7 @@ void msd_sort_range(KeyIdx* pairs, KeyIdx* scratch, int64_t lo, int64_t hi,
 }  // namespace
 
 void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
-  static std::mutex pair_mutex;
-  std::lock_guard<std::mutex> guard(pair_mutex);
-  static std::vector<KeyIdx> pairs, scratch;
+  static thread_local std::vector<KeyIdx> pairs, scratch;
   if (static_cast<int64_t>(pairs.size()) < n) {
     pairs.resize(n);
     scratch.resize(n);
@@ -353,9 +351,7 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
 // 8-bytes-per-element gather (keys[order]) on the host.
 void radix_sort_kv_u64(const uint64_t* keys, int64_t n, int64_t* out_order,
                        uint64_t* out_keys) {
-  static std::mutex pair_mutex;
-  std::lock_guard<std::mutex> guard(pair_mutex);
-  static std::vector<KeyIdx> pairs, scratch;
+  static thread_local std::vector<KeyIdx> pairs, scratch;
   if (static_cast<int64_t>(pairs.size()) < n) {
     pairs.resize(n);
     scratch.resize(n);
