@@ -94,7 +94,8 @@ class Cesium3DTilesPersistence:
     def node_names(self) -> list:
         """Committed node names, for the device revisit sweep."""
         return sorted(f[:-5] for f in os.listdir(self.work_dir)
-                      if f.endswith(".pnts"))
+                      if f.endswith(".pnts")
+                      and os.path.isfile(os.path.join(self.work_dir, f)))
 
     def begin_batch(self) -> None:
         self._staging.begin()

@@ -151,7 +151,10 @@ class EntwinePersistence:
 
         out = []
         for name in self._las.node_names():
-            key, levels = morton.parse_node_name(name)
+            try:
+                key, levels = morton.parse_node_name(name)
+            except (ValueError, IndexError):
+                continue  # stray file, not a node
             out.append(morton.node_name_potree(key, levels))
         return sorted(out)
 

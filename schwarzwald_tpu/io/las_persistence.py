@@ -79,7 +79,8 @@ class LASPersistence:
         with), for the device revisit sweep."""
         ext = self.extension
         return sorted(f[:-len(ext)] for f in os.listdir(self.work_dir)
-                      if f.endswith(ext))
+                      if f.endswith(ext)
+                      and os.path.isfile(os.path.join(self.work_dir, f)))
 
     def begin_batch(self) -> None:
         self._staging.begin()

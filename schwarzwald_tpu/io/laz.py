@@ -207,6 +207,9 @@ class LAZReader:
         self._cache: tuple | None = None  # (start_point, records)
 
         n = header.point_count
+        self.variable_chunks = False
+        self._chunk_counts = None
+        self._point_starts = None
         if vlr.compressor == COMPRESSOR_POINTWISE:
             # ancient unchunked stream: one chunk holding every point,
             # no chunk-table offset prefix
@@ -224,10 +227,6 @@ class LAZReader:
         # --ignore CORRUPTED_FILES machinery handles
         # (PointSource.cpp:36-50 semantics).
         self._chunk_starts = None
-        # variable (adaptive) chunking only: per-chunk point counts and
-        # the exclusive point-index prefix (for point -> chunk mapping)
-        self._chunk_counts = None
-        self._point_starts = None
 
     def _ensure_chunk_table(self) -> None:
         if self._chunk_starts is not None:
@@ -253,7 +252,14 @@ class LAZReader:
         if self.variable_chunks:
             if table.size < 8:
                 raise ValueError(f"{self.path}: truncated LAZ chunk table")
-            n_chunks = int(struct.unpack_from("<I", table.tobytes(), 4)[0])
+            n_chunks = int(table[4:8].view("<u4")[0])
+            # every chunk holds >= 1 point, so a declared count above the
+            # header's point count is corruption — reject it BEFORE sizing
+            # any allocation by it (a crafted u32 max would ask for ~34 GB)
+            if n_chunks > n:
+                raise ValueError(
+                    f"{self.path}: variable chunk table declares "
+                    f"{n_chunks} chunks for {n} points")
             counts, sizes = self._lib.laz_read_chunk_table_variable(
                 table, n_chunks)
             if int(counts.sum()) != n:
@@ -336,13 +342,17 @@ class LAZReader:
             data = np.frombuffer(
                 f.read((byte_hi - byte_lo) if byte_hi else -1),
                 dtype=np.uint8)
-        parts = []
-        for c in range(c0, c1):
-            off = int(self._chunk_starts[c] - self._chunk_starts[c0])
-            n_c = int(self._chunk_counts[c])
-            parts.append(self._lib.laz_decode_points(
-                data[off:], n_c, n_c, self._types, self._sizes, rl))
-        records = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        if c1 - c0 > 1:
+            offsets = (self._chunk_starts[c0:c1]
+                       - self._chunk_starts[c0]).astype(np.int64)
+            starts = (self._point_starts[c0:c1 + 1]
+                      - self._point_starts[c0]).astype(np.int64)
+            records = self._lib.laz_decode_chunks_parallel_v(
+                data, offsets, starts, self._types, self._sizes, rl)
+        else:
+            n_c = int(self._chunk_counts[c0])
+            records = self._lib.laz_decode_points(
+                data, n_c, n_c, self._types, self._sizes, rl)
         self._cache = (first_point, records)
         lo = (start - first_point) * rl
         return records[lo:lo + count * rl]

@@ -338,9 +338,17 @@ def _parse_projection(text: str):
                            k0=param("k", 1.0),
                            x0=param("x_0", 0.0), y0=param("y_0", 0.0))
     if "+proj=lcc" in s:
-        lat1 = param("lat_1", 0.0)
+        # EPSG:9801 (1SP) gives only lat_0 — the natural origin IS the
+        # single standard parallel; EPSG:9802 (2SP) gives lat_1/lat_2
+        lat0 = param("lat_0", None)
+        lat1 = param("lat_1", lat0 if lat0 is not None else 0.0)
+        if lat1 == 0.0 and lat0 in (None, 0.0):
+            raise NotImplementedError(
+                f"+proj=lcc without a standard parallel (lat_1 or lat_0) "
+                f"in {text!r}: the cone constant would be 0")
         lat2 = re.search(r"\+lat_2=(-?[\d.]+)", s)
-        return LCCParams(lat0=param("lat_0", lat1), lon0=param("lon_0", 0.0),
+        return LCCParams(lat0=lat0 if lat0 is not None else lat1,
+                         lon0=param("lon_0", 0.0),
                          lat1=lat1,
                          lat2=float(lat2.group(1)) if lat2 else None,
                          k0=param("k_0", param("k", 1.0)),

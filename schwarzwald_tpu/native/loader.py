@@ -72,6 +72,10 @@ class NativeLib:
         lib.laz_read_chunk_table_variable.argtypes = [
             _u8p, ctypes.c_int64, _u32p, _u32p, ctypes.c_int64]
         lib.laz_read_chunk_table_variable.restype = ctypes.c_int64
+        lib.laz_decode_chunks_parallel_v.argtypes = [
+            _u8p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
+            _u16p, _i32p, ctypes.c_int32, _u8p]
+        lib.laz_decode_chunks_parallel_v.restype = ctypes.c_int64
         lib.laz_decode_chunks_parallel.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             _i64p, ctypes.c_int64, _u16p, _i32p, ctypes.c_int32, _u8p]
@@ -258,6 +262,30 @@ class NativeLib:
             np.ascontiguousarray(data, dtype=np.uint8), data.size,
             n_points, chunk_size,
             np.ascontiguousarray(chunk_offsets, dtype=np.int64),
+            chunk_offsets.size,
+            np.ascontiguousarray(item_types, dtype=np.uint16),
+            np.ascontiguousarray(item_sizes, dtype=np.int32),
+            item_types.size, out)
+        if rc < 0:
+            raise ValueError(f"LAZ parallel decode failed (code {rc})")
+        return out
+
+    def laz_decode_chunks_parallel_v(self, data: np.ndarray,
+                                     chunk_offsets: np.ndarray,
+                                     point_starts: np.ndarray,
+                                     item_types: np.ndarray,
+                                     item_sizes: np.ndarray,
+                                     record_length: int) -> np.ndarray:
+        """Variable-count chunks (adaptive chunking) across host threads.
+
+        chunk_offsets: byte offset of each chunk relative to data start;
+        point_starts: exclusive prefix of per-chunk counts (n_chunks+1)."""
+        n_points = int(point_starts[-1])
+        out = np.empty(n_points * record_length, dtype=np.uint8)
+        rc = self._lib.laz_decode_chunks_parallel_v(
+            np.ascontiguousarray(data, dtype=np.uint8), data.size,
+            np.ascontiguousarray(chunk_offsets, dtype=np.int64),
+            np.ascontiguousarray(point_starts, dtype=np.int64),
             chunk_offsets.size,
             np.ascontiguousarray(item_types, dtype=np.uint16),
             np.ascontiguousarray(item_sizes, dtype=np.int32),

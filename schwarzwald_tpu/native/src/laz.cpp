@@ -2535,6 +2535,56 @@ int64_t laz_decode_chunks_parallel(const uint8_t* data, int64_t n_bytes,
   return error ? error : n_points * rl;
 }
 
+// Variable-count variant of the parallel chunk decode: chunk c spans
+// bytes [chunk_offsets[c], chunk_offsets[c+1]) and points
+// [point_starts[c], point_starts[c+1]) — for adaptive-chunking streams
+// whose chunks carry their own counts.
+int64_t laz_decode_chunks_parallel_v(const uint8_t* data, int64_t n_bytes,
+                                     const int64_t* chunk_offsets,
+                                     const int64_t* point_starts,
+                                     int64_t n_chunks,
+                                     const uint16_t* item_types,
+                                     const int32_t* item_sizes,
+                                     int32_t num_items, uint8_t* out) {
+  if (n_chunks <= 0) return -2;
+  if (items_layered(item_types, num_items)) {
+    LayeredItemSet probe;
+    int rc = probe.create(item_types, item_sizes, num_items, true);
+    if (rc) return rc;
+  } else {
+    ArithmeticDecoder probe;
+    ItemSet items;
+    int rc = items.create(item_types, item_sizes, num_items, true, nullptr,
+                          &probe);
+    if (rc) return rc;
+  }
+  int64_t rl = 0;
+  for (int32_t i = 0; i < num_items; i++) rl += item_sizes[i];
+
+  int error = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t c = 0; c < n_chunks; c++) {
+    const int64_t first = point_starts[c];
+    const int64_t count = point_starts[c + 1] - first;
+    if (count <= 0) continue;
+    const int64_t lo = chunk_offsets[c];
+    const int64_t hi = (c + 1 < n_chunks) ? chunk_offsets[c + 1] : n_bytes;
+    if (lo < 0 || hi > n_bytes || lo >= hi || count > 0x7FFFFFFF) {
+#pragma omp atomic write
+      error = -3;
+      continue;
+    }
+    int64_t rc = laz_decode_points(data + lo, hi - lo, count,
+                                   (int32_t)count, item_types, item_sizes,
+                                   num_items, out + first * rl);
+    if (rc < 0) {
+#pragma omp atomic write
+      error = (int)rc;
+    }
+  }
+  return error ? error : point_starts[n_chunks] * rl;
+}
+
 // Read a compressed chunk table located at `data` (first byte = u32
 // version). Writes up to max_chunks chunk byte-sizes to out_sizes. Returns
 // the number of chunks, or negative on error.

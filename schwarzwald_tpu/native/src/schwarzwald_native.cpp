@@ -62,7 +62,9 @@ void poisson_accept_mask(const double* positions, int64_t n,
   // pooled arena chained per cell, avoiding per-call / per-cell allocation.
   // thread_local rather than mutex-guarded: concurrent callers (multihost
   // runs hosts as threads; finalize could fan out) scale instead of
-  // serializing on a lock.
+  // serializing on a lock. Retained memory is O(calling threads x largest
+  // call) — the callers are the per-host tiling threads (a handful), not
+  // a wide pool, so the bound is (hosts x batch scratch).
   static thread_local std::unordered_map<int64_t, int32_t> cell_head;
   static thread_local std::vector<double> arena;   // x,y,z per accepted
   static thread_local std::vector<int32_t> next_link;  // chain per cell

@@ -94,14 +94,14 @@ def resolve_use_device(requested: str | None,
             pass
     probed = probe_dispatch_latency()
     if probed is None:
-        decision, record = None, {"error": "no device"}
-    else:
-        latency, platform = probed
-        local = latency < threshold_s and platform not in ("cpu", "host")
-        decision = platform if local else None
-        record = {"latency_s": latency, "platform": platform,
-                  "threshold_s": threshold_s}
-    record["decision"] = decision
+        # transient failure (device busy, init hiccup): fall back to host
+        # for THIS run but don't poison the cache — the next run re-probes
+        return None
+    latency, platform = probed
+    local = latency < threshold_s and platform not in ("cpu", "host")
+    decision = platform if local else None
+    record = {"latency_s": latency, "platform": platform,
+              "threshold_s": threshold_s, "decision": decision}
     if cache_path:
         try:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)

@@ -807,3 +807,52 @@ def test_variable_chunk_count_mismatch_raises(tmp_path, rng):
     reader = laz.LAZReader(path, f.header)
     with pytest.raises(ValueError, match="counts sum"):
         reader.read_records(0, 100)
+
+
+def test_pointwise_unchunked_laz_reads(tmp_path, rng):
+    """Ancient compressor-1 (pointwise, unchunked) streams: one chunk,
+    no chunk-table offset prefix. Regression: the reader's early-return
+    path must still initialize its chunking state (a round-3 review
+    caught an AttributeError here)."""
+    import dataclasses
+
+    from schwarzwald_tpu.io.las import build_header_bytes
+
+    codec = lib()
+    n = 2000
+    buf = make_buffer(rng, n, with_rgb=False)
+    plain = str(tmp_path / "plain.las")
+    las.write_las(plain, buf, BOUNDS)
+    f = las.LASFile(plain)
+    header = f.header
+    rl = header.point_record_length
+    raw = np.fromfile(plain, dtype=np.uint8)[
+        header.offset_to_point_data:header.offset_to_point_data + n * rl]
+    fmt = header.point_data_format
+    items = laz.items_for_point_format(fmt, rl)
+    types = np.array([t for t, _, _ in items], dtype=np.uint16)
+    sizes = np.array([s for _, s, _ in items], dtype=np.int32)
+    stream = codec.laz_encode_stream(np.ascontiguousarray(raw), rl, n,
+                                     types, sizes)
+    table_off = struct.unpack("<q", stream[:8].tobytes())[0]
+    chunk = stream[8:table_off].tobytes()  # the single chunk, raw
+
+    vlr = bytearray(laz.build_laszip_vlr(items, n))
+    # compressor field = first u16 of the VLR payload (after the 54-byte
+    # VLR header): set to 1 (pointwise, unchunked)
+    struct.pack_into("<H", vlr, 54, laz.COMPRESSOR_POINTWISE)
+    patched = dataclasses.replace(
+        header, point_data_format=fmt | 0x80,
+        offset_to_point_data=header.header_size + len(vlr), n_vlrs=1)
+    out = str(tmp_path / "pointwise.laz")
+    with open(out, "wb") as fh:
+        fh.write(build_header_bytes(patched))
+        fh.write(bytes(vlr))
+        fh.write(chunk)  # NO 8-byte table offset, no table
+
+    want = las.read_las(plain)
+    got = las.read_las(out)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    lf = las.LASFile(out)
+    g = lf.read_points(500, 100).positions
+    np.testing.assert_array_equal(g, want.positions[500:600])
