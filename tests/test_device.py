@@ -1,6 +1,8 @@
 """Device pipeline tests (cpu backend mesh): pair-encoded Morton keys vs
 the numpy host encoder, sorted-batch equivalence, and the sharded
 multi-chip step (encode + sort + psum histogram + all_to_all exchange)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -105,3 +107,37 @@ def test_sharded_step_on_virtual_mesh(cpu_devices, rng):
             # ownership = contiguous blocks of level-3 cells
             level3 = (real >> np.uint64(63 - 9)).astype(np.int64)
             assert ((level3 * n_dev) // 512 == d).all()
+
+
+def test_resolve_use_device_cache_behavior(tmp_path, monkeypatch):
+    """'auto' resolution: pass-throughs, cached decisions honored, and a
+    FAILED probe must not poison the cache (round-3 review)."""
+    import json
+
+    from schwarzwald_tpu.ops import device as dev
+
+    assert dev.resolve_use_device("cpu") == "cpu"
+    assert dev.resolve_use_device("tpu") == "tpu"
+    assert dev.resolve_use_device(None) is None
+
+    cache = str(tmp_path / "probe.json")
+    json.dump({"decision": "tpu"}, open(cache, "w"))
+    assert dev.resolve_use_device("auto", cache_path=cache) == "tpu"
+
+    # failed probe: host for this run, cache untouched
+    cache2 = str(tmp_path / "probe2.json")
+    monkeypatch.setattr(dev, "probe_dispatch_latency", lambda *a, **k: None)
+    assert dev.resolve_use_device("auto", cache_path=cache2) is None
+    assert not os.path.exists(cache2)
+
+    # fast local probe: decision cached
+    monkeypatch.setattr(dev, "probe_dispatch_latency",
+                        lambda *a, **k: (0.0005, "tpu"))
+    assert dev.resolve_use_device("auto", cache_path=cache2) == "tpu"
+    assert json.load(open(cache2))["decision"] == "tpu"
+    # slow (tunneled) probe on a fresh cache: host
+    cache3 = str(tmp_path / "probe3.json")
+    monkeypatch.setattr(dev, "probe_dispatch_latency",
+                        lambda *a, **k: (0.030, "tpu"))
+    assert dev.resolve_use_device("auto", cache_path=cache3) is None
+    assert json.load(open(cache3))["decision"] is None

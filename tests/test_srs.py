@@ -270,3 +270,19 @@ def test_lcc_southern_hemisphere_cone():
         x, y = srs.lcc_forward(lon, lat, p)
         lon2, lat2 = srs.lcc_inverse(x, y, p)
         assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+
+
+def test_lcc_1sp_natural_origin_form():
+    """EPSG:9801 proj strings give only lat_0 — it IS the single standard
+    parallel (round-3 review: this crashed with n=sin(0))."""
+    t = srs.Proj4Transform("+proj=lcc +lat_0=63 +lon_0=15 +k_0=1")
+    p = t._params
+    x, y = srs.lcc_forward(15.0, 63.0, p)
+    assert abs(x) < 1e-6  # natural origin maps to (0, 0)
+    assert abs(y) < 1e-6
+    lon, lat = srs.lcc_inverse(x + 12345.0, y - 6789.0, p)
+    x2, y2 = srs.lcc_forward(lon, lat, p)
+    assert abs(x2 - (x + 12345.0)) < 1e-6
+    assert abs(y2 - (y - 6789.0)) < 1e-6
+    with pytest.raises(NotImplementedError, match="standard parallel"):
+        srs.Proj4Transform("+proj=lcc +lon_0=15")
