@@ -105,8 +105,14 @@ def _argmin_per_run(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     run_min = np.minimum.reduceat(values, starts)
     is_min = values == run_min[run_of_point]
     min_positions = np.flatnonzero(is_min)
-    _, first_idx = np.unique(run_of_point[min_positions], return_index=True)
-    return min_positions[first_idx]
+    # min_positions is ascending, so runs_at_min is non-decreasing: the
+    # first minimum of each run sits at a value change (np.unique here
+    # would re-sort a sorted array)
+    runs_at_min = run_of_point[min_positions]
+    first = np.empty(runs_at_min.size, dtype=bool)
+    first[0] = True
+    np.not_equal(runs_at_min[1:], runs_at_min[:-1], out=first[1:])
+    return min_positions[first]
 
 
 # ---------------------------------------------------------------------------
