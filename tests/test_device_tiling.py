@@ -415,3 +415,38 @@ def test_device_revisit_sweep_accurate_multi_batch(on_cpu, rng):
     host_sink = run(meta_h, False)
     dev_sink = run(meta_d, True)
     _assert_identical(host_sink, dev_sink, "ACCURATE/revisit")
+
+
+def test_device_path_falls_back_on_rerooting_depths(on_cpu, rng):
+    """A cluster forcing candidate levels past the 21-level Morton range
+    makes the sweep leave points unassigned; the engine must silently
+    fall back to the host path and still match the host run exactly —
+    for the fresh first batch AND the revisit batch."""
+    n = 3000
+    center = np.array([10.0, 20.0, 30.0])
+    batches = [center + rng.uniform(0, 1e-4, (n, 3)) for _ in range(2)]
+    spacing = 64.0 / 2 ** 18  # re-root territory from level 3
+
+    def run(device):
+        meta = TilerMetaParameters(spacing_at_root=spacing,
+                                   max_points_per_node=100, concurrency=4,
+                                   use_device="cpu" if device else None)
+        sink = MemoryPersistence()
+        algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                     SamplingStrategy("RANDOM_GRID", 100),
+                                     sink, meta)
+        if device:
+            algo.DEVICE_REVISIT_MIN_INCOMING = 1
+            algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
+        for pos in batches:
+            algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+        algo.finalize(BOUNDS)
+        return sink
+
+    host_sink = run(False)
+    dev_sink = run(True)
+    assert set(host_sink.node_names()) == set(dev_sink.node_names())
+    for name in host_sink.node_names():
+        np.testing.assert_array_equal(
+            dev_sink.retrieve_points(name).positions,
+            host_sink.retrieve_points(name).positions, err_msg=name)
