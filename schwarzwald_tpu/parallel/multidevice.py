@@ -32,11 +32,24 @@ from ..core import morton
 
 
 def make_mesh(n_devices: int | None = None, backend: str | None = None):
-    """An n-device 1D mesh ('dp'), preferring the requested backend."""
+    """An n-device 1D mesh ('dp'), preferring the requested backend.
+
+    Without an explicit backend, falls back to the cpu backend when the
+    default one has too few devices — so `--multichip N` runs on a dev
+    box with XLA's virtual cpu devices exactly as it does on an N-chip
+    slice."""
     import jax
     from jax.sharding import Mesh
 
     devices = jax.devices(backend) if backend else jax.devices()
+    if (backend is None and n_devices is not None
+            and len(devices) < n_devices):
+        try:
+            cpu = jax.devices("cpu")
+            if len(cpu) >= n_devices:
+                devices = cpu
+        except RuntimeError:
+            pass
     if n_devices is not None:
         if len(devices) < n_devices:
             raise RuntimeError(
