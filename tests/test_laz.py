@@ -856,3 +856,35 @@ def test_pointwise_unchunked_laz_reads(tmp_path, rng):
     lf = las.LASFile(out)
     g = lf.read_points(500, 100).positions
     np.testing.assert_array_equal(g, want.positions[500:600])
+
+
+def test_variable_chunk_table_corruption_is_loud(tmp_path, rng):
+    """Truncated or bit-flipped variable chunk tables must raise, never
+    crash or silently misdecode (counts are validated against the
+    header)."""
+    path, _ = _build_variable_chunk_laz(tmp_path, rng, [800, 1200, 1000])
+    blob = open(path, "rb").read()
+    f = las.LASFile(path)
+    table_off = struct.unpack_from(
+        "<q", blob, f.header.offset_to_point_data)[0]
+
+    # truncate the table body mid-stream
+    for cut in (table_off + 4, table_off + 9, len(blob) - 3):
+        p = str(tmp_path / "trunc.laz")
+        open(p, "wb").write(blob[:cut])
+        reader = laz.LAZReader(p, las.LASFile(p).header)
+        with pytest.raises((ValueError, laz.LAZNotAvailableError)):
+            reader.read_records(0, 100)
+
+    # flip bits inside the table's coder stream
+    flips = rng.integers(table_off + 8, len(blob), 6)
+    for pos in flips:
+        corrupted = bytearray(blob)
+        corrupted[pos] ^= 0xFF
+        p = str(tmp_path / "flip.laz")
+        open(p, "wb").write(bytes(corrupted))
+        reader = laz.LAZReader(p, las.LASFile(p).header)
+        try:
+            reader.read_records(0, 3000)  # error OR correct decode only
+        except (ValueError, laz.LAZNotAvailableError):
+            pass
