@@ -31,6 +31,11 @@ CASES = [
     (TilingStrategy.Accurate, "GRID_CENTER", 3, 5.0, 100, 5, False),
     (TilingStrategy.Accurate, "JITTERED", 2, 2.0, 300, 100, True),
     (TilingStrategy.Fast, "GRID_CENTER", 3, 9.0, 60, 100, True),
+    # MIN_DISTANCE: use_device engages the per-node device Poisson
+    # relaxation (ops/device_poisson) for ranges >= its gate; ACCURATE
+    # roots see the full batch, so the relaxation actually runs
+    (TilingStrategy.Accurate, "MIN_DISTANCE", 2, 6.0, 200, 100, False),
+    (TilingStrategy.Accurate, "MIN_DISTANCE", 2, 5.0, 150, 100, True),
 ]
 
 
