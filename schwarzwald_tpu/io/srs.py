@@ -342,11 +342,15 @@ def _parse_projection(text: str):
         # single standard parallel; EPSG:9802 (2SP) gives lat_1/lat_2
         lat0 = param("lat_0", None)
         lat1 = param("lat_1", lat0 if lat0 is not None else 0.0)
-        if lat1 == 0.0 and lat0 in (None, 0.0):
+        lat2 = re.search(r"\+lat_2=(-?[\d.]+)", s)
+        two_sp = lat2 is not None and float(lat2.group(1)) != lat1
+        # Only the 1SP form degenerates at the equator (n = sin(lat1) = 0);
+        # a 2SP cone with lat_1=0, lat_2!=0 has a nonzero cone constant
+        # n = (ln m1 - ln m2) / (ln t1 - ln t2).
+        if lat1 == 0.0 and lat0 in (None, 0.0) and not two_sp:
             raise NotImplementedError(
                 f"+proj=lcc without a standard parallel (lat_1 or lat_0) "
-                f"in {text!r}: the cone constant would be 0")
-        lat2 = re.search(r"\+lat_2=(-?[\d.]+)", s)
+                f"in {text!r}: the 1SP cone constant would be 0")
         return LCCParams(lat0=lat0 if lat0 is not None else lat1,
                          lon0=param("lon_0", 0.0),
                          lat1=lat1,

@@ -26,6 +26,23 @@
 #include <omp.h>
 #endif
 
+namespace {
+
+// Thread-local scratch is grow-only within a call, but one huge call must
+// not pin its peak per pool thread for process lifetime: once capacity
+// exceeds both ~8 MB and 4x the call that just finished, release it
+// (the next large call re-grows in one allocation).
+template <typename Vec>
+inline void shrink_scratch(Vec& v, size_t need_elems) {
+  constexpr size_t kKeepBytes = size_t(8) << 20;
+  const size_t cap_bytes = v.capacity() * sizeof(typename Vec::value_type);
+  if (cap_bytes > kKeepBytes && v.capacity() > 4 * (need_elems + 1)) {
+    Vec().swap(v);
+  }
+}
+
+}  // namespace
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -201,6 +218,12 @@ void poisson_accept_mask(const double* positions, int64_t n,
   if (use_dense) {
     for (const int64_t cell : dirty_cells) dense_head[cell] = -1;
   }
+  shrink_scratch(arena, arena.size());
+  shrink_scratch(next_link, next_link.size());
+  shrink_scratch(dirty_cells, dirty_cells.size());
+  // dense_head is all -1 again after the dirty reset, so dropping it is
+  // safe: the next call's resize(n, -1) rebuilds the invariant.
+  shrink_scratch(dense_head, static_cast<size_t>(gx * gy * gz));
 }
 
 // ---------------------------------------------------------------------------
@@ -346,6 +369,8 @@ void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out_order) {
   for (int64_t i = 0; i < n; ++i) pairs[i] = {keys[i], i};
   msd_sort_range(pairs.data(), scratch.data(), 0, n, 7);
   for (int64_t i = 0; i < n; ++i) out_order[i] = pairs[i].idx;
+  shrink_scratch(pairs, static_cast<size_t>(n));
+  shrink_scratch(scratch, static_cast<size_t>(n));
 }
 
 // Sort variant that also materializes the sorted keys — the engine's
@@ -364,6 +389,8 @@ void radix_sort_kv_u64(const uint64_t* keys, int64_t n, int64_t* out_order,
     out_order[i] = pairs[i].idx;
     out_keys[i] = pairs[i].key;
   }
+  shrink_scratch(pairs, static_cast<size_t>(n));
+  shrink_scratch(scratch, static_cast<size_t>(n));
 }
 
 // ---------------------------------------------------------------------------

@@ -64,6 +64,14 @@ def probe_dispatch_latency(backend: str | None = None,
         return None
 
 
+def _default_platform_name() -> str | None:
+    """Platform of the default JAX backend, or None if unavailable."""
+    try:
+        return jax.default_backend()
+    except Exception:
+        return None
+
+
 def resolve_use_device(requested: str | None,
                        threshold_s: float = 0.002,
                        cache_path: str | None = "auto") -> str | None:
@@ -88,8 +96,21 @@ def resolve_use_device(requested: str | None,
             "device_probe.json")
     if cache_path and os.path.exists(cache_path):
         try:
+            import time as _time
+
             cached = json.load(open(cache_path))
-            return cached.get("decision")
+            # The cached decision is only valid for the same question: a
+            # changed threshold or a different default backend (e.g. a TPU
+            # attached after a host-only probe) must re-probe, and any
+            # record older than a day expires — a probe is cheap next to a
+            # production run, staleness is not (ADVICE r3).
+            same_threshold = cached.get("threshold_s") == threshold_s
+            same_backend = cached.get("default_platform") in (
+                None, _default_platform_name())
+            fresh = (_time.time() - cached.get("probed_at", 0)
+                     < 24 * 3600)
+            if same_threshold and same_backend and fresh:
+                return cached.get("decision")
         except Exception:
             pass
     probed = probe_dispatch_latency()
@@ -100,8 +121,11 @@ def resolve_use_device(requested: str | None,
     latency, platform = probed
     local = latency < threshold_s and platform not in ("cpu", "host")
     decision = platform if local else None
+    import time as _time
     record = {"latency_s": latency, "platform": platform,
-              "threshold_s": threshold_s, "decision": decision}
+              "threshold_s": threshold_s, "decision": decision,
+              "default_platform": _default_platform_name(),
+              "probed_at": _time.time()}
     if cache_path:
         try:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)

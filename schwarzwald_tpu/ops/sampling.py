@@ -105,6 +105,10 @@ def _argmin_per_run(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
     run_min = np.minimum.reduceat(values, starts)
     is_min = values == run_min[run_of_point]
     min_positions = np.flatnonzero(is_min)
+    if min_positions.size == 0:
+        # All-NaN distances (NaN == NaN is False) leave no minima; degrade
+        # to an empty selection instead of indexing first[0] below.
+        return min_positions
     # min_positions is ascending, so runs_at_min is non-decreasing: the
     # first minimum of each run sits at a value change (np.unique here
     # would re-sort a sorted array)

@@ -402,6 +402,17 @@ class TilingAlgorithmMultiHost:
     def level_of_start_nodes(self):
         return self.inner.level_of_start_nodes
 
+    @level_of_start_nodes.setter
+    def level_of_start_nodes(self, value):
+        # The ownership level is fixed by the multihost plan; a
+        # fixed_start_level that contradicts it would desynchronize the
+        # hosts' exchange blocks — accept only the plan's own level.
+        if int(value) != int(self.plan.start_level):
+            raise ValueError(
+                f"multihost start level is pinned to plan.start_level="
+                f"{self.plan.start_level}; cannot set {value}")
+        self.inner.level_of_start_nodes = int(value)
+
     @property
     def _start_nodes_used(self):
         return self.inner._start_nodes_used

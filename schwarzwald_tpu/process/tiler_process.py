@@ -77,6 +77,11 @@ class TilerArguments:
     # count <= 1 = single host.
     multihost_index: int = 0
     multihost_count: int = 1
+    # Pin FAST's start-node level instead of estimating it from the first
+    # batch (None = estimate). First-class hook used by tests and by
+    # operators who want reproducible structure across runs with
+    # different batch orders; mirrors multihost's plan.start_level pin.
+    fixed_start_level: int | None = None
 
 
 @dataclasses.dataclass
@@ -423,6 +428,10 @@ class TilerProcess:
                       thread_config,
                       checkpoint_callback=None if multihost else checkpoint,
                       algorithm=mh_algorithm)
+        if (self.args.fixed_start_level is not None
+                and hasattr(tiler.algorithm, "level_of_start_nodes")):
+            tiler.algorithm.level_of_start_nodes = \
+                int(self.args.fixed_start_level)
         if resume_state is not None:
             level = resume_state.get("level_of_start_nodes")
             if level is not None and hasattr(tiler.algorithm,

@@ -120,9 +120,31 @@ def test_resolve_use_device_cache_behavior(tmp_path, monkeypatch):
     assert dev.resolve_use_device("tpu") == "tpu"
     assert dev.resolve_use_device(None) is None
 
+    import time
+
     cache = str(tmp_path / "probe.json")
-    json.dump({"decision": "tpu"}, open(cache, "w"))
+
+    def record(decision, threshold_s=0.002, age_s=0.0, platform=None):
+        json.dump({"decision": decision, "threshold_s": threshold_s,
+                   "default_platform": platform
+                   if platform is not None else dev._default_platform_name(),
+                   "probed_at": time.time() - age_s}, open(cache, "w"))
+
+    record("tpu")
     assert dev.resolve_use_device("auto", cache_path=cache) == "tpu"
+
+    # stale / mismatched cache records re-probe instead of being trusted
+    # forever (ADVICE r3): force the re-probe to decide host so a hit on
+    # the stale "tpu" answer is detectable.
+    monkeypatch.setattr(dev, "probe_dispatch_latency",
+                        lambda *a, **k: (0.030, "tpu"))
+    record("tpu", age_s=25 * 3600)  # expired TTL
+    assert dev.resolve_use_device("auto", cache_path=cache) is None
+    record("tpu", threshold_s=0.5)  # different threshold than cached
+    assert dev.resolve_use_device("auto", cache_path=cache) is None
+    record("tpu", platform="interposer")  # default backend changed
+    assert dev.resolve_use_device("auto", cache_path=cache) is None
+    monkeypatch.undo()
 
     # failed probe: host for this run, cache untouched
     cache2 = str(tmp_path / "probe2.json")

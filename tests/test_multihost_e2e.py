@@ -43,44 +43,36 @@ def test_two_host_tiling_conserves_points(tmp_path, rng):
     total = 12_000
 
     def make_args(out, index, count):
+        # pin FAST's start level to the multihost ownership level (3) for
+        # the level-3 structure comparison — through the first-class
+        # TilerArguments hook, not by swapping the estimator
         return TilerArguments(
             sources=files, output_directory=str(out), spacing=5.0,
             max_points_per_node=400, sampling_strategy="RANDOM_GRID",
             output_format=OutputFormat.BIN,
-            multihost_index=index, multihost_count=count)
+            multihost_index=index, multihost_count=count,
+            fixed_start_level=3)
 
     # single-host baseline with the same pinned start level
     single_out = tmp_path / "single"
-    args = make_args(single_out, 0, 1)
-    proc = TilerProcess(args)
-    # pin FAST's start level to the multihost ownership level for the
-    # level-3 structure comparison
-    import schwarzwald_tpu.tiling.engine as engine
+    TilerProcess(make_args(single_out, 0, 1)).run()
 
-    orig = engine.TilingAlgorithmFast._estimate_start_node_level
-    engine.TilingAlgorithmFast._estimate_start_node_level = \
-        lambda self, keys: 3
-    try:
-        proc.run()
+    multi_out = tmp_path / "multi"
+    errors = []
 
-        multi_out = tmp_path / "multi"
-        errors = []
+    def run_host(index):
+        try:
+            TilerProcess(make_args(multi_out, index, 2)).run()
+        except BaseException as err:  # surface in the main thread
+            errors.append((index, err))
 
-        def run_host(index):
-            try:
-                TilerProcess(make_args(multi_out, index, 2)).run()
-            except BaseException as err:  # surface in the main thread
-                errors.append((index, err))
-
-        threads = [threading.Thread(target=run_host, args=(i,))
-                   for i in range(2)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join(timeout=600)
-        assert not errors, errors
-    finally:
-        engine.TilingAlgorithmFast._estimate_start_node_level = orig
+    threads = [threading.Thread(target=run_host, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
 
     single_nodes = _collect(single_out)
     multi_nodes = _collect(multi_out)

@@ -216,3 +216,14 @@ def test_stability_of_partition(rng):
         unsel = res.order[res.selected_count:]
         assert (np.diff(sel) > 0).all()
         assert (np.diff(unsel) > 0).all()
+
+
+def test_argmin_per_run_all_nan_degrades_to_empty():
+    """All-NaN distance values (NaN positions) must yield an empty
+    selection, not IndexError on first[0] (ADVICE r3)."""
+    from schwarzwald_tpu.ops.sampling import _argmin_per_run
+
+    values = np.full(6, np.nan)
+    starts = np.array([0, 3])
+    out = _argmin_per_run(values, starts)
+    assert out.size == 0

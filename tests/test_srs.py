@@ -286,3 +286,19 @@ def test_lcc_1sp_natural_origin_form():
     assert abs(y2 - (y - 6789.0)) < 1e-6
     with pytest.raises(NotImplementedError, match="standard parallel"):
         srs.Proj4Transform("+proj=lcc +lon_0=15")
+
+
+def test_lcc_2sp_with_equatorial_first_parallel():
+    """2SP with lat_1=0 is valid (n = (ln m1 - ln m2)/(ln t1 - ln t2) ~ 0.26
+    for lat_2=30) and must not be rejected as a zero cone constant
+    (ADVICE r3). Forward/inverse must round-trip."""
+    t = srs.Proj4Transform("+proj=lcc +lat_1=0 +lat_2=30 +lon_0=10")
+    p = t._params
+    assert abs(p.n) > 0.1  # nonzero cone constant for the 2SP form
+    for lon, lat in [(8.0, 5.0), (14.0, 28.0), (10.0, 15.0)]:
+        x, y = srs.lcc_forward(lon, lat, p)
+        lon2, lat2 = srs.lcc_inverse(x, y, p)
+        assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+    # the degenerate case still raises: 1SP at the equator
+    with pytest.raises(NotImplementedError, match="1SP cone constant"):
+        srs.Proj4Transform("+proj=lcc +lat_1=0 +lon_0=10")
