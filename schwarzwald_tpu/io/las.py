@@ -41,7 +41,22 @@ _EXT_FIELDS = [
 ]
 
 
+# Waveform-bearing formats are their base record plus a trailing 29-byte
+# wave packet (descriptor u1, offset u8, size u4, return-point f4, x/y/z(t)
+# f4 each). The tiler reads the base attributes and skips the payload —
+# matching the reference, which reads formats 5/10 through LASzip as
+# RGB-bearing records (LASFile.cpp:421-426) and never consumes waveforms.
+_WAVEFORM_BASE = {4: 1, 5: 3, 9: 6, 10: 8}
+WAVE_PACKET_BYTES = 29
+
+
+def base_point_format(fmt: int) -> int:
+    """Waveform formats collapse to their attribute-equivalent base."""
+    return _WAVEFORM_BASE.get(fmt, fmt)
+
+
 def point_record_dtype(fmt: int) -> np.dtype:
+    fmt = base_point_format(fmt)
     if fmt >= 6:
         fields = list(_EXT_FIELDS)
         if fmt in (7, 8):
@@ -58,12 +73,15 @@ def point_record_dtype(fmt: int) -> np.dtype:
 
 
 def record_length_for_format(fmt: int) -> int:
-    return {0: 20, 1: 28, 2: 26, 3: 34, 6: 30, 7: 36, 8: 38}[fmt]
+    return {0: 20, 1: 28, 2: 26, 3: 34, 4: 57, 5: 63,
+            6: 30, 7: 36, 8: 38, 9: 59, 10: 67}[fmt]
 
 
 def attributes_for_format(fmt: int) -> set:
     """Attribute presence by point_data_format (LASFile.cpp:414-444;
-    extended formats 6-8 always carry GPS time)."""
+    extended formats 6-10 always carry GPS time; waveform formats carry
+    their base format's attributes)."""
+    fmt = base_point_format(fmt)
     attrs = {PointAttribute.Position, PointAttribute.Intensity,
              PointAttribute.ReturnNumber, PointAttribute.NumberOfReturns,
              PointAttribute.ScanDirectionFlag, PointAttribute.EdgeOfFlightLine,
@@ -138,10 +156,10 @@ class LASFile:
             self._laz = laz.LAZReader(path, self.header)
         else:
             self._laz = None
-            if self.header.point_data_format not in (0, 1, 2, 3, 6, 7, 8):
+            if self.header.point_data_format > 10:
                 raise ValueError(
                     f"Unsupported point data format "
-                    f"{self.header.point_data_format} (supported: 0-3, 6-8)")
+                    f"{self.header.point_data_format} (supported: 0-10)")
 
     @property
     def count(self) -> int:
@@ -250,7 +268,9 @@ class LASFile:
 def decode_records(records: np.ndarray, header: LASHeader,
                    attributes: set,
                    decode_positions: bool = True) -> PointBuffer:
-    fmt = header.point_data_format
+    # waveform formats (4/5/9/10): decode the base record; the trailing
+    # wave packet falls into the padded-dtype gap and is skipped
+    fmt = base_point_format(header.point_data_format)
     stride = header.point_record_length
     dtype = point_record_dtype(fmt)
     n = records.size // stride
@@ -322,7 +342,7 @@ def decode_records_into(records: np.ndarray, header: LASHeader,
                         offset: int, count: int) -> None:
     """Decode non-position attributes into the columns of a preallocated
     buffer region (positions handled by the fused native pass)."""
-    fmt = header.point_data_format
+    fmt = base_point_format(header.point_data_format)
     stride = header.point_record_length
     dtype = point_record_dtype(fmt)
     if stride == dtype.itemsize:

