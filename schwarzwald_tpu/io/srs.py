@@ -16,6 +16,16 @@ transforms the tiler actually needs are implemented directly:
     Snyder, "Map Projections: A Working Manual", USGS PP 1395, p. 105-110
   - Albers equal-area conic (+proj=aea; EPSG:5070 CONUS Albers),
     Snyder p. 98-103
+  - Mercator, spherical (EPSG:3857 web tiles) and ellipsoidal
+    (EPSG:3395, +proj=merc [+lat_ts]), Snyder p. 41-47
+  - Polar stereographic (+proj=stere +lat_0=+-90; EPSG:3031/3413 polar
+    LiDAR grids, EPSG:5041/5042 UPS), Snyder p. 160-163
+  - Transverse Mercator on any supported ellipsoid with lat_0 != 0
+    (EPSG:27700 OSGB and the non-UTM national TM grids): the Krueger
+    series is evaluated per-ellipsoid and the natural-origin northing
+    offset k0*M(lat_0) is folded into the false northing
+  - 3/7-parameter Helmert datum shifts (+towgs84=..., position-vector
+    convention, EPSG:9606) applied in ECEF after the inverse projection
 
 AABB transform follows the reference: transform the 8 corners and
 re-min/max (Transformation.cpp:10-45).
@@ -61,60 +71,63 @@ def geodetic_to_ecef(positions: np.ndarray) -> np.ndarray:
 # Transverse Mercator (Krueger series, order n^6)
 # ---------------------------------------------------------------------------
 
+def _krueger_series(n: float):
+    """Karney 2011 eq. 12/14: the alpha (forward) and beta (inverse)
+    coefficient tuples for third-flattening n, to order n^6."""
+    alpha = (
+        n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16 + 41 * n ** 4 / 180
+        - 127 * n ** 5 / 288 + 7891 * n ** 6 / 37800,
+        13 * n ** 2 / 48 - 3 * n ** 3 / 5 + 557 * n ** 4 / 1440
+        + 281 * n ** 5 / 630 - 1983433 * n ** 6 / 1935360,
+        61 * n ** 3 / 240 - 103 * n ** 4 / 140 + 15061 * n ** 5 / 26880
+        + 167603 * n ** 6 / 181440,
+        49561 * n ** 4 / 161280 - 179 * n ** 5 / 168
+        + 6601661 * n ** 6 / 7257600,
+        34729 * n ** 5 / 80640 - 3418889 * n ** 6 / 1995840,
+        212378941 * n ** 6 / 319334400,
+    )
+    beta = (
+        n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96 - n ** 4 / 360
+        - 81 * n ** 5 / 512 + 96199 * n ** 6 / 604800,
+        n ** 2 / 48 + n ** 3 / 15 - 437 * n ** 4 / 1440 + 46 * n ** 5 / 105
+        - 1118711 * n ** 6 / 3870720,
+        17 * n ** 3 / 480 - 37 * n ** 4 / 840 - 209 * n ** 5 / 4480
+        + 5569 * n ** 6 / 90720,
+        4397 * n ** 4 / 161280 - 11 * n ** 5 / 504
+        - 830251 * n ** 6 / 7257600,
+        4583 * n ** 5 / 161280 - 108847 * n ** 6 / 3991680,
+        20648693 * n ** 6 / 638668800,
+    )
+    return alpha, beta
+
+
 _N = _F / (2.0 - _F)
 _A_BAR = _A / (1 + _N) * (1 + _N ** 2 / 4 + _N ** 4 / 64 + _N ** 6 / 256)
-
-_ALPHA = (
-    _N / 2 - 2 * _N ** 2 / 3 + 5 * _N ** 3 / 16 + 41 * _N ** 4 / 180
-    - 127 * _N ** 5 / 288 + 7891 * _N ** 6 / 37800,
-    13 * _N ** 2 / 48 - 3 * _N ** 3 / 5 + 557 * _N ** 4 / 1440
-    + 281 * _N ** 5 / 630 - 1983433 * _N ** 6 / 1935360,
-    61 * _N ** 3 / 240 - 103 * _N ** 4 / 140 + 15061 * _N ** 5 / 26880
-    + 167603 * _N ** 6 / 181440,
-    49561 * _N ** 4 / 161280 - 179 * _N ** 5 / 168
-    + 6601661 * _N ** 6 / 7257600,
-    34729 * _N ** 5 / 80640 - 3418889 * _N ** 6 / 1995840,
-    212378941 * _N ** 6 / 319334400,
-)
-
-_BETA = (
-    _N / 2 - 2 * _N ** 2 / 3 + 37 * _N ** 3 / 96 - _N ** 4 / 360
-    - 81 * _N ** 5 / 512 + 96199 * _N ** 6 / 604800,
-    _N ** 2 / 48 + _N ** 3 / 15 - 437 * _N ** 4 / 1440 + 46 * _N ** 5 / 105
-    - 1118711 * _N ** 6 / 3870720,
-    17 * _N ** 3 / 480 - 37 * _N ** 4 / 840 - 209 * _N ** 5 / 4480
-    + 5569 * _N ** 6 / 90720,
-    4397 * _N ** 4 / 161280 - 11 * _N ** 5 / 504
-    - 830251 * _N ** 6 / 7257600,
-    4583 * _N ** 5 / 161280 - 108847 * _N ** 6 / 3991680,
-    20648693 * _N ** 6 / 638668800,
-)
+_ALPHA, _BETA = _krueger_series(_N)
 
 
-def tmerc_forward(lon_deg, lat_deg, lon0_deg: float, k0: float,
-                  false_easting: float, false_northing: float):
-    """Geodetic (degrees) -> transverse Mercator easting/northing."""
+def _tmerc_forward_raw(lon_deg, lat_deg, lon0_deg, k0, x0, y0,
+                       a_bar, alpha, e):
     lam = np.radians(np.asarray(lon_deg, np.float64) - lon0_deg)
     phi = np.radians(np.asarray(lat_deg, np.float64))
     sphi = np.sin(phi)
-    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    t = np.sinh(np.arctanh(sphi) - e * np.arctanh(e * sphi))
     xi = np.arctan2(t, np.cos(lam))
     eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
     xi_s, eta_s = xi, eta
-    for j, a in enumerate(_ALPHA, start=1):
-        xi_s = xi_s + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
-        eta_s = eta_s + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
-    return (k0 * _A_BAR * eta_s + false_easting,
-            k0 * _A_BAR * xi_s + false_northing)
+    for j, aj in enumerate(alpha, start=1):
+        xi_s = xi_s + aj * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_s = eta_s + aj * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    return (k0 * a_bar * eta_s + x0, k0 * a_bar * xi_s + y0)
 
 
-def _tau_from_tau_prime(tau_p):
+def _tau_from_tau_prime(tau_p, e=_E):
     """Invert tau' = tau*sqrt(1+sigma^2) - sigma*sqrt(1+tau^2) by Newton
     (Karney 2011, eq. 19-21)."""
-    e2m = 1 - _E2
+    e2m = 1 - e * e
     tau = tau_p / math.sqrt(e2m)  # first guess
     for _ in range(6):
-        sig = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau * tau)))
+        sig = np.sinh(e * np.arctanh(e * tau / np.sqrt(1 + tau * tau)))
         tau_p_i = tau * np.sqrt(1 + sig * sig) - sig * np.sqrt(1 + tau * tau)
         dtau = ((tau_p - tau_p_i) * (1 + e2m * tau * tau)
                 / (e2m * np.sqrt((1 + tau_p_i * tau_p_i) * (1 + tau * tau))))
@@ -122,21 +135,38 @@ def _tau_from_tau_prime(tau_p):
     return tau
 
 
-def tmerc_inverse(easting, northing, lon0_deg: float, k0: float,
-                  false_easting: float, false_northing: float):
-    """Transverse Mercator easting/northing -> geodetic lon/lat (degrees)."""
-    xi = (np.asarray(northing, np.float64) - false_northing) / (k0 * _A_BAR)
-    eta = (np.asarray(easting, np.float64) - false_easting) / (k0 * _A_BAR)
+def _tmerc_inverse_raw(easting, northing, lon0_deg, k0, x0, y0,
+                       a_bar, beta, e):
+    xi = (np.asarray(northing, np.float64) - y0) / (k0 * a_bar)
+    eta = (np.asarray(easting, np.float64) - x0) / (k0 * a_bar)
     xi_p, eta_p = xi, eta
-    for j, b in enumerate(_BETA, start=1):
+    for j, b in enumerate(beta, start=1):
         xi_p = xi_p - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
         eta_p = eta_p - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
     tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
     lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    tau = _tau_from_tau_prime(tau_p)
+    tau = _tau_from_tau_prime(tau_p, e)
     lat = np.degrees(np.arctan(tau))
     lon = lon0_deg + np.degrees(lam)
     return lon, lat
+
+
+def tmerc_forward(lon_deg, lat_deg, lon0_deg: float, k0: float,
+                  false_easting: float, false_northing: float):
+    """Geodetic (degrees) -> transverse Mercator easting/northing
+    (WGS84, natural origin on the equator)."""
+    return _tmerc_forward_raw(lon_deg, lat_deg, lon0_deg, k0,
+                              false_easting, false_northing,
+                              _A_BAR, _ALPHA, _E)
+
+
+def tmerc_inverse(easting, northing, lon0_deg: float, k0: float,
+                  false_easting: float, false_northing: float):
+    """Transverse Mercator easting/northing -> geodetic lon/lat
+    (degrees; WGS84, natural origin on the equator)."""
+    return _tmerc_inverse_raw(easting, northing, lon0_deg, k0,
+                              false_easting, false_northing,
+                              _A_BAR, _BETA, _E)
 
 
 # ---------------------------------------------------------------------------
@@ -150,6 +180,9 @@ _ELLIPSOIDS = {
     "wgs84": (6378137.0, 1.0 / 298.257223563),
     "grs80": (6378137.0, 1.0 / 298.257222101),
     "clrk66": (6378206.4, 1.0 - math.sqrt(1.0 - 0.00676866)),
+    "airy": (6377563.396, 1.0 / 299.3249646),       # OSGB36
+    "intl": (6378388.0, 1.0 / 297.0),                # ED50 / Snyder examples
+    "bessel": (6377397.155, 1.0 / 299.1528128),      # DHDN / Tokyo
 }
 
 
@@ -180,12 +213,14 @@ class LCCParams:
     def __init__(self, lat0: float, lon0: float, lat1: float,
                  lat2: float | None = None, k0: float = 1.0,
                  x0: float = 0.0, y0: float = 0.0,
-                 ellipsoid: str = "wgs84"):
+                 ellipsoid: str = "wgs84", towgs84=None):
         a, f = _ELLIPSOIDS[ellipsoid]
-        e = math.sqrt(f * (2 - f))
+        self.e2 = f * (2 - f)
+        e = math.sqrt(self.e2)
         self.a, self.e = a, e
         self.lon0 = lon0
         self.x0, self.y0 = x0, y0
+        self.towgs84 = towgs84
         phi0, phi1 = math.radians(lat0), math.radians(lat1)
         m1, t1 = _snyder_m(phi1, e), _snyder_t(phi1, e)
         if lat2 is not None and lat2 != lat1:
@@ -234,10 +269,12 @@ class AlbersParams:
 
     def __init__(self, lat0: float, lon0: float, lat1: float, lat2: float,
                  x0: float = 0.0, y0: float = 0.0,
-                 ellipsoid: str = "wgs84"):
+                 ellipsoid: str = "wgs84", towgs84=None):
         a, f = _ELLIPSOIDS[ellipsoid]
-        e = math.sqrt(f * (2 - f))
+        self.e2 = f * (2 - f)
+        e = math.sqrt(self.e2)
         self.a, self.e = a, e
+        self.towgs84 = towgs84
         self.lon0 = lon0
         self.x0, self.y0 = x0, y0
         phi0 = math.radians(lat0)
@@ -282,23 +319,236 @@ def albers_inverse(easting, northing, p: AlbersParams):
 
 
 class TmercParams:
+    """Transverse Mercator on any supported ellipsoid, natural origin at
+    (lat0, lon0). The Krueger series is rebuilt for the ellipsoid's
+    third flattening; a nonzero lat0 becomes a constant northing offset
+    -k0*M(lat0) folded into the false northing (the rectifying latitude
+    xi is linear in meridian distance), so forward/inverse keep the
+    equator-origin form."""
+
     def __init__(self, lon0: float, lat0: float = 0.0, k0: float = 0.9996,
-                 x0: float = 500000.0, y0: float = 0.0):
+                 x0: float = 500000.0, y0: float = 0.0,
+                 ellipsoid: str = "wgs84", towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a, self.e2 = a, f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        n = f / (2.0 - f)
+        self.a_bar = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64
+                                    + n ** 6 / 256)
+        self.alpha, self.beta = _krueger_series(n)
+        self.lon0, self.k0, self.x0 = lon0, k0, x0
+        self.towgs84 = towgs84
         if lat0 != 0.0:
-            raise NotImplementedError(
-                "tmerc with lat_0 != 0 is not supported yet")
-        self.lon0, self.k0, self.x0, self.y0 = lon0, k0, x0, y0
+            # meridian distance to lat0 via the series at lam=0
+            phi0 = math.radians(lat0)
+            s0 = math.sin(phi0)
+            t0 = math.sinh(math.atanh(s0) - self.e * math.atanh(self.e * s0))
+            xi0 = math.atan(t0)
+            xi_s = xi0 + sum(aj * math.sin(2 * j * xi0)
+                             for j, aj in enumerate(self.alpha, start=1))
+            self.y0 = y0 - k0 * self.a_bar * xi_s
+        else:
+            self.y0 = y0
+
+
+def tmerc_forward_p(lon_deg, lat_deg, p: TmercParams):
+    return _tmerc_forward_raw(lon_deg, lat_deg, p.lon0, p.k0, p.x0, p.y0,
+                              p.a_bar, p.alpha, p.e)
+
+
+def tmerc_inverse_p(easting, northing, p: TmercParams):
+    return _tmerc_inverse_raw(easting, northing, p.lon0, p.k0, p.x0, p.y0,
+                              p.a_bar, p.beta, p.e)
+
+
+# ---------------------------------------------------------------------------
+# Mercator (spherical web tiles / ellipsoidal), Snyder p. 41-47
+# ---------------------------------------------------------------------------
+
+
+class MercParams:
+    """Mercator. spherical=True is the web-tile convention (EPSG:3857:
+    spherical formulas on the WGS84 semi-major axis, geodetic latitude
+    used directly); otherwise ellipsoidal (EPSG:3395), with the scale
+    either k0 or cos(lat_ts)-derived (Snyder eq. 7-8)."""
+
+    def __init__(self, lon0: float = 0.0, k0: float = 1.0,
+                 lat_ts: float = 0.0, x0: float = 0.0, y0: float = 0.0,
+                 spherical: bool = False, ellipsoid: str = "wgs84",
+                 towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.spherical = spherical
+        self.a = a
+        self.e2 = 0.0 if spherical else f * (2 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        self.towgs84 = towgs84
+        if lat_ts != 0.0:
+            phi_ts = math.radians(lat_ts)
+            self.k0 = (math.cos(phi_ts) if spherical
+                       else float(_snyder_m(phi_ts, self.e)))
+        else:
+            self.k0 = k0
+
+
+def _wrap_lon(lon_deg):
+    """Wrap to (-180, 180] (cylindrical/azimuthal charts are periodic)."""
+    return -((-np.asarray(lon_deg, np.float64) + 180.0) % 360.0 - 180.0)
+
+
+def merc_forward(lon_deg, lat_deg, p: MercParams):
+    lam = np.radians(_wrap_lon(np.asarray(lon_deg, np.float64) - p.lon0))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    x = p.a * p.k0 * lam
+    if p.spherical:
+        y = p.a * p.k0 * np.log(np.tan(math.pi / 4 + phi / 2))
+    else:
+        y = -p.a * p.k0 * np.log(_snyder_t(phi, p.e))
+    return x + p.x0, y + p.y0
+
+
+def merc_inverse(easting, northing, p: MercParams):
+    x = np.asarray(easting, np.float64) - p.x0
+    y = np.asarray(northing, np.float64) - p.y0
+    lon = _wrap_lon(p.lon0 + np.degrees(x / (p.a * p.k0)))
+    if p.spherical:
+        phi = 2 * np.arctan(np.exp(y / (p.a * p.k0))) - math.pi / 2
+    else:
+        phi = _phi_from_t(np.exp(-y / (p.a * p.k0)), p.e)
+    return lon, np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Polar stereographic, Snyder p. 160-163 (eq. 21-33..21-40, ellipsoidal)
+# ---------------------------------------------------------------------------
+
+
+class PolarStereoParams:
+    """Polar stereographic. Variant B (standard parallel lat_ts, EPSG:9829
+    — EPSG:3031/3413) when lat_ts is given; variant A (scale k0 at the
+    pole, EPSG:9810 — EPSG:5041/5042 UPS) otherwise. south selects the
+    aspect (defaults to the hemisphere of lat_ts)."""
+
+    def __init__(self, lat_ts: float | None = None, lon0: float = 0.0,
+                 k0: float = 1.0, x0: float = 0.0, y0: float = 0.0,
+                 south: bool | None = None, ellipsoid: str = "wgs84",
+                 towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a, self.e2 = a, f * (2 - f)
+        e = self.e = math.sqrt(self.e2)
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+        self.towgs84 = towgs84
+        self.south = (lat_ts is not None and lat_ts < 0) \
+            if south is None else south
+        if lat_ts is not None:
+            phi_c = math.radians(abs(lat_ts))
+            m_c = float(_snyder_m(phi_c, e))
+            t_c = float(_snyder_t(phi_c, e))
+            self.rho_factor = a * m_c / t_c  # rho = rho_factor * t
+        else:
+            # pole-scale form: rho = 2 a k0 t / sqrt((1+e)^(1+e)(1-e)^(1-e))
+            self.rho_factor = (2.0 * a * k0
+                               / math.sqrt((1 + e) ** (1 + e)
+                                           * (1 - e) ** (1 - e)))
+
+
+def polar_stereo_forward(lon_deg, lat_deg, p: PolarStereoParams):
+    # south aspect: negate phi/lam/lam0 in, negate x/y out (Snyder p. 161)
+    sgn = -1.0 if p.south else 1.0
+    lam = np.radians(sgn * np.asarray(lon_deg, np.float64) - sgn * p.lon0)
+    phi = np.radians(sgn * np.asarray(lat_deg, np.float64))
+    t = _snyder_t(phi, p.e)
+    rho = p.rho_factor * t
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    return sgn * x + p.x0, sgn * y + p.y0
+
+
+def polar_stereo_inverse(easting, northing, p: PolarStereoParams):
+    sgn = -1.0 if p.south else 1.0
+    x = sgn * (np.asarray(easting, np.float64) - p.x0)
+    y = sgn * (np.asarray(northing, np.float64) - p.y0)
+    rho = np.sqrt(x * x + y * y)
+    t = rho / p.rho_factor
+    phi = _phi_from_t(t, p.e)
+    lam = np.arctan2(x, -y)  # lam = sgn*(lon - lon0)
+    return _wrap_lon(p.lon0 + sgn * np.degrees(lam)), sgn * np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Helmert datum shift (EPSG:9606 position-vector 7-parameter)
+# ---------------------------------------------------------------------------
+
+
+def helmert_to_wgs84(ecef: np.ndarray, params) -> np.ndarray:
+    """Apply a +towgs84 3- or 7-parameter transform to geocentric
+    coordinates (position-vector sign convention: rotations rotate the
+    position, matching PROJ's +towgs84). Translations in metres,
+    rotations in arc-seconds, scale in ppm."""
+    t = np.asarray(params, np.float64)
+    if t.size == 3:
+        return ecef + t
+    dx, dy, dz, rx, ry, rz, s = t
+    arc = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * arc, ry * arc, rz * arc
+    m = 1.0 + s * 1e-6
+    rot = np.array([[1.0, -rz, ry],
+                    [rz, 1.0, -rx],
+                    [-ry, rx, 1.0]])
+    return m * (ecef @ rot.T) + np.array([dx, dy, dz])
+
+
+def geodetic_to_ecef_on(positions: np.ndarray, a: float,
+                        e2: float) -> np.ndarray:
+    """lon/lat/h -> geocentric on an arbitrary ellipsoid (for datum
+    shifts the geocentric frame must be the SOURCE datum's)."""
+    lon = np.radians(positions[:, 0])
+    lat = np.radians(positions[:, 1])
+    h = positions[:, 2]
+    n = a / np.sqrt(1 - e2 * np.sin(lat) ** 2)
+    out = np.empty_like(positions)
+    out[:, 0] = (n + h) * np.cos(lat) * np.cos(lon)
+    out[:, 1] = (n + h) * np.cos(lat) * np.sin(lon)
+    out[:, 2] = (n * (1 - e2) + h) * np.sin(lat)
+    return out
+
+
+# 7-parameter shift OSGB36 -> WGS84 (OS "A guide to coordinate systems in
+# Great Britain", table of Helmert parameters, inverted to the to-WGS84
+# direction); 3-parameter NAD27 -> WGS84 mean-CONUS approximation
+# (historic PROJ datum table) — metre-level only, like the reference's
+# PROJ fallback when no grid is installed.
+_OSGB36_TOWGS84 = (446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.489)
+_NAD27_TOWGS84 = (-8.0, 160.0, 176.0)
 
 
 def _parse_projection(text: str):
-    """Returns 'geodetic', or TmercParams / LCCParams / AlbersParams."""
+    """Returns 'geodetic', or a *Params object for the projection."""
     s = text.strip().lower()
 
     def param(name, default):
-        m2 = re.search(rf"\+{name}=(-?[\d.]+)", s)
+        m2 = re.search(rf"\+{name}=(-?[\d.eE+]*\d)", s)
         return float(m2.group(1)) if m2 else default
 
+    def towgs84():
+        m2 = re.search(r"\+towgs84=([-\d.,eE+]+)", s)
+        if m2:
+            vals = tuple(float(v) for v in m2.group(1).split(","))
+            if len(vals) not in (3, 7):
+                raise ValueError(
+                    f"+towgs84 needs 3 or 7 parameters, got {len(vals)}")
+            return vals
+        if "+datum=nad27" in s:
+            return _NAD27_TOWGS84
+        if "+datum=osgb36" in s:
+            return _OSGB36_TOWGS84
+        return None
+
     def ellps():
+        if "+datum=nad27" in s:
+            return "clrk66"
+        if "+datum=osgb36" in s:
+            return "airy"
         m2 = re.search(r"\+ellps=(\w+)", s)
         name = m2.group(1) if m2 else "wgs84"
         if name not in _ELLIPSOIDS:
@@ -321,22 +571,66 @@ def _parse_projection(text: str):
         if code == 5070:  # NAD83 / CONUS Albers
             return AlbersParams(lat0=23.0, lon0=-96.0, lat1=29.5,
                                 lat2=45.5, ellipsoid="grs80")
+        if code == 3857:  # WGS84 / web ("pseudo") Mercator
+            return MercParams(spherical=True)
+        if code == 3395:  # WGS84 / world Mercator (ellipsoidal)
+            return MercParams()
+        if code == 3031:  # WGS84 / Antarctic polar stereographic
+            return PolarStereoParams(lat_ts=-71.0, lon0=0.0)
+        if code == 3413:  # WGS84 / NSIDC Arctic polar stereographic
+            return PolarStereoParams(lat_ts=70.0, lon0=-45.0)
+        if code == 5041:  # WGS84 / UPS north
+            return PolarStereoParams(k0=0.994, x0=2e6, y0=2e6, south=False)
+        if code == 5042:  # WGS84 / UPS south
+            return PolarStereoParams(k0=0.994, x0=2e6, y0=2e6, south=True)
+        if code == 27700:  # OSGB36 / British National Grid
+            return TmercParams(lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                               x0=400000.0, y0=-100000.0, ellipsoid="airy",
+                               towgs84=_OSGB36_TOWGS84)
         raise NotImplementedError(
             f"EPSG:{code} is not supported (supported: 4326, 326xx/327xx "
-            f"UTM, 2154, 5070; or a +proj=tmerc/utm/lcc/aea/longlat string)")
+            f"UTM, 2154, 5070, 3857, 3395, 3031, 3413, 5041/5042, 27700; "
+            f"or a +proj=tmerc/utm/lcc/aea/merc/stere/longlat string)")
     if "longlat" in s or "latlong" in s:
-        return "geodetic"
+        shift = towgs84()
+        return GeodeticParams(ellipsoid=ellps(), towgs84=shift) \
+            if shift or ellps() != "wgs84" else "geodetic"
     if "+proj=utm" in s:
         zone = re.search(r"\+zone=(\d+)", s)
         if not zone:
             raise ValueError(f"+proj=utm without +zone= in {text!r}")
         return TmercParams(lon0=int(zone.group(1)) * 6 - 183,
-                           y0=10000000.0 if "+south" in s else 0.0)
+                           y0=10000000.0 if "+south" in s else 0.0,
+                           ellipsoid=ellps(), towgs84=towgs84())
     if "+proj=tmerc" in s:
         return TmercParams(lon0=param("lon_0", 0.0),
                            lat0=param("lat_0", 0.0),
-                           k0=param("k", 1.0),
-                           x0=param("x_0", 0.0), y0=param("y_0", 0.0))
+                           k0=param("k_0", param("k", 1.0)),
+                           x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                           ellipsoid=ellps(), towgs84=towgs84())
+    if "+proj=merc" in s:
+        # the web-mercator proj string is spherical: +a == +b (or +R)
+        a_p = param("a", None)
+        b_p = param("b", None)
+        spherical = ("+r=" in s) or (a_p is not None and a_p == b_p)
+        return MercParams(lon0=param("lon_0", 0.0),
+                          k0=param("k_0", param("k", 1.0)),
+                          lat_ts=param("lat_ts", 0.0),
+                          x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                          spherical=spherical, ellipsoid=ellps(),
+                          towgs84=towgs84())
+    if "+proj=stere" in s:
+        lat0 = param("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise NotImplementedError(
+                f"oblique stereographic (lat_0={lat0}) is not supported; "
+                f"only the polar aspects (+lat_0=90 / +lat_0=-90)")
+        lat_ts = param("lat_ts", None)
+        return PolarStereoParams(lat_ts=lat_ts, lon0=param("lon_0", 0.0),
+                                 k0=param("k_0", param("k", 1.0)),
+                                 x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                                 south=lat0 < 0, ellipsoid=ellps(),
+                                 towgs84=towgs84())
     if "+proj=lcc" in s:
         # EPSG:9801 (1SP) gives only lat_0 — the natural origin IS the
         # single standard parallel; EPSG:9802 (2SP) gives lat_1/lat_2
@@ -367,13 +661,27 @@ def _parse_projection(text: str):
                             ellipsoid=ellps())
     raise NotImplementedError(
         f"Source projection {text!r} is not supported (supported: WGS84 "
-        f"geodetic, UTM EPSG:326xx/327xx, EPSG:2154, EPSG:5070, "
-        f"+proj=utm/tmerc/lcc/aea strings)")
+        f"geodetic, UTM EPSG:326xx/327xx, EPSG:2154, 5070, 3857, 3395, "
+        f"3031, 3413, 5041/5042, 27700, and "
+        f"+proj=utm/tmerc/lcc/aea/merc/stere/longlat strings with "
+        f"optional +towgs84)")
+
+
+class GeodeticParams:
+    """Geodetic lon/lat on a non-WGS84 datum (ellipsoid + optional
+    +towgs84 shift)."""
+
+    def __init__(self, ellipsoid: str = "wgs84", towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a, self.e2 = a, f * (2 - f)
+        self.towgs84 = towgs84
 
 
 class Proj4Transform:
-    """Source CRS -> Cesium world (ECEF). Geodetic WGS84 directly; UTM /
-    transverse Mercator via the Krueger-series inverse, then to ECEF."""
+    """Source CRS -> Cesium world (ECEF). Geodetic WGS84 directly;
+    projected CRS via the projection inverse to geodetic on the source
+    ellipsoid, then geocentric, then an optional Helmert +towgs84 shift
+    into the WGS84 frame."""
 
     def __init__(self, source_projection: str):
         self.source_projection = source_projection
@@ -383,15 +691,29 @@ class Proj4Transform:
         if self._params == "geodetic":
             return geodetic_to_ecef(positions)
         p = self._params
-        if isinstance(p, LCCParams):
+        if isinstance(p, GeodeticParams):
+            lon, lat = positions[:, 0], positions[:, 1]
+        elif isinstance(p, LCCParams):
             lon, lat = lcc_inverse(positions[:, 0], positions[:, 1], p)
         elif isinstance(p, AlbersParams):
             lon, lat = albers_inverse(positions[:, 0], positions[:, 1], p)
+        elif isinstance(p, MercParams):
+            lon, lat = merc_inverse(positions[:, 0], positions[:, 1], p)
+        elif isinstance(p, PolarStereoParams):
+            lon, lat = polar_stereo_inverse(positions[:, 0],
+                                            positions[:, 1], p)
         else:
-            lon, lat = tmerc_inverse(positions[:, 0], positions[:, 1],
-                                     p.lon0, p.k0, p.x0, p.y0)
+            lon, lat = tmerc_inverse_p(positions[:, 0], positions[:, 1], p)
         geo = np.column_stack([lon, lat, positions[:, 2]])
-        return geodetic_to_ecef(geo)
+        # Web Mercator heights are WGS84-ellipsoidal and its latitude is
+        # WGS84-geodetic by convention, so the spherical radius never
+        # enters the ECEF stage.
+        a, e2 = ((_A, _E2) if getattr(p, "spherical", False)
+                 else (p.a, p.e2))
+        ecef = geodetic_to_ecef_on(geo, a, e2)
+        if getattr(p, "towgs84", None):
+            ecef = helmert_to_wgs84(ecef, p.towgs84)
+        return ecef
 
     def transform_aabb(self, aabb: AABB) -> AABB:
         corners = np.array([[aabb.min[0] if i & 1 else aabb.max[0],

@@ -81,7 +81,10 @@ def test_proj_string_utm_equals_epsg():
 
 def test_unsupported_projection_raises():
     with pytest.raises(NotImplementedError):
-        srs.Proj4Transform("EPSG:3857")
+        srs.Proj4Transform("EPSG:29902")  # Irish grid: oblique-ish TM datum
+    with pytest.raises(NotImplementedError):
+        # oblique stereographic is out of scope (polar aspects only)
+        srs.Proj4Transform("+proj=stere +lat_0=52.15 +lon_0=5.38")
 
 
 def test_cli_source_projection_utm(tmp_path, rng):
@@ -302,3 +305,210 @@ def test_lcc_2sp_with_equatorial_first_parallel():
     # the degenerate case still raises: 1SP at the equator
     with pytest.raises(NotImplementedError, match="1SP cone constant"):
         srs.Proj4Transform("+proj=lcc +lat_1=0 +lon_0=10")
+
+
+# ---------------------------------------------------------------------------
+# Mercator / polar stereographic / tmerc lat_0 / Helmert (round-4: item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_web_mercator_definitional_constants():
+    """EPSG:3857 is defined by spherical formulas on a=6378137: the
+    antimeridian maps to x=20037508.342789244 and the square's top edge
+    (y = same constant) is latitude 85.05112877980659."""
+    p = srs._parse_projection("EPSG:3857")
+    x, y = srs.merc_forward(180.0, 0.0, p)
+    assert abs(x - 20037508.342789244) < 1e-6
+    assert abs(y) < 1e-9
+    lon, lat = srs.merc_inverse(0.0, 20037508.342789244, p)
+    assert abs(lat - 85.05112877980659) < 1e-9
+    # round trip
+    rng = np.random.default_rng(3)
+    lons = rng.uniform(-179, 179, 200)
+    lats = rng.uniform(-85, 85, 200)
+    x, y = srs.merc_forward(lons, lats, p)
+    lon2, lat2 = srs.merc_inverse(x, y, p)
+    np.testing.assert_allclose(lon2, lons, atol=1e-9)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+
+
+def test_mercator_snyder_worked_example():
+    """Snyder, USGS PP 1395, Mercator ellipsoid example (p. 266-267 /
+    Appendix A): Clarke 1866, central meridian 180W; point (35N, 75W) ->
+    x=11688673.7, y=4139145.6 (m). Independent published vector."""
+    p = srs.MercParams(lon0=180.0, ellipsoid="clrk66")
+    x, y = srs.merc_forward(-75.0, 35.0, p)
+    assert abs(x - 11688673.7) < 0.5
+    assert abs(y - 4139145.6) < 0.5
+    lon, lat = srs.merc_inverse(x, y, p)
+    assert abs(lon - (-75.0)) < 1e-9
+    assert abs(lat - 35.0) < 1e-9
+
+
+def test_mercator_ellipsoidal_matches_isometric_latitude_quadrature():
+    """dy/dphi = a*k0*(1-e^2) / ((1-e^2 sin^2 phi) cos phi): integrate by
+    dense quadrature (independent of the closed form) and compare."""
+    p = srs._parse_projection("EPSG:3395")
+    for lat in (12.5, 35.0, 60.0, -45.0):
+        phi = np.radians(lat)
+        t = np.linspace(0.0, phi, 200001)
+        integrand = (1 - E2) / ((1 - E2 * np.sin(t) ** 2) * np.cos(t))
+        y_quad = A * np.trapezoid(integrand, t)
+        x, y = srs.merc_forward(0.0, lat, p)
+        assert abs(float(y) - y_quad) < 1e-3, lat
+
+
+def test_polar_stereographic_snyder_worked_example():
+    """Snyder, USGS PP 1395, polar stereographic ellipsoid example
+    (p. 314-315 / Appendix A): International ellipsoid, standard parallel
+    71S, central meridian 100W; point (75S, 150E) ->
+    x=-1540033.6, y=-560526.4 (m). Independent published vector."""
+    p = srs.PolarStereoParams(lat_ts=-71.0, lon0=-100.0, ellipsoid="intl")
+    x, y = srs.polar_stereo_forward(150.0, -75.0, p)
+    assert abs(x - (-1540033.6)) < 0.5
+    assert abs(y - (-560526.4)) < 0.5
+    lon, lat = srs.polar_stereo_inverse(x, y, p)
+    assert abs(lon - 150.0) < 1e-6
+    assert abs(lat - (-75.0)) < 1e-6
+
+
+def test_polar_stereographic_scale_unity_on_standard_parallel():
+    """Variant B: the scale factor on lat_ts is exactly 1 — a small step
+    along the standard parallel in projected space equals the ellipsoidal
+    parallel arc (finite difference, independent oracle)."""
+    for code, lat_ts in (("EPSG:3031", -71.0), ("EPSG:3413", 70.0)):
+        p = srs._parse_projection(code)
+        dlon = 1e-5
+        x1, y1 = srs.polar_stereo_forward(30.0, lat_ts, p)
+        x2, y2 = srs.polar_stereo_forward(30.0 + dlon, lat_ts, p)
+        proj = np.hypot(x2 - x1, y2 - y1)
+        phi = np.radians(lat_ts)
+        nrad = A / np.sqrt(1 - E2 * np.sin(phi) ** 2)
+        arc = nrad * np.cos(phi) * np.radians(dlon)
+        assert abs(proj / arc - 1.0) < 1e-8, code
+
+
+def test_polar_stereographic_poles_and_round_trip():
+    p3031 = srs._parse_projection("EPSG:3031")
+    x, y = srs.polar_stereo_forward(0.0, -90.0, p3031)
+    assert abs(x) < 1e-6 and abs(y) < 1e-6  # pole at the (0,0) origin
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-180, 180, 200)
+    lats = rng.uniform(-89.9, -60.0, 200)
+    x, y = srs.polar_stereo_forward(lons, lats, p3031)
+    lon2, lat2 = srs.polar_stereo_inverse(x, y, p3031)
+    np.testing.assert_allclose(lat2, lats, atol=1e-9)
+    np.testing.assert_allclose(np.cos(np.radians(lon2)),
+                               np.cos(np.radians(lons)), atol=1e-9)
+    np.testing.assert_allclose(np.sin(np.radians(lon2)),
+                               np.sin(np.radians(lons)), atol=1e-9)
+    # UPS north (variant A, k0=0.994): the pole sits at the false origin
+    p5041 = srs._parse_projection("EPSG:5041")
+    x, y = srs.polar_stereo_forward(0.0, 90.0, p5041)
+    assert abs(x - 2e6) < 1e-6 and abs(y - 2e6) < 1e-6
+    lon2, lat2 = srs.polar_stereo_inverse(
+        *srs.polar_stereo_forward(77.0, 82.0, p5041), p5041)
+    assert abs(lon2 - 77.0) < 1e-9 and abs(lat2 - 82.0) < 1e-9
+
+
+def airy_meridian_arc(lat_deg: float, lat0_deg: float) -> float:
+    """Quadrature meridian distance lat0 -> lat on the Airy ellipsoid."""
+    a, f = srs._ELLIPSOIDS["airy"]
+    e2 = f * (2 - f)
+    t = np.linspace(np.radians(lat0_deg), np.radians(lat_deg), 200001)
+    integrand = (1 - e2 * np.sin(t) ** 2) ** -1.5
+    return a * (1 - e2) * np.trapezoid(integrand, t)
+
+
+def test_tmerc_nonzero_lat0_matches_meridian_arc():
+    """OSGB-style tmerc (lat_0=49): on the central meridian the northing
+    is y_0 + k0 * (M(lat) - M(lat_0)), with M by quadrature on the Airy
+    ellipsoid — independent of the Krueger series AND of the lat_0
+    folding."""
+    p = srs.TmercParams(lat0=49.0, lon0=-2.0, k0=0.9996012717,
+                        x0=400000.0, y0=-100000.0, ellipsoid="airy")
+    for lat in (49.0, 50.5, 52.0, 60.9):
+        e, n = srs.tmerc_forward_p(-2.0, lat, p)
+        want = -100000.0 + 0.9996012717 * airy_meridian_arc(lat, 49.0)
+        assert abs(float(e) - 400000.0) < 1e-6
+        assert abs(float(n) - want) < 1e-3, lat
+
+
+def test_osgb_worked_example():
+    """Ordnance Survey 'A guide to coordinate systems in Great Britain',
+    worked example (OSGB36 geodetic -> National Grid):
+    52 39'27.2531"N, 1 43'4.5177"E -> E 651409.903, N 313177.270."""
+    p = srs._parse_projection("EPSG:27700")
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = srs.tmerc_forward_p(lon, lat, p)
+    assert abs(float(e) - 651409.903) < 0.002
+    assert abs(float(n) - 313177.270) < 0.002
+    lon2, lat2 = srs.tmerc_inverse_p(651409.903, 313177.270, p)
+    assert abs(lon2 - lon) < 1e-8 and abs(lat2 - lat) < 1e-8
+
+
+def test_helmert_conventions_and_round_trip():
+    """Position-vector convention: +rz rotates X towards Y (a point on
+    the X axis moves to +Y). 3-param is a pure translation; the inverse
+    7-param transform (negated parameters) round-trips to sub-mm."""
+    r = 6378137.0
+    pt = np.array([[r, 0.0, 0.0]])
+    arc = np.pi / (180 * 3600)
+    out = srs.helmert_to_wgs84(pt, (0, 0, 0, 0, 0, 1.0, 0))
+    assert abs(out[0, 1] - r * arc) < 1e-6  # +y displacement
+    assert out[0, 1] > 0
+    out = srs.helmert_to_wgs84(pt, (10.0, -20.0, 30.0))
+    np.testing.assert_allclose(out, [[r + 10.0, -20.0, 30.0]])
+    # scale: 1 ppm stretches the radius by ~6.378 m
+    out = srs.helmert_to_wgs84(pt, (0, 0, 0, 0, 0, 0, 1.0))
+    assert abs(out[0, 0] - (r + r * 1e-6)) < 1e-6
+    # 7-param round trip with the negated inverse: exact to the
+    # small-angle second order, dominated by rot x translation
+    # (~4e-6 rad * 700 m ~ 3 mm)
+    params = np.array(srs._OSGB36_TOWGS84)
+    fwd = srs.helmert_to_wgs84(np.array([[3980000.0, -12000.0, 4970000.0]]),
+                               params)
+    back = srs.helmert_to_wgs84(fwd, tuple(-params))
+    np.testing.assert_allclose(back, [[3980000.0, -12000.0, 4970000.0]],
+                               atol=1e-2)
+
+
+def test_towgs84_applied_in_transform_chain():
+    """EPSG:27700 (with its 7-param shift) vs the same tmerc without the
+    shift: the ECEF difference must be the Helmert displacement
+    (hundreds of metres), applied in the source -> WGS84 direction."""
+    with_shift = srs.Proj4Transform("EPSG:27700")
+    without = srs.Proj4Transform(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy")
+    p = np.array([[651409.903, 313177.270, 50.0]])
+    a = with_shift.transform_positions(p.copy())
+    b = without.transform_positions(p.copy())
+    d = np.linalg.norm(a - b)
+    assert 300.0 < d < 700.0  # OSGB36->WGS84 is a ~446/-125/542 m shift
+    # explicit +towgs84 in the proj string reproduces the EPSG preset
+    explicit = srs.Proj4Transform(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 "
+        "+y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489")
+    np.testing.assert_allclose(explicit.transform_positions(p.copy()), a,
+                               atol=1e-9)
+
+
+def test_geodetic_datum_source():
+    """+proj=longlat +datum=NAD27: geodetic on Clarke 1866 with the mean
+    CONUS 3-param shift; differs from plain WGS84 geodetic by the
+    ~236 m datum offset."""
+    nad27 = srs.Proj4Transform("+proj=longlat +datum=NAD27")
+    wgs = srs.Proj4Transform("EPSG:4326")
+    p = np.array([[-96.0, 39.0, 300.0]])
+    a = nad27.transform_positions(p.copy())
+    b = wgs.transform_positions(p.copy())
+    # chain check: geodetic on Clarke 1866, then the mean-CONUS shift
+    ac, f = srs._ELLIPSOIDS["clrk66"]
+    want = srs.geodetic_to_ecef_on(p.copy(), ac, f * (2 - f)) \
+        + np.array(srs._NAD27_TOWGS84)
+    np.testing.assert_allclose(a, want, atol=1e-9)
+    # and it is a real datum change, not a no-op
+    assert np.linalg.norm(a - b) > 10.0
