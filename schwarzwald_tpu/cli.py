@@ -114,6 +114,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard every batch's sort + octree split across an "
                         "N-device mesh (lossless all_to_all point exchange; "
                         "FAST semantics at the mesh ownership level)")
+    p.add_argument("--laz-extended-output", action="store_true",
+                   help="Write LAS 1.4 layered (v3) LAZ when the input "
+                        "demands extended-range attributes. Off by "
+                        "default: the v3 context tables here are a "
+                        "reconstruction, so compressed output downgrades "
+                        "to the interoperable legacy formats 0-3 unless "
+                        "this flag opts in (interop warning logged)")
     p.add_argument("--multihost", type=int, nargs=2, default=None,
                    metavar=("INDEX", "COUNT"),
                    help="Run as host INDEX of COUNT over a shared output "
@@ -173,6 +180,7 @@ def main(argv=None) -> int:
         multichip=args.multichip,
         multihost_index=args.multihost[0] if args.multihost else 0,
         multihost_count=args.multihost[1] if args.multihost else 1,
+        laz_extended_output=args.laz_extended_output,
     )
     TilerProcess(targs).run()
     return 0

@@ -117,7 +117,7 @@ class EntwinePersistence:
 
     def __init__(self, work_dir: str, input_attributes=None,
                  output_attributes=None, compressed: bool = False,
-                 extended: bool = False):
+                 extended: bool = False, laz_extended_output: bool = False):
         self.work_dir = work_dir
         self.compressed = compressed
         self.extension = ".laz" if compressed else ".las"
@@ -126,7 +126,8 @@ class EntwinePersistence:
             os.makedirs(os.path.join(work_dir, sub), exist_ok=True)
         self._las = LASPersistence(os.path.join(work_dir, "ept-data"),
                                    input_attributes, output_attributes,
-                                   compressed=compressed, extended=extended)
+                                   compressed=compressed, extended=extended,
+                                   laz_extended_output=laz_extended_output)
         self._hierarchy: dict[str, int] = {}
         self._lock = threading.Lock()
 

@@ -20,7 +20,8 @@ def make_persistence(output_format: OutputFormat, output_directory: str,
                      input_attributes, output_attributes,
                      rgb_mapping: RGBMapping = RGBMapping.Nothing,
                      spacing_at_root: float = 0.0, total_bounds=None,
-                     extended: bool = False):
+                     extended: bool = False,
+                     laz_extended_output: bool = False):
     if output_format == OutputFormat.CZM_3DTILES:
         global_offset = (total_bounds.center() if total_bounds is not None
                          else (0.0, 0.0, 0.0))
@@ -35,10 +36,10 @@ def make_persistence(output_format: OutputFormat, output_directory: str,
         return LASPersistence(
             output_directory, input_attributes, output_attributes,
             compressed=(output_format == OutputFormat.LAZ),
-            extended=extended)
+            extended=extended, laz_extended_output=laz_extended_output)
     if output_format in (OutputFormat.ENTWINE_LAS, OutputFormat.ENTWINE_LAZ):
         return EntwinePersistence(
             output_directory, input_attributes, output_attributes,
             compressed=(output_format == OutputFormat.ENTWINE_LAZ),
-            extended=extended)
+            extended=extended, laz_extended_output=laz_extended_output)
     raise ValueError(f"Unrecognized output format {output_format}")

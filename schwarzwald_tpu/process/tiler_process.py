@@ -77,6 +77,10 @@ class TilerArguments:
     # count <= 1 = single host.
     multihost_index: int = 0
     multihost_count: int = 1
+    # Opt into LAS 1.4 layered (v3) LAZ output when the input demands
+    # extended-range attributes; without it compressed output downgrades
+    # to the legacy interoperable formats 0-3 (see LASPersistence).
+    laz_extended_output: bool = False
     # Pin FAST's start-node level instead of estimating it from the first
     # batch (None = estimate). First-class hook used by tests and by
     # operators who want reproducible structure across runs with
@@ -300,7 +304,8 @@ class TilerProcess:
             self.args.output_format, self.args.output_directory,
             self.input_attributes, self.output_attributes,
             self.args.rgb_mapping, self.args.spacing, cubic_bounds,
-            extended=self.extended_formats)
+            extended=self.extended_formats,
+            laz_extended_output=self.args.laz_extended_output)
 
         resume_state = None
         if resume_requested:

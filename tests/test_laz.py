@@ -638,8 +638,9 @@ def test_layered_laz_reader_random_access(tmp_path, rng):
 
 
 def test_cli_tiler_extended_laz_input_to_entwine(tmp_path, rng):
-    """A LAS 1.4 fmt-6 .laz input tiles end-to-end, and ENTWINE_LAZ output
-    emits LAS 1.4 (extended attributes demand it)."""
+    """A LAS 1.4 fmt-6 .laz input tiles end-to-end. ENTWINE_LAZ output
+    emits interoperable legacy LAZ (compressor 2) by default and LAS 1.4
+    layered (v3) only under --laz-extended-output."""
     import json
 
     from schwarzwald_tpu.cli import main as cli_main
@@ -658,6 +659,9 @@ def test_cli_tiler_extended_laz_input_to_entwine(tmp_path, rng):
         header_size=las.HEADER_SIZE_14)
     laz.write_laz(src, header, rec)
 
+    # DEFAULT: compressed output downgrades to the legacy interoperable
+    # formats (compressor 2) because the v3 context tables are a
+    # reconstruction (round-3 verdict item 4 'done' bar)
     out = tmp_path / "out"
     rc = cli_main(["--tiler", "-i", src, "-o", str(out),
                    "--spacing", "10", "--max-points-per-node", "2000",
@@ -668,10 +672,29 @@ def test_cli_tiler_extended_laz_input_to_entwine(tmp_path, rng):
     assert ept["dataType"] == "laszip"
     root = out / "ept-data" / "0-0-0-0.laz"
     node_header = las.LASFile(str(root)).header
-    assert (node_header.version_major, node_header.version_minor) == (1, 4)
-    assert node_header.point_data_format >= 6
+    assert node_header.point_data_format <= 3  # legacy, compressor 2
+    reader = laz.LAZReader(str(root), node_header)
+    assert reader.vlr.compressor == laz.COMPRESSOR_POINTWISE_CHUNKED
     total = sum(las.read_las(str(out / "ept-data" / f)).count
                 for f in os.listdir(out / "ept-data"))
+    assert total == n
+
+    # OPT-IN: --laz-extended-output writes LAS 1.4 layered (v3)
+    out2 = tmp_path / "out_ext"
+    rc = cli_main(["--tiler", "-i", src, "-o", str(out2),
+                   "--spacing", "10", "--max-points-per-node", "2000",
+                   "--sampling", "RANDOM_GRID", "--tiling-strategy",
+                   "ACCURATE", "--output-format", "ENTWINE_LAZ",
+                   "--laz-extended-output"])
+    assert rc == 0
+    node_header = las.LASFile(str(out2 / "ept-data" / "0-0-0-0.laz")).header
+    assert (node_header.version_major, node_header.version_minor) == (1, 4)
+    assert node_header.point_data_format >= 6
+    reader = laz.LAZReader(str(out2 / "ept-data" / "0-0-0-0.laz"),
+                           node_header)
+    assert reader.vlr.compressor == laz.COMPRESSOR_LAYERED_CHUNKED
+    total = sum(las.read_las(str(out2 / "ept-data" / f)).count
+                for f in os.listdir(out2 / "ept-data"))
     assert total == n
 
 
