@@ -227,7 +227,7 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                        max_depth: int, strategy: str = "RANDOM_GRID",
                        positions=None, root_min=None, root_max=None,
                        jit_cfgs: tuple = None, min_node_level: int = -1,
-                       cached_level=None):
+                       cached_level=None, n_valid=None):
     """Per-point octree assignment level for a Morton-sorted batch under
     RANDOM_GRID, GRID_CENTER or JITTERED sampling.
 
@@ -259,7 +259,13 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     """
     n = hi.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    remaining = jnp.ones(n, dtype=bool)
+    # n_valid (traced scalar): number of real leading points — the
+    # power-of-two padding tail must not join node counts or grid cells.
+    # (The revisit path achieves the same through cached_level=127
+    # padding; fresh batches pass n_valid and skip the 1 B/pt tier
+    # upload entirely.)
+    remaining = (jnp.ones(n, dtype=bool) if n_valid is None
+                 else iota < jnp.asarray(n_valid, jnp.int32))
     out = jnp.zeros(n, dtype=jnp.int8)
     max_level = min(MAX_LEVELS - 1, max_depth)
 

