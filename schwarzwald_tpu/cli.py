@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard every batch's sort + octree split across an "
                         "N-device mesh (lossless all_to_all point exchange; "
                         "FAST semantics at the mesh ownership level)")
+    p.add_argument("--no-packed-spill", action="store_true",
+                   help="Write user-facing node files on every visit "
+                        "instead of spilling to the packed arena and "
+                        "draining once at the end")
     p.add_argument("--laz-extended-output", action="store_true",
                    help="Write LAS 1.4 layered (v3) LAZ when the input "
                         "demands extended-range attributes. Off by "
@@ -181,6 +185,7 @@ def main(argv=None) -> int:
         multihost_index=args.multihost[0] if args.multihost else 0,
         multihost_count=args.multihost[1] if args.multihost else 1,
         laz_extended_output=args.laz_extended_output,
+        packed_spill=not args.no_packed_spill,
     )
     TilerProcess(targs).run()
     return 0

@@ -1,0 +1,221 @@
+"""Packed single-file spill arena for the tiler's internal node traffic.
+
+SURVEY hard part #5 / round-3 verdict item 2: the engine re-persists every
+visited node on every batch, which on file-per-node sinks costs
+O(batches x nodes) file creates + renames — the measured floor of the
+out-of-core configs (100M soak at 0.13 Mpts/s) and a third of the
+single-batch default config. This store sits between the engine and the
+user-facing sink:
+
+  * during tiling, node writes APPEND to one data file
+    (<out>/.spill/data.bin, BIN-serialized extents) with an in-memory
+    offset index — no file creates, no renames, sequential IO;
+  * terminal nodes get true append semantics (append_points): the new
+    batch extent is appended and retrieval returns extents NEWEST FIRST,
+    exactly the reference's [batch_k, previous file content] concat
+    order (tile_terminal_node, TilingAlgorithms.cpp:206-241), so no
+    read-modify-write;
+  * at close(), the live nodes DRAIN once into the wrapped sink (the
+    user-facing format) — each output file is created exactly once per
+    run instead of once per visit;
+  * for LOSSY sinks (LAS/LAZ quantization) the spill stores the sink's
+    simulate_retrieve() result, so every re-read during tiling returns
+    byte-for-byte what the reference's write-then-re-read would have —
+    output parity is preserved, and the drain's re-quantization is
+    idempotent (positions already sit on the scale grid).
+
+Crash consistency (--resume): writes between checkpoints live only in
+memory + unjournaled data-file bytes. commit_batch() fsyncs the data file
+and publishes this batch's index entries as a journal segment through the
+SAME FileStaging manifest as the tiler checkpoint rename — segment and
+checkpoint advance atomically (io/staging.py). On reopen, committed
+segments rebuild the index and the data file is truncated to the last
+committed extent; uncommitted tail bytes are discarded, mirroring the
+abandoned-staged-files rule of the per-file protocol.
+
+Multi-host runs bypass this store (hosts exchange nodes through the
+shared directory mid-run); see TilerProcess.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import numpy as np
+
+from ..core.aabb import AABB
+from ..core.pointbuffer import PointBuffer
+from . import bin_persistence as binio
+from .staging import FileStaging
+
+
+class PackedSpillStore:
+    def __init__(self, inner, output_directory: str):
+        self.inner = inner
+        self.dir = os.path.join(output_directory, ".spill")
+        os.makedirs(self.dir, exist_ok=True)
+        self.data_path = os.path.join(self.dir, "data.bin")
+        self._staging = FileStaging(self.dir)  # replays a mid-commit crash
+        self._lock = threading.Lock()
+        # name -> {"bounds": (min3, max3), "extents": [(off, len), ...]}
+        # extents NEWEST FIRST (terminal concat order)
+        self._index: dict[str, dict] = {}
+        self._pending: list[dict] = []  # journal entries since last commit
+        self._segments = sorted(
+            f for f in os.listdir(self.dir)
+            if f.startswith("journal-") and f.endswith(".json"))
+        committed_end = 0
+        for seg in self._segments:
+            doc = json.load(open(os.path.join(self.dir, seg)))
+            for e in doc["entries"]:
+                self._apply_entry(e)
+            committed_end = doc["data_end"]
+        # discard any uncommitted tail from a crashed batch
+        if os.path.exists(self.data_path):
+            if os.path.getsize(self.data_path) > committed_end:
+                with open(self.data_path, "r+b") as f:
+                    f.truncate(committed_end)
+        self._f = open(self.data_path, "ab")
+        self._read_fd = os.open(self.data_path, os.O_RDONLY)
+        self._drained = False
+        # Snapshot the wrapped sink's pre-existing nodes ONCE (resumed
+        # runs): node_exists is on the per-node hot path and a stat costs
+        # ~1 ms on slow filesystems. The inner set only changes at drain.
+        self._inner_names: set = set()
+        if hasattr(self.inner, "node_names"):
+            try:
+                self._inner_names = set(self.inner.node_names())
+            except Exception:
+                pass
+
+    # -- sink facade --------------------------------------------------------
+
+    @property
+    def is_lossless(self):
+        return self.inner.is_lossless
+
+    def simulate_retrieve(self, points: PointBuffer, bounds: AABB):
+        return self.inner.simulate_retrieve(points, bounds)
+
+    def _spillable(self, points: PointBuffer, bounds: AABB) -> PointBuffer:
+        if self.inner.is_lossless:
+            return points
+        # store exactly what the wrapped sink's write-then-re-read would
+        # return, so merge parity is preserved
+        return self.inner.simulate_retrieve(points, bounds)
+
+    def _append_blob(self, blob: bytes) -> tuple:
+        off = self._f.tell()
+        self._f.write(blob)
+        return off, len(blob)
+
+    def _record(self, op: str, name: str, off: int, length: int,
+                bounds: AABB) -> dict:
+        return {"op": op, "name": name, "off": off, "len": length,
+                "bmin": [float(v) for v in bounds.min],
+                "bmax": [float(v) for v in bounds.max]}
+
+    def _apply_entry(self, e: dict) -> None:
+        ext = (e["off"], e["len"])
+        bounds = (e["bmin"], e["bmax"])
+        if e["op"] == "put" or e["name"] not in self._index:
+            self._index[e["name"]] = {"bounds": bounds, "extents": [ext]}
+        else:
+            # newest first: the latest append is read back first
+            self._index[e["name"]]["extents"].insert(0, ext)
+
+    def persist_points(self, points: PointBuffer, bounds: AABB,
+                       node_name: str) -> None:
+        blob = binio.serialize(self._spillable(points, bounds))
+        with self._lock:
+            off, length = self._append_blob(blob)
+            e = self._record("put", node_name, off, length, bounds)
+            self._apply_entry(e)
+            self._pending.append(e)
+
+    def append_points(self, points: PointBuffer, bounds: AABB,
+                      node_name: str) -> None:
+        """Terminal-node append: new extent first on retrieval."""
+        blob = binio.serialize(self._spillable(points, bounds))
+        with self._lock:
+            off, length = self._append_blob(blob)
+            e = self._record("add", node_name, off, length, bounds)
+            self._apply_entry(e)
+            self._pending.append(e)
+
+    def retrieve_points(self, node_name: str) -> PointBuffer:
+        with self._lock:
+            entry = self._index.get(node_name)
+            if entry is None:
+                # not spilled this run: a resumed/pre-existing node of the
+                # wrapped sink (or another host's drained node)
+                return self.inner.retrieve_points(node_name)
+            self._f.flush()
+            extents = list(entry["extents"])
+        parts = []
+        for off, length in extents:
+            raw = os.pread(self._read_fd, length, off)
+            parts.append(binio.deserialize(raw))
+        if len(parts) == 1:
+            return parts[0]
+        return PointBuffer.concatenate(parts)
+
+    def node_exists(self, node_name: str) -> bool:
+        with self._lock:
+            if node_name in self._index:
+                return True
+        return node_name in self._inner_names
+
+    def node_names(self) -> list:
+        names = set(self._index)
+        names.update(self._inner_names)
+        return sorted(names)
+
+    # -- batch atomicity ----------------------------------------------------
+
+    def begin_batch(self) -> None:
+        self._staging.begin()
+
+    def commit_batch(self, extra_renames=None) -> None:
+        with self._lock:
+            self._f.flush()
+            os.fsync(self._f.fileno())
+            data_end = self._f.tell()
+            pending, self._pending = self._pending, []
+            seg_name = f"journal-{len(self._segments):06d}.json"
+            self._segments.append(seg_name)
+        seg_path = os.path.join(self.dir, seg_name)
+        staged = self._staging.path_for(seg_path)
+        with open(staged, "w") as f:
+            json.dump({"entries": pending, "data_end": data_end}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        self._staging.commit(extra_renames)
+
+    # -- drain --------------------------------------------------------------
+
+    def drain(self) -> None:
+        """Write every live node once through the wrapped sink."""
+        if self._drained:
+            return
+        self._drained = True
+        for name in sorted(self._index):
+            entry = self._index[name]
+            bounds = AABB(np.asarray(entry["bounds"][0]),
+                          np.asarray(entry["bounds"][1]))
+            self.inner.persist_points(self.retrieve_points(name), bounds,
+                                      name)
+
+    def close(self) -> None:
+        self.drain()
+        try:
+            self._f.close()
+            os.close(self._read_fd)
+        except Exception:
+            pass
+        # the spill is scratch space: remove it once the sink owns the data
+        import shutil
+
+        shutil.rmtree(self.dir, ignore_errors=True)
+        self.inner.close()

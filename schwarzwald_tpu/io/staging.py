@@ -56,7 +56,11 @@ class FileStaging:
             shutil.rmtree(self.dir, ignore_errors=True)
 
     def begin(self) -> None:
-        os.makedirs(self.dir, exist_ok=True)
+        # metadata ops cost ~1 ms each on slow network filesystems; create
+        # the staging dir once per run, not once per batch
+        if not getattr(self, "_dir_made", False):
+            os.makedirs(self.dir, exist_ok=True)
+            self._dir_made = True
         self._active = {}
 
     @property
@@ -94,7 +98,3 @@ class FileStaging:
             for staged, target in entries:
                 os.replace(staged, target)
             os.remove(self.manifest_path)
-        try:
-            os.rmdir(self.dir)  # keep the work dir free of empty leftovers
-        except OSError:
-            pass

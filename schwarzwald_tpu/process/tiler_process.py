@@ -77,6 +77,10 @@ class TilerArguments:
     # count <= 1 = single host.
     multihost_index: int = 0
     multihost_count: int = 1
+    # Spill internal node traffic to a packed single-file arena and write
+    # the user-facing files once at the end (io/packed_spill.py). On by
+    # default; --no-packed-spill restores per-visit file writes.
+    packed_spill: bool = True
     # Opt into LAS 1.4 layered (v3) LAZ output when the input demands
     # extended-range attributes; without it compressed output downgrades
     # to the legacy interoperable formats 0-3 (see LASPersistence).
@@ -306,6 +310,15 @@ class TilerProcess:
             self.args.rgb_mapping, self.args.spacing, cubic_bounds,
             extended=self.extended_formats,
             laz_extended_output=self.args.laz_extended_output)
+        if self.args.packed_spill and self.args.multihost_count <= 1:
+            # Internal node traffic goes to the packed spill arena; the
+            # user-facing files are written once at close (drain). Multi-
+            # host runs bypass it: hosts exchange nodes through the shared
+            # directory mid-run and host 0's finalize reads other hosts'
+            # drained files (io/packed_spill.py).
+            from ..io.packed_spill import PackedSpillStore
+            persistence = PackedSpillStore(persistence,
+                                           self.args.output_directory)
 
         resume_state = None
         if resume_requested:
@@ -433,6 +446,10 @@ class TilerProcess:
                       thread_config,
                       checkpoint_callback=None if multihost else checkpoint,
                       algorithm=mh_algorithm)
+        # total dataset size for the FAST start-level estimator's cap
+        # (see _estimate_start_node_level) — the metadata scan knows it
+        # before the first batch
+        tiler.algorithm.total_points_hint = total_count
         if (self.args.fixed_start_level is not None
                 and hasattr(tiler.algorithm, "level_of_start_nodes")):
             tiler.algorithm.level_of_start_nodes = \

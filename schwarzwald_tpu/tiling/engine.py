@@ -239,12 +239,30 @@ class TilingAlgorithmBase:
 
     def _tile_node(self, arena: PointArena, task: NodeTask):
         node, root = task.node, task.root
-        cached_keys, cached_ids = self._read_cached_points(node, arena)
-        cached_count = 0 if cached_ids is None else cached_ids.size
 
         sample_from = self._required_depth(node.level, root)
         requires_deeper = sample_from > node.level
         max_level = min(MAX_OCTREE_LEVELS - 1, node.max_depth)
+
+        # Terminal nodes never sample: on an append-capable sink the new
+        # batch extent is appended WITHOUT re-reading or rewriting the
+        # existing content (the store returns extents newest-first, which
+        # IS tile_terminal_node's [batch, previous content] concat order,
+        # TilingAlgorithms.cpp:206-241). This turns the out-of-core
+        # terminal cost from O(batches x node size) to O(new points).
+        terminal = (sample_from >= max_level if not requires_deeper
+                    else node.level >= max_level)
+        if terminal and hasattr(self.persistence, "append_points"):
+            if task.ids.size:
+                self.persistence.append_points(
+                    arena.gather(task.ids), node.bounds, node.name)
+                if self._node_cache is not None:
+                    self._node_cache.remove(node.name)
+                self._report_indexed(task.ids.size)
+            return []
+
+        cached_keys, cached_ids = self._read_cached_points(node, arena)
+        cached_count = 0 if cached_ids is None else cached_ids.size
 
         if not requires_deeper:
             if sample_from >= max_level:
@@ -861,9 +879,25 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         1473-1535): split progressively deeper until enough large ranges
         exist for the configured concurrency."""
         MIN_LEVEL, MAX_LEVEL, MIN_SCORE, LARGE = 3, 6, 1.0, 100_000
+        # DOCUMENTED DEVIATION: the reference estimates from the first
+        # batch alone and returns MAX_LEVEL when no range reaches LARGE
+        # points — with batches < 100k that means up to 8^6 singleton
+        # start nodes and an O(nodes) per-visit cost explosion (measured
+        # 200k points / 50k batches: 182k node persists, 138 s). The
+        # total dataset size is known from the metadata scan, so cap the
+        # level at the smallest one whose node count covers
+        # total/LARGE subtrees.
+        max_level = MAX_LEVEL
+        total = getattr(self, "total_points_hint", None)
+        if total:
+            want = max(1, -(-int(total) // LARGE))  # ceil(total / LARGE)
+            cap = MIN_LEVEL
+            while 8 ** cap < want and cap < MAX_LEVEL:
+                cap += 1
+            max_level = cap
         concurrency = self.meta.concurrency
         ranges = [(0, sorted_keys.size)]
-        for level in range(MAX_LEVEL):
+        for level in range(max_level):
             new_ranges = []
             for lo, hi in ranges:
                 b = indexing.child_octant_boundaries(sorted_keys, lo, hi, level)
@@ -877,8 +911,8 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                 num_large = sum(1 for lo, hi in ranges if hi - lo >= LARGE)
                 score = num_large / float(concurrency)
             if score >= MIN_SCORE:
-                return max(level + 1, MIN_LEVEL)
-        return MAX_LEVEL
+                return min(max(level + 1, MIN_LEVEL), max_level)
+        return max_level
 
     def _split_at_start_level(self, keys, ids, root: NodeStructure):
         """split_indexed_points_into_subranges (TilingAlgorithms.cpp:

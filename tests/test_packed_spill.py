@@ -1,0 +1,229 @@
+"""Packed spill arena (io/packed_spill.py): round trips, terminal append
+order, lossy-sink parity, crash/resume atomicity, and end-to-end output
+equality against the per-visit file protocol."""
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from schwarzwald_tpu.core.aabb import AABB
+from schwarzwald_tpu.core.attributes import OutputFormat, PointAttribute
+from schwarzwald_tpu.core.pointbuffer import PointBuffer
+from schwarzwald_tpu.io import las
+from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+from schwarzwald_tpu.io.packed_spill import PackedSpillStore
+
+A = PointAttribute
+BOUNDS = AABB([0.0, 0.0, 0.0], [100.0, 100.0, 100.0])
+
+
+def buf(rng, n, intensity=True):
+    b = PointBuffer(rng.uniform(1, 99, (n, 3)))
+    if intensity:
+        b.set_column(A.Intensity, rng.integers(0, 65535, n, dtype=np.uint16))
+    return b
+
+
+def test_put_retrieve_round_trip(tmp_path, rng):
+    store = PackedSpillStore(BinaryPersistence(str(tmp_path)), str(tmp_path))
+    b = buf(rng, 500)
+    store.persist_points(b, BOUNDS, "r04")
+    assert store.node_exists("r04")
+    assert not store.node_exists("r05")
+    got = store.retrieve_points("r04")
+    np.testing.assert_array_equal(got.positions, b.positions)
+    np.testing.assert_array_equal(got.get(A.Intensity), b.get(A.Intensity))
+    # replace semantics
+    b2 = buf(rng, 200)
+    store.persist_points(b2, BOUNDS, "r04")
+    assert store.retrieve_points("r04").count == 200
+    assert store.node_names() == ["r04"]
+
+
+def test_append_returns_newest_extent_first(tmp_path, rng):
+    """Terminal concat order: [batch_k, previous content]
+    (tile_terminal_node, TilingAlgorithms.cpp:206-241)."""
+    store = PackedSpillStore(BinaryPersistence(str(tmp_path)), str(tmp_path))
+    b1, b2, b3 = buf(rng, 10), buf(rng, 20), buf(rng, 30)
+    store.append_points(b1, BOUNDS, "r77")
+    store.append_points(b2, BOUNDS, "r77")
+    store.append_points(b3, BOUNDS, "r77")
+    got = store.retrieve_points("r77")
+    want = np.concatenate([b3.positions, b2.positions, b1.positions])
+    np.testing.assert_array_equal(got.positions, want)
+
+
+def test_lossy_sink_spills_quantized_content(tmp_path, rng):
+    """For a lossy sink the spill stores simulate_retrieve() output, so
+    re-reads during tiling equal the write-then-re-read of the wrapped
+    sink (merge parity), and the drain is idempotent."""
+    from schwarzwald_tpu.io.las_persistence import LASPersistence
+
+    inner = LASPersistence(str(tmp_path))
+    store = PackedSpillStore(inner, str(tmp_path))
+    assert store.is_lossless is False
+    b = buf(rng, 400)
+    store.persist_points(b, BOUNDS, "r0")
+    got = store.retrieve_points("r0")
+    want = inner.simulate_retrieve(b, BOUNDS)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    # drain writes the actual .las once; its content round-trips the same
+    store.drain()
+    from_disk = inner.retrieve_points("r0")
+    np.testing.assert_array_equal(from_disk.positions, want.positions)
+
+
+def test_drain_writes_through_and_close_removes_spill(tmp_path, rng):
+    inner = BinaryPersistence(str(tmp_path))
+    store = PackedSpillStore(inner, str(tmp_path))
+    contents = {}
+    for name in ("r", "r0", "r04", "r041"):
+        b = buf(rng, 100)
+        contents[name] = b.positions
+        store.persist_points(b, BOUNDS, name)
+    store.close()
+    assert not os.path.exists(os.path.join(tmp_path, ".spill"))
+    for name, pos in contents.items():
+        np.testing.assert_array_equal(
+            BinaryPersistence(str(tmp_path)).retrieve_points(name).positions,
+            pos)
+
+
+def test_uncommitted_writes_discarded_on_reopen(tmp_path, rng):
+    """A crash between checkpoints: writes after the last commit_batch are
+    absent after reopen (the data tail is truncated), committed ones
+    survive — same contract as the staged per-file protocol."""
+    inner = BinaryPersistence(str(tmp_path))
+    store = PackedSpillStore(inner, str(tmp_path))
+    b1, b2 = buf(rng, 300), buf(rng, 400)
+    store.begin_batch()
+    store.persist_points(b1, BOUNDS, "r01")
+    store.append_points(buf(rng, 50), BOUNDS, "r07")
+    store.commit_batch()
+    # batch 2: never committed (simulated crash)
+    store.begin_batch()
+    store.persist_points(b2, BOUNDS, "r02")
+    store.append_points(buf(rng, 60), BOUNDS, "r07")
+    store._f.flush()
+
+    reopened = PackedSpillStore(BinaryPersistence(str(tmp_path)),
+                                str(tmp_path))
+    assert reopened.node_exists("r01")
+    assert not reopened.node_exists("r02")
+    assert reopened.retrieve_points("r07").count == 50  # only batch 1's
+    np.testing.assert_array_equal(reopened.retrieve_points("r01").positions,
+                                  b1.positions)
+    # new writes continue cleanly after the truncation
+    reopened.persist_points(b2, BOUNDS, "r02")
+    np.testing.assert_array_equal(reopened.retrieve_points("r02").positions,
+                                  b2.positions)
+
+
+def test_commit_crash_after_manifest_replays(tmp_path, rng):
+    """Crash after the staging manifest is written but before the journal
+    segment renames: reopen must replay the manifest (FileStaging
+    recovery) and the batch counts as committed."""
+    from schwarzwald_tpu.io import staging as staging_mod
+
+    inner = BinaryPersistence(str(tmp_path))
+    store = PackedSpillStore(inner, str(tmp_path))
+    b1 = buf(rng, 300)
+    store.begin_batch()
+    store.persist_points(b1, BOUNDS, "r01")
+
+    class Boom(RuntimeError):
+        pass
+
+    orig = staging_mod.FileStaging.commit
+
+    def crash_after_manifest(self, extra_renames=None):
+        # replicate commit up to the manifest write, then crash
+        active, self._active = self._active, None
+        entries = [(staged, target) for target, staged in active.items()]
+        entries.extend(extra_renames or ())
+        import json as _json
+        tmp = self.manifest_path + ".tmp"
+        os.makedirs(self.dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            _json.dump(entries, f)
+        os.replace(tmp, self.manifest_path)
+        raise Boom()
+
+    staging_mod.FileStaging.commit = crash_after_manifest
+    try:
+        with pytest.raises(Boom):
+            store.commit_batch()
+    finally:
+        staging_mod.FileStaging.commit = orig
+
+    reopened = PackedSpillStore(BinaryPersistence(str(tmp_path)),
+                                str(tmp_path))
+    assert reopened.node_exists("r01")
+    np.testing.assert_array_equal(reopened.retrieve_points("r01").positions,
+                                  b1.positions)
+
+
+def test_concurrent_writers_are_serialized(tmp_path, rng):
+    store = PackedSpillStore(BinaryPersistence(str(tmp_path)), str(tmp_path))
+    bufs = {f"r{i}": buf(rng, 200) for i in range(8)}
+    errs = []
+
+    def write(name):
+        try:
+            for _ in range(5):
+                store.persist_points(bufs[name], BOUNDS, name)
+                store.append_points(bufs[name], BOUNDS, name + "7")
+        except BaseException as e:  # surface in main thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=write, args=(n,)) for n in bufs]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    for name, b in bufs.items():
+        np.testing.assert_array_equal(store.retrieve_points(name).positions,
+                                      b.positions)
+        assert store.retrieve_points(name + "7").count == 5 * 200
+
+
+def _tile(tmp_path, rng, out_name, packed, src=None, strategy="FAST",
+          batch=4000):
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    if src is None:
+        src = str(tmp_path / "in.las")
+        b = buf(rng, 20_000)
+        las.write_las(src, b, BOUNDS)
+    out = tmp_path / out_name
+    TilerProcess(TilerArguments(
+        sources=[src], output_directory=str(out), spacing=5.0,
+        max_points_per_node=600, sampling_strategy="RANDOM_GRID",
+        tiling_strategy=strategy, output_format=OutputFormat.BIN,
+        internal_cache_size=batch, max_batch_read_size=batch,
+        packed_spill=packed, fixed_start_level=2)).run()
+    sink = BinaryPersistence(str(out))
+    return {n[:-4]: sink.retrieve_points(n[:-4])
+            for n in os.listdir(out) if n.endswith(".bin")}
+
+
+@pytest.mark.parametrize("strategy", ["FAST", "ACCURATE"])
+def test_e2e_output_identical_with_and_without_spill(tmp_path, rng, strategy):
+    """Multi-batch (out-of-core) run: the packed-spill output must be
+    byte-identical to the per-visit file protocol's."""
+    src = str(tmp_path / "in.las")
+    b = buf(rng, 20_000)
+    las.write_las(src, b, BOUNDS)
+    spilled = _tile(tmp_path, rng, f"out_spill_{strategy}", True, src,
+                    strategy)
+    plain = _tile(tmp_path, rng, f"out_plain_{strategy}", False, src,
+                  strategy)
+    assert spilled.keys() == plain.keys()
+    for name in plain:
+        np.testing.assert_array_equal(spilled[name].positions,
+                                      plain[name].positions,
+                                      err_msg=name)
+        np.testing.assert_array_equal(spilled[name].get(A.Intensity),
+                                      plain[name].get(A.Intensity),
+                                      err_msg=name)

@@ -130,11 +130,13 @@ def test_mid_batch_crash_does_not_duplicate_points(tmp_path, rng):
     from schwarzwald_tpu.process.tiler_process import (TilerArguments,
                                                        TilerProcess)
 
+    # the per-file staging protocol under test is bypassed by the packed
+    # spill arena (which has its own crash tests in test_packed_spill.py)
     args = TilerArguments(
         sources=[str(src)], output_directory=str(out), spacing=8.0,
         sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
         output_format=OutputFormat.BIN, internal_cache_size=3000,
-        max_batch_read_size=3000)
+        max_batch_read_size=3000, packed_spill=False)
 
     class Boom(RuntimeError):
         pass
@@ -200,11 +202,13 @@ def test_crash_during_commit_replays_checkpoint_atomically(tmp_path, rng):
     from schwarzwald_tpu.process.tiler_process import (TilerArguments,
                                                        TilerProcess)
 
+    # the per-file staging protocol under test is bypassed by the packed
+    # spill arena (which has its own crash tests in test_packed_spill.py)
     args = TilerArguments(
         sources=[str(src)], output_directory=str(out), spacing=8.0,
         sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
         output_format=OutputFormat.BIN, internal_cache_size=3000,
-        max_batch_read_size=3000)
+        max_batch_read_size=3000, packed_spill=False)
 
     class Boom(RuntimeError):
         pass
