@@ -151,6 +151,16 @@ class Cesium3DTilesPersistence:
         self._reconcile_existing_nodes()
         if self._root_tileset is None:
             return
+        # children were appended in node-completion order, which under the
+        # start-node thread fan-out is nondeterministic; normalize to name
+        # order so output is byte-identical at any concurrency (the
+        # reference leaves completion order in the file — a cosmetic,
+        # documented deviation)
+        stack = [self._root_tileset]
+        while stack:
+            t = stack.pop()
+            t.children.sort(key=lambda c: c.name)
+            stack.extend(t.children)
         queue = [self._root_tileset]
         while queue:
             root = queue.pop(0)

@@ -90,7 +90,10 @@ def create_hierarchy_files(root_dir: str, hierarchy: dict) -> None:
         return key, levels
 
     split: dict = {}
-    for entwine_name, count in hierarchy.items():
+    # sorted: hierarchy insertion order is completion order, which under
+    # the start-node thread fan-out is nondeterministic — normalize so
+    # output is byte-identical at any concurrency
+    for entwine_name, count in sorted(hierarchy.items()):
         key, levels = morton.parse_node_name(entwine_name)
         parent = subtree_parent(key, levels)
         if parent not in split:
@@ -105,7 +108,7 @@ def create_hierarchy_files(root_dir: str, hierarchy: dict) -> None:
     hierarchy_dir = os.path.join(root_dir, "ept-hierarchy")
     for (p_key, p_levels), nodes in split.items():
         doc = {morton.node_name_entwine(k, lv): c
-               for (k, lv), c in nodes.items()}
+               for (k, lv), c in sorted(nodes.items())}
         path = os.path.join(hierarchy_dir,
                             morton.node_name_entwine(p_key, p_levels) + ".json")
         with open(path, "w") as f:

@@ -310,12 +310,17 @@ class TilerProcess:
             self.args.rgb_mapping, self.args.spacing, cubic_bounds,
             extended=self.extended_formats,
             laz_extended_output=self.args.laz_extended_output)
-        if self.args.packed_spill and self.args.multihost_count <= 1:
+        n_batches = -(-total_count // max(1, self.args.max_batch_read_size))
+        if (self.args.packed_spill and self.args.multihost_count <= 1
+                and n_batches >= 3):
             # Internal node traffic goes to the packed spill arena; the
-            # user-facing files are written once at close (drain). Multi-
-            # host runs bypass it: hosts exchange nodes through the shared
-            # directory mid-run and host 0's finalize reads other hosts'
-            # drained files (io/packed_spill.py).
+            # user-facing files are written once at close (drain). Only
+            # for genuinely out-of-core runs (>= 3 batches): a single-
+            # batch run writes every node exactly once anyway, so the
+            # arena round-trip would be pure overhead (~0.3 s/1M
+            # measured). Multi-host runs bypass it: hosts exchange nodes
+            # through the shared directory mid-run and host 0's finalize
+            # reads other hosts' drained files (io/packed_spill.py).
             from ..io.packed_spill import PackedSpillStore
             persistence = PackedSpillStore(persistence,
                                            self.args.output_directory)
@@ -444,7 +449,12 @@ class TilerProcess:
         tiler = Tiler(metadata, meta, sampling_strategy, self.progress,
                       source, persistence, self.input_attributes,
                       thread_config,
-                      checkpoint_callback=None if multihost else checkpoint,
+                      # single-batch runs skip checkpoint+staging: a crash
+                      # restarts from scratch either way, and the staging
+                      # renames cost one metadata op per node file
+                      checkpoint_callback=None if (multihost
+                                                   or n_batches <= 1)
+                      else checkpoint,
                       algorithm=mh_algorithm)
         # total dataset size for the FAST start-level estimator's cap
         # (see _estimate_start_node_level) — the metadata scan knows it

