@@ -65,17 +65,41 @@ def _first_in_cell(hi, lo, groups: int):
 
 def _segment_fields(first, remaining, iota):
     """Per-point helpers for the cell segmentation defined by `first`:
-    returns (cell_start_index, remaining_before_in_cell, remaining_in_cell)."""
+    returns (cell_start_index, remaining_before_in_cell, remaining_in_cell).
+
+    Scatter-free: cells are CONTIGUOUS runs of the Morton-sorted order,
+    so per-cell totals come from prefix sums gathered at the cell's
+    first/last element — scatters (`.at[].add`) serialize on the TPU and
+    dominated the sweep's runtime (round-4 profile: ~1.8 s per 4M-point
+    level set; the scan+gather form is ~100x cheaper)."""
     n = first.shape[0]
     cell_start = jax.lax.cummax(jnp.where(first, iota, 0))
     csum_r = jnp.cumsum(remaining.astype(jnp.int32))
     r_before_cell = csum_r[cell_start] - remaining[cell_start].astype(jnp.int32)
     before_in_cell = csum_r - remaining.astype(jnp.int32) - r_before_cell
-    cell_id = jnp.cumsum(first.astype(jnp.int32)) - 1
-    totals = jnp.zeros(n, jnp.int32).at[cell_id].add(
-        remaining.astype(jnp.int32))
-    in_cell = totals[cell_id]
+    # index of my cell's LAST element: nearest following segment boundary
+    last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    cell_end = jax.lax.cummin(jnp.where(last, iota, n - 1), reverse=True)
+    in_cell = csum_r[cell_end] - r_before_cell
     return cell_start, before_in_cell, in_cell
+
+
+def _segment_min(first, values):
+    """Per-point min over the point's contiguous segment (cells are runs
+    of the sorted order). Two segmented associative scans (forward from
+    segment starts, backward from segment ends) — log-depth on TPU,
+    replacing the serializing `.at[cell_id].min` scatter."""
+    from jax import lax
+
+    def op(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.minimum(av, bv)), af | bf
+
+    fwd, _ = lax.associative_scan(op, (values, first))
+    last = jnp.concatenate([first[1:], jnp.ones(1, bool)])
+    bwd_r, _ = lax.associative_scan(op, (values[::-1], last[::-1]))
+    return jnp.minimum(fwd, bwd_r[::-1])
 
 
 def _key_axis_bit(hi, lo, descent_level: int, axis: int):
@@ -180,11 +204,8 @@ def _pick_jittered(hi, lo, positions, node_level: int, cfg, remaining, iota,
     d = ((positions[:, 0] - tx) ** 2 + (positions[:, 1] - ty) ** 2
          + (positions[:, 2] - tz) ** 2)
     cell_first = _first_in_cell(hi, lo, grid_level + 1)
-    cell_id = jnp.cumsum(cell_first.astype(jnp.int32)) - 1
-    n = hi.shape[0]
     masked = jnp.where(remaining, d, jnp.inf)
-    cell_min = jnp.full(n, jnp.inf).at[cell_id].min(masked)
-    is_min = remaining & (masked == cell_min[cell_id])
+    is_min = remaining & (masked == _segment_min(cell_first, masked))
     _, before_eq, _ = _segment_fields(cell_first, is_min, iota)
     return is_min & (before_eq == 0)
 
@@ -211,11 +232,8 @@ def _pick_grid_center(hi, lo, positions, cand: int, remaining, iota,
     d = ((positions[:, 0] - cx) ** 2 + (positions[:, 1] - cy) ** 2
          + (positions[:, 2] - cz) ** 2)
     cand_first = _first_in_cell(hi, lo, cand + 1)
-    cell_id = jnp.cumsum(cand_first.astype(jnp.int32)) - 1
-    n = hi.shape[0]
     masked = jnp.where(remaining, d, jnp.inf)
-    cell_min = jnp.full(n, jnp.inf).at[cell_id].min(masked)
-    is_min = remaining & (masked == cell_min[cell_id])
+    is_min = remaining & (masked == _segment_min(cand_first, masked))
     _, before_eq, _ = _segment_fields(cand_first, is_min, iota)
     return is_min & (before_eq == 0)
 
@@ -272,6 +290,7 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     for node_level in range(min_node_level, max_level + 1):
         if strategy == "JITTERED":
             cfg = jit_cfgs[node_level + 1]
+            cand = None
             is_terminal = node_level >= max_level
             if not is_terminal and cfg is None:
                 break  # <16 grid (reference raises) or >=21 grid level
@@ -293,7 +312,13 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
 
         if is_terminal:
             selected = participating
-        else:
+            out = jnp.where(selected, jnp.int8(node_level + 2), out)
+            remaining = remaining & ~selected
+            break
+
+        def level_body(args, node_level=node_level, cand=cand, cfg=cfg,
+                       participating=participating):
+            remaining, out = args
             node_first = _first_in_cell(hi, lo, node_level + 1)
             _, before_node, in_node = _segment_fields(node_first,
                                                       participating, iota)
@@ -333,11 +358,17 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
             selected = jnp.where(take_all, participating, pick)
             if untouched is not None:
                 selected = jnp.where(untouched, own, selected)
+            out = jnp.where(selected, jnp.int8(node_level + 2), out)
+            remaining = remaining & ~selected
+            return remaining, out
 
-        out = jnp.where(selected, jnp.int8(node_level + 2), out)
-        remaining = remaining & ~selected
-        if is_terminal:
-            break
+        # SHORT-CIRCUIT (TPU perf): once every point is assigned, the
+        # remaining (statically unrolled) level sweeps are identities —
+        # uniform clouds consume everything within the first few levels,
+        # and skipping the rest cuts the program's runtime severalfold.
+        remaining, out = jax.lax.cond(
+            jnp.any(participating), level_body, lambda args: args,
+            (remaining, out))
     return out
 
 

@@ -808,14 +808,11 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             fresh = [sn for sn in start_nodes
                      if not self.persistence.node_exists(sn[0].name)]
             if fresh:
-                fk = np.concatenate([sn[1] for sn in fresh])
-                fi = np.concatenate([sn[2] for sn in fresh])
-                lv = self._device_select_levels(
-                    arena, fk, fi, root, min_node_level=level - 1)
-                if lv is not None:
-                    self._persist_device_assignment(arena, fk, fi, lv, root)
-                    fresh_names = {sn[0].name for sn in fresh}
-                    for node, _, _ in fresh:
+                handled_fresh = self._device_fresh_sweep_pipelined(
+                    arena, fresh, root, level)
+                if handled_fresh:
+                    fresh_names = {node.name for node in handled_fresh}
+                    for node in handled_fresh:
                         self._start_nodes_used.add(
                             (morton.parse_node_name(node.name)[0], level))
                     start_nodes = [sn for sn in start_nodes
@@ -840,6 +837,73 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         self._tile_start_nodes_parallel(
             arena, [NodeTask(node, root, k, i)
                     for node, k, i in start_nodes])
+
+    # Pipelined fresh-sweep group size: big enough to amortize the
+    # dispatch round-trip, small enough that persist(g-1) genuinely
+    # overlaps sweep(g) and the power-of-two padding waste stays low.
+    DEVICE_SWEEP_GROUP_POINTS = 2_500_000
+
+    def _device_fresh_sweep_pipelined(self, arena, fresh, root,
+                                      level: int) -> list:
+        """Fresh start nodes as a PIPELINE of async device sweeps: the
+        fresh list is partitioned into contiguous groups of
+        ~DEVICE_SWEEP_GROUP_POINTS points; group g's sweep is dispatched
+        without blocking (materialize=False) and group g-1's results are
+        persisted on the host while it computes. Start-node subtrees are
+        disjoint Morton prefixes at `level`, so per-group sweeps produce
+        exactly the single-concat sweep's assignment (cells never span a
+        start-node boundary at min_node_level=level-1).
+
+        Returns the start nodes handled on the device; sweep failures
+        fall back to the host per group."""
+        groups = []
+        cur, cur_pts = [], 0
+        for sn in fresh:
+            cur.append(sn)
+            cur_pts += sn[1].size
+            if cur_pts >= self.DEVICE_SWEEP_GROUP_POINTS:
+                groups.append(cur)
+                cur, cur_pts = [], 0
+        if cur:
+            groups.append(cur)
+
+        handled: list = []
+        pending = None  # (async_result, fk, fi, group)
+
+        def flush(p):
+            if p is None:
+                return
+            result, fk, fi, group = p
+            levels = self._materialize_levels(result)
+            if levels is None:
+                self._tile_start_nodes_parallel(
+                    arena, [NodeTask(node, root, k, i)
+                            for node, k, i in group])
+            else:
+                self._persist_device_assignment(arena, fk, fi, levels,
+                                                root)
+            handled.extend(n for n, _, _ in group)
+
+        for group in groups:
+            fk = np.concatenate([sn[1] for sn in group])
+            fi = np.concatenate([sn[2] for sn in group])
+            lv = self._device_select_levels(
+                arena, fk, fi, root, min_node_level=level - 1,
+                materialize=False)
+            if lv is None:
+                # dispatch failed outright: host-tile this group now and
+                # keep the pipeline going for the rest
+                flush(pending)
+                pending = None
+                self._tile_start_nodes_parallel(
+                    arena, [NodeTask(node, root, k, i)
+                            for node, k, i in group])
+                handled.extend(n for n, _, _ in group)
+                continue
+            flush(pending)  # persist g-1 while g computes on device
+            pending = (lv, fk, fi, group)
+        flush(pending)
+        return handled
 
     def _tile_start_nodes_parallel(self, arena, tasks) -> None:
         """Host multi-core fan-out over disjoint start-node subtrees
@@ -979,8 +1043,31 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                 to_reconstruct.add((key, lv))
 
         # deepest first: children must exist before parents sample from them
-        for key, lv in sorted(to_reconstruct, key=lambda t: -t[1]):
-            self._reconstruct_single_node(key, lv, root)
+        self._reconstruct_levels(to_reconstruct, root)
+
+    def _reconstruct_levels(self, to_reconstruct, root) -> None:
+        """Reconstruct ancestors deepest level first; nodes WITHIN a level
+        are independent (each reads only its children, written by the
+        previous level), so they fan out over the worker pool — the same
+        multi-core surface as the reference's reconstruct pass
+        (TilingAlgorithms.cpp:1717-1784 runs per-node tasks)."""
+        by_level: dict[int, list] = {}
+        for key, lv in to_reconstruct:
+            by_level.setdefault(lv, []).append(key)
+        workers = self.meta.concurrency
+        for lv in sorted(by_level, reverse=True):
+            keys = sorted(by_level[lv])
+            if workers <= 1 or len(keys) <= 1:
+                for key in keys:
+                    self._reconstruct_single_node(key, lv, root)
+                continue
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(
+                    max_workers=min(workers, len(keys))) as pool:
+                for f in [pool.submit(self._reconstruct_single_node,
+                                      key, lv, root) for key in keys]:
+                    f.result()
 
     def _reconstruct_single_node(self, node_key: int, levels: int,
                                  root: NodeStructure) -> None:
@@ -1081,8 +1168,7 @@ class TilingAlgorithmAdaptive(TilingAlgorithmFast):
                 name = ("r" + morton.node_name_simple(key, lv)) if lv else "r"
                 if not self.persistence.node_exists(name):
                     to_reconstruct.add((key, lv))
-        for key, lv in sorted(to_reconstruct, key=lambda t: -t[1]):
-            self._reconstruct_single_node(key, lv, root)
+        self._reconstruct_levels(to_reconstruct, root)
 
 
 def make_tiling_algorithm(strategy: TilingStrategy,

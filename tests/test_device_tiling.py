@@ -450,3 +450,49 @@ def test_device_path_falls_back_on_rerooting_depths(on_cpu, rng):
         np.testing.assert_array_equal(
             dev_sink.retrieve_points(name).positions,
             host_sink.retrieve_points(name).positions, err_msg=name)
+
+
+def test_fresh_sweep_pipelined_groups_equal_single_sweep(rng, on_cpu):
+    """The pipelined fresh sweep (groups of ~N points dispatched async,
+    persist overlapping compute) must produce the exact node set and
+    contents of the single-concat sweep AND the pure host run — the
+    per-group sweeps split only at start-node boundaries."""
+    import numpy as np
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.memory import MemoryPersistence
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+    from schwarzwald_tpu.tiling import engine as engine_mod
+
+    bounds = AABB([0.0] * 3, [64.0] * 3)
+    pos = rng.uniform(0.0, 64.0, (12_000, 3))
+
+    def run(use_device, group_points):
+        persistence = MemoryPersistence()
+        meta = TilerMetaParameters(spacing_at_root=6.0,
+                                   max_points_per_node=300,
+                                   concurrency=4, use_device=use_device)
+        algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                     SamplingStrategy("RANDOM_GRID", 300),
+                                     persistence, meta)
+        algo.level_of_start_nodes = 2
+        if group_points is not None:
+            algo.DEVICE_SWEEP_GROUP_POINTS = group_points
+        algo.process_batch(PointBuffer(pos.copy()), bounds)
+        algo.finalize(bounds)
+        return algo, persistence
+
+    host_algo, host = run(None, None)
+    single_algo, single = run("cpu", 10 ** 9)   # one group
+    multi_algo, multi = run("cpu", 1_000)       # many pipelined groups
+    assert multi_algo.device_sweeps_ok >= 3     # the pipeline really ran
+    assert multi_algo.device_fallbacks == 0
+    for dev in (single, multi):
+        assert set(host.node_names()) == set(dev.node_names())
+        for name in host.node_names():
+            np.testing.assert_array_equal(
+                dev.retrieve_points(name).positions,
+                host.retrieve_points(name).positions, err_msg=name)
