@@ -237,16 +237,23 @@ def sample_jittered(keys: np.ndarray, positions: np.ndarray, node_key: int,
     py = p1[(gx + gz) % plen].astype(np.float64) - 1.0
     pz = p2[(gx + gy) % plen].astype(np.float64) - 1.0
 
-    targets = node_min[None, :] + np.stack(
-        [gx * grid_cell_size + px * permutation_cell_size,
-         gy * grid_cell_size + py * permutation_cell_size,
-         gz * grid_cell_size + pz * permutation_cell_size], axis=1)
+    # per-run target coordinates (runs << points); distances accumulate
+    # per axis into one scratch vector — the (n,3) diff temporary plus
+    # einsum doubled the memory traffic of this hot path, which is what
+    # the finalize reconstruction of big ancestors is bound by
+    tx = node_min[0] + gx * grid_cell_size + px * permutation_cell_size
+    ty = node_min[1] + gy * grid_cell_size + py * permutation_cell_size
+    tz = node_min[2] + gz * grid_cell_size + pz * permutation_cell_size
 
     run_lengths = np.diff(np.append(starts, n))
     run_of_point = np.repeat(np.arange(starts.size), run_lengths)
-    diff = positions - targets[run_of_point]
-    dist_sq = np.einsum("ij,ij->i", diff, diff)
-    selected = _argmin_per_run(dist_sq, starts)
+    d = positions[:, 0] - tx[run_of_point]
+    np.multiply(d, d, out=d)
+    t = positions[:, 1] - ty[run_of_point]
+    d += np.multiply(t, t, out=t)
+    t = positions[:, 2] - tz[run_of_point]
+    d += np.multiply(t, t, out=t)
+    selected = _argmin_per_run(d, starts)
     return _stable_order(selected, n)
 
 

@@ -316,7 +316,8 @@ class Tiler:
         if getattr(self, "_reader_pool", None) is not None:
             self._reader_pool.shutdown(wait=True)
             self._reader_pool = None
-        self.algorithm.finalize(self.bounds)
+        with trace_span("finalize_reconstruct_ancestors", "index"):
+            self.algorithm.finalize(self.bounds)
         if journal is not None:
             journal.flush()
         return points_processed

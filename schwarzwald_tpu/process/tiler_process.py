@@ -491,7 +491,9 @@ class TilerProcess:
             # forest / EPT hierarchy); its finalize already waited for all
             # other hosts' subtrees, and the sinks reconcile the full node
             # set from the shared output directory on close.
-            persistence.close()
+            from ..util.trace import trace_span
+            with trace_span("sink_close_drain_index", "io"):
+                persistence.close()
         # device observability (round-3 verdict Weak #4): sweep success /
         # fallback counts for bench.py and operators
         self.device_stats = {
