@@ -48,7 +48,9 @@ def candidate_levels(root_extent_x: float, spacing_at_root: float,
 
 def _first_in_cell(hi, lo, groups: int):
     """Mask: point starts a new cell whose id is the top `groups` octant
-    digits (a node AT level l has l+1 digits). groups <= 0 -> root."""
+    digits (a node AT level l has l+1 digits). groups <= 0 -> root.
+    lo may be None (hi-only upload) as long as the cell id fits the hi
+    word (3*groups <= 31) — callers gate on that."""
     n = hi.shape[0]
     first = jnp.zeros(n, dtype=bool).at[0].set(True)
     if groups <= 0:
@@ -302,6 +304,17 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                            else cand >= max_level)
             if not is_terminal and cand >= MAX_LEVELS:
                 break  # re-rooting territory: host engine finishes these
+        if lo is None:
+            # hi-only upload (4 B/pt instead of 8): stop at the first
+            # level whose cell ids need bits from the lo word. Points
+            # still remaining there stay unassigned (level 0), which is
+            # exactly the existing host-fallback rule — common shallow
+            # configs never reach it, and the halved transfer pays on
+            # bandwidth-priced tunnels.
+            needed = max(node_level + 1,
+                         0 if cand is None else cand + 1)
+            if 3 * needed > 31:
+                break
 
         if cached_level is None:
             participating = remaining

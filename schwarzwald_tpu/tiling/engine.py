@@ -405,7 +405,7 @@ class TilingAlgorithmBase:
     def _device_select_levels(self, arena, sorted_keys, sorted_ids,
                               root: NodeStructure, min_node_level: int = -1,
                               device=None, materialize: bool = True,
-                              cached_levels=None):
+                              cached_levels=None, hi_only: bool = False):
         """One jitted level-synchronous sweep (ops/device_tiling) computing
         every point's octree assignment. Returns int8 levels (node_level+2)
         or None to fall back to the host engine (unsupported strategy,
@@ -434,7 +434,13 @@ class TilingAlgorithmBase:
             cands = tuple(device_tiling.candidate_levels(
                 root_ext_x, root.max_spacing, root.max_depth))
             hi = (sorted_keys >> np.uint64(32)).astype(np.uint32)
-            lo = sorted_keys.astype(np.uint32)
+            # hi-only upload (RANDOM_GRID fresh sweeps): cell ids down to
+            # grid level 9 fit the hi word, so the lo word never ships —
+            # half the transfer on bandwidth-priced links. The sweep
+            # statically stops where lo would be needed; points remaining
+            # there come back unassigned and take the host path.
+            hi_only = hi_only and name == "RANDOM_GRID"
+            lo = None if hi_only else sorted_keys.astype(np.uint32)
             # Pad to the next power of two so the jitted sweep compiles a
             # logarithmically bounded set of shapes instead of one program
             # per batch size. Padding keys are the max sentinel (sorted
@@ -446,8 +452,9 @@ class TilingAlgorithmBase:
                 pad = n_pad - n_real
                 hi = np.concatenate(
                     [hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
-                lo = np.concatenate(
-                    [lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+                if lo is not None:
+                    lo = np.concatenate(
+                        [lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
                 if cached_levels is not None:
                     cached_levels = np.concatenate(
                         [cached_levels, np.full(pad, 127, np.int8)])
@@ -475,7 +482,8 @@ class TilingAlgorithmBase:
             with trace_span("device_octree_sweep", "device"), \
                     jax.default_device(device):
                 device_levels = device_tiling.octree_select_grid(
-                    jnp.asarray(hi), jnp.asarray(lo), cands=cands,
+                    jnp.asarray(hi),
+                    None if lo is None else jnp.asarray(lo), cands=cands,
                     max_points=self.meta.max_points_per_node,
                     max_depth=root.max_depth, strategy=name,
                     min_node_level=min_node_level, **kwargs)
@@ -840,8 +848,10 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
 
     # Pipelined fresh-sweep group size: big enough to amortize the
     # dispatch round-trip, small enough that persist(g-1) genuinely
-    # overlaps sweep(g) and the power-of-two padding waste stays low.
-    DEVICE_SWEEP_GROUP_POINTS = 2_500_000
+    # overlaps sweep(g). Just under 2^22 so the power-of-two padding
+    # waste is ~5% instead of the ~40% a mid-bucket size pays — upload
+    # bytes are the device path's budget on tunneled deployments.
+    DEVICE_SWEEP_GROUP_POINTS = 4_000_000
 
     def _device_fresh_sweep_pipelined(self, arena, fresh, root,
                                       level: int) -> list:
@@ -889,7 +899,7 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             fi = np.concatenate([sn[2] for sn in group])
             lv = self._device_select_levels(
                 arena, fk, fi, root, min_node_level=level - 1,
-                materialize=False)
+                materialize=False, hi_only=True)
             if lv is None:
                 # dispatch failed outright: host-tile this group now and
                 # keep the pipeline going for the rest

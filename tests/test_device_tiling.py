@@ -496,3 +496,44 @@ def test_fresh_sweep_pipelined_groups_equal_single_sweep(rng, on_cpu):
             np.testing.assert_array_equal(
                 dev.retrieve_points(name).positions,
                 host.retrieve_points(name).positions, err_msg=name)
+
+
+def test_hi_only_sweep_falls_back_cleanly_on_deep_trees(rng, on_cpu):
+    """The fresh sweep uploads only the hi key word (4 B/pt); configs
+    whose grids go past level 9 statically stop there and leave the rest
+    unassigned — the engine must host-tile those groups and still match
+    the pure host run exactly."""
+    import numpy as np
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.memory import MemoryPersistence
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+
+    bounds = AABB([0.0] * 3, [64.0] * 3)
+    # tiny spacing + tiny node capacity drives assignments deep past the
+    # hi word's 10-level reach
+    pos = rng.uniform(0.0, 4.0, (6000, 3))
+
+    def run(use_device):
+        persistence = MemoryPersistence()
+        meta = TilerMetaParameters(spacing_at_root=0.05,
+                                   max_points_per_node=50,
+                                   concurrency=2, use_device=use_device)
+        algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                     SamplingStrategy("RANDOM_GRID", 50),
+                                     persistence, meta)
+        algo.level_of_start_nodes = 3
+        algo.process_batch(PointBuffer(pos.copy()), bounds)
+        algo.finalize(bounds)
+        return persistence
+
+    host = run(None)
+    dev = run("cpu")
+    assert set(host.node_names()) == set(dev.node_names())
+    for name in host.node_names():
+        np.testing.assert_array_equal(dev.retrieve_points(name).positions,
+                                      host.retrieve_points(name).positions,
+                                      err_msg=name)
