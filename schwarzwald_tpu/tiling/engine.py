@@ -405,7 +405,8 @@ class TilingAlgorithmBase:
     def _device_select_levels(self, arena, sorted_keys, sorted_ids,
                               root: NodeStructure, min_node_level: int = -1,
                               device=None, materialize: bool = True,
-                              cached_levels=None, hi_only: bool = False):
+                              cached_levels=None, hi_only: bool = False,
+                              pad_to: int | None = None):
         """One jitted level-synchronous sweep (ops/device_tiling) computing
         every point's octree assignment. Returns int8 levels (node_level+2)
         or None to fall back to the host engine (unsupported strategy,
@@ -448,6 +449,11 @@ class TilingAlgorithmBase:
             # never participates at any level, so they stay unassigned.
             n_real = hi.size
             n_pad = 1 << max(0, (n_real - 1).bit_length())
+            if pad_to is not None:
+                # pipelined groups share ONE padded shape: compiles are
+                # minutes each on tunneled deployments, so a slightly
+                # fatter tail upload beats a second program
+                n_pad = max(n_pad, pad_to)
             if n_pad != n_real:
                 pad = n_pad - n_real
                 hi = np.concatenate(
@@ -894,12 +900,17 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                                                 root)
             handled.extend(n for n, _, _ in group)
 
+        shared_pad = None
+        if len(groups) > 1:
+            shared_pad = 1 << max(
+                0, (max(sum(sn[1].size for sn in g) for g in groups) - 1)
+                .bit_length())
         for group in groups:
             fk = np.concatenate([sn[1] for sn in group])
             fi = np.concatenate([sn[2] for sn in group])
             lv = self._device_select_levels(
                 arena, fk, fi, root, min_node_level=level - 1,
-                materialize=False, hi_only=True)
+                materialize=False, hi_only=True, pad_to=shared_pad)
             if lv is None:
                 # dispatch failed outright: host-tile this group now and
                 # keep the pipeline going for the rest
