@@ -111,19 +111,22 @@ class PackedSpillStore:
         return off, len(blob)
 
     def _record(self, op: str, name: str, off: int, length: int,
-                bounds: AABB) -> dict:
-        return {"op": op, "name": name, "off": off, "len": length,
-                "bmin": [float(v) for v in bounds.min],
-                "bmax": [float(v) for v in bounds.max]}
+                bounds: AABB) -> list:
+        # compact positional form: the journal holds one entry per node
+        # write and out-of-core runs write hundreds of thousands — dict
+        # keys tripled the json cost
+        return [op, name, off, length,
+                [float(v) for v in bounds.min],
+                [float(v) for v in bounds.max]]
 
-    def _apply_entry(self, e: dict) -> None:
-        ext = (e["off"], e["len"])
-        bounds = (e["bmin"], e["bmax"])
-        if e["op"] == "put" or e["name"] not in self._index:
-            self._index[e["name"]] = {"bounds": bounds, "extents": [ext]}
+    def _apply_entry(self, e: list) -> None:
+        op, name, off, length, bmin, bmax = e
+        ext = (off, length)
+        if op == "put" or name not in self._index:
+            self._index[name] = {"bounds": (bmin, bmax), "extents": [ext]}
         else:
             # newest first: the latest append is read back first
-            self._index[e["name"]]["extents"].insert(0, ext)
+            self._index[name]["extents"].insert(0, ext)
 
     def persist_points(self, points: PointBuffer, bounds: AABB,
                        node_name: str) -> None:

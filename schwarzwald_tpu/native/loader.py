@@ -101,7 +101,10 @@ class NativeLib:
 
     def poisson_accept_mask(self, positions, node_min, node_max, spacing,
                             analyze_mask=None) -> np.ndarray:
-        positions = np.ascontiguousarray(positions, dtype=np.float64)
+        if not (isinstance(positions, np.ndarray)
+                and positions.dtype == np.float64
+                and positions.flags.c_contiguous):
+            positions = np.ascontiguousarray(positions, dtype=np.float64)
         n = positions.shape[0]
         out = np.empty(n, dtype=np.uint8)
         if analyze_mask is not None:
@@ -114,7 +117,9 @@ class NativeLib:
             np.ascontiguousarray(node_min, dtype=np.float64),
             np.ascontiguousarray(node_max, dtype=np.float64),
             float(spacing), mask_ptr, out)
-        return out.astype(bool)
+        # view, not astype: this wrapper runs once per node visit and the
+        # extra n-byte copy was measurable at out-of-core visit counts
+        return out.view(bool)
 
     def radix_argsort(self, keys: np.ndarray) -> np.ndarray:
         keys = np.ascontiguousarray(keys, dtype=np.uint64)

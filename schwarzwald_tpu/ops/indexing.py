@@ -139,6 +139,27 @@ def bounds_from_prefixes(prefixes: np.ndarray, depth: int,
     """
     prefixes = np.asarray(prefixes, dtype=np.uint64)
     n = prefixes.shape[0]
+    if n == 1:
+        # scalar fast path: the engine asks for ONE node's bounds on every
+        # node visit; per-level numpy ops on 3-element arrays cost ~100 us
+        # while the identical IEEE sequence in python floats costs ~2 us.
+        # (x + 0.0 matches numpy's x + 0.0*half bit-for-bit, including
+        # the -0.0 -> +0.0 normalization.)
+        l0, l1, l2 = (float(root_min[0]), float(root_min[1]),
+                      float(root_min[2]))
+        h0, h1, h2 = (float(root_max[0]), float(root_max[1]),
+                      float(root_max[2]))
+        p = int(prefixes[0])
+        for level in range(depth):
+            octant = (p >> (3 * (depth - level - 1))) & 7
+            e0 = (h0 - l0) * 0.5
+            e1 = (h1 - l1) * 0.5
+            e2 = (h2 - l2) * 0.5
+            l0 = l0 + (e0 if octant & 4 else 0.0)
+            l1 = l1 + (e1 if octant & 2 else 0.0)
+            l2 = l2 + (e2 if octant & 1 else 0.0)
+            h0, h1, h2 = l0 + e0, l1 + e1, l2 + e2
+        return (np.array([[l0, l1, l2]]), np.array([[h0, h1, h2]]))
     lo = np.asarray(root_min, np.float64).copy()
     hi = np.asarray(root_max, np.float64).copy()
     for level in range(min(shared_levels, depth) if n else 0):

@@ -50,10 +50,18 @@ class PointArena:
             start = self._offsets[-1]
             self._chunks.append(buffer)
             self._offsets.append(start + buffer.count)
+            self._offsets_arr = None  # invalidate the cached array
         return self._iota_view(start, start + buffer.count)
 
+    _offsets_arr = None
+
     def _locate(self, ids: np.ndarray):
-        offsets = np.asarray(self._offsets)
+        # the offsets array is rebuilt only after appends: out-of-core
+        # batches accumulate thousands of cached-read chunks and the
+        # per-gather list->array conversion dominated _locate
+        offsets = self._offsets_arr
+        if offsets is None or offsets.size != len(self._offsets):
+            offsets = self._offsets_arr = np.asarray(self._offsets)
         chunk_ids = np.searchsorted(offsets, ids, side="right") - 1
         local = ids - offsets[chunk_ids]
         return chunk_ids, local

@@ -177,10 +177,11 @@ class TilingAlgorithmBase:
             # Unlike index_point, the reference does NOT clamp here; points
             # epsilon-outside the node bounds would hit UB in the float->uint
             # cast. We clamp to the node bounds first (deterministic, and
-            # identical for all in-bounds points).
-            pos = indexing.clamp_to_bounds(cached.positions, node.bounds.min,
-                                           node.bounds.max)
-            sub = morton.encode(pos, node.bounds.min, node.bounds.extent())
+            # identical for all in-bounds points). One fused native pass
+            # (clamp+encode) on a COPY — the cached buffer itself must keep
+            # its unclamped values (they are what a rewrite persists).
+            sub, _ = indexing.index_points(cached.positions.copy(),
+                                           node.bounds.min, node.bounds.max)
         keys = np.uint64(node.morton_key) | (sub >> _U(3 * start_level))
         if not self.persistence.is_lossless:
             order = indexing.sort_by_key(keys)
