@@ -402,3 +402,144 @@ def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
                               max_depth: int):
     return octree_select_grid(hi, lo, cands, max_points, max_depth,
                               strategy="RANDOM_GRID")
+
+
+def _random_grid_level_plan(cands: tuple, max_points: int, max_depth: int,
+                            min_node_level: int, hi_only: bool):
+    """Static per-level plan for the while-loop RANDOM_GRID sweep:
+    (node_levels, cand_levels, terminal_level). Mirrors octree_select_grid's
+    unrolled control flow exactly: levels run from min_node_level until the
+    first terminal level (inclusive handling happens after the loop) or a
+    break (re-rooting / hi-word exhaustion)."""
+    max_level = min(MAX_LEVELS - 1, max_depth)
+    node_levels, cand_levels = [], []
+    terminal_level = None
+    for node_level in range(min_node_level, max_level + 1):
+        cand = cands[node_level + 1]
+        requires_deeper = cand > node_level
+        is_terminal = (node_level >= max_level if requires_deeper
+                       else cand >= max_level)
+        if not is_terminal and cand >= MAX_LEVELS:
+            break  # re-rooting: host engine finishes unassigned points
+        if hi_only:
+            needed = max(node_level + 1, cand + 1)
+            if 3 * needed > 31:
+                break  # lo word not shipped: host fallback from here on
+        if is_terminal:
+            terminal_level = node_level
+            break
+        node_levels.append(node_level)
+        cand_levels.append(cand)
+    return tuple(node_levels), tuple(cand_levels), terminal_level
+
+
+def _first_in_cell_dyn(hi, lo, groups):
+    """_first_in_cell with a TRACED group count (while-loop sweep body).
+    Shifts are clamped so every branch is well-defined; groups <= 0 (the
+    root cell) yields the single-segment mask like the static version."""
+    n = hi.shape[0]
+    bits = 3 * groups
+    s1 = jnp.maximum(31 - bits, 0).astype(jnp.uint32)
+    hi_key = hi >> s1
+    diff = hi_key[1:] != hi_key[:-1]
+    if lo is not None:
+        s2 = jnp.clip(63 - bits, 0, 31).astype(jnp.uint32)
+        lo_key = lo >> s2
+        deep = (hi[1:] != hi[:-1]) | (lo_key[1:] != lo_key[:-1])
+        diff = jnp.where(bits > 31, deep, diff)
+    diff = diff & (bits > 0)  # root: one cell spanning the whole array
+    first = jnp.zeros(n, dtype=bool).at[0].set(True)
+    return first.at[1:].set(diff)
+
+
+@functools.partial(jax.jit, static_argnames=("cands", "max_points",
+                                             "max_depth", "min_node_level"))
+def octree_select_random_grid_while(hi, lo, cands: tuple, max_points: int,
+                                    max_depth: int, min_node_level: int = -1,
+                                    cached_level=None, n_valid=None):
+    """RANDOM_GRID sweep as ONE while-loop level body instead of ~22
+    statically-unrolled cond-wrapped levels. Produces bit-identical
+    assignments to octree_select_grid(strategy="RANDOM_GRID") — asserted
+    by tests/test_device_tiling.py.
+
+    Measured on this deployment (4M-point revisit shape, tunneled TPU,
+    fresh process): first call 33s vs 30s unrolled, warm 2.0s vs 1.4s —
+    the unrolled program's static shifts and per-level short-circuit win
+    at runtime and XLA compiles 22 unrolled levels fine. Kept selectable
+    (SCHWARZWALD_SWEEP_MODE=while) for backends where unrolled compile
+    cost dominates; the while predicate still short-circuits once every
+    point is assigned."""
+    from jax import lax
+
+    n = hi.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    node_levels, cand_levels, terminal_level = _random_grid_level_plan(
+        cands, max_points, max_depth, min_node_level, lo is None)
+    remaining0 = (jnp.ones(n, dtype=bool) if n_valid is None
+                  else iota < jnp.asarray(n_valid, jnp.int32))
+    out0 = jnp.zeros(n, dtype=jnp.int8)
+
+    if node_levels:
+        nl_arr = jnp.asarray(node_levels, jnp.int32)
+        cd_arr = jnp.asarray(cand_levels, jnp.int32)
+
+        def participating_at(remaining, node_level):
+            if cached_level is None:
+                return remaining
+            return remaining & (
+                (cached_level == jnp.int8(-128))
+                | (cached_level <= node_level.astype(jnp.int8)))
+
+        def body(state):
+            i, remaining, out = state
+            node_level = nl_arr[i]
+            cand = cd_arr[i]
+            participating = participating_at(remaining, node_level)
+            node_first = _first_in_cell_dyn(hi, lo, node_level + 1)
+            _, before_node, in_node = _segment_fields(node_first,
+                                                      participating, iota)
+            take_all = in_node <= max_points
+            untouched = None
+            own = None
+            if cached_level is not None:
+                own = participating & (
+                    cached_level == node_level.astype(jnp.int8))
+                _, _, own_in_node = _segment_fields(node_first, own, iota)
+                take_all = take_all & (own_in_node == 0)
+                untouched = (own_in_node > 0) & (in_node == own_in_node)
+            # cand == -1 (root "take the first point") vs grid pick
+            pick_first = _first_in_cell_dyn(hi, lo,
+                                            jnp.maximum(cand, 0) + 1)
+            _, before_cand, _ = _segment_fields(pick_first, participating,
+                                                iota)
+            pick_grid = participating & (before_cand == 0)
+            pick_root = participating & (before_node == 0)
+            pick = jnp.where(cand < 0, pick_root, pick_grid)
+            selected = jnp.where(take_all, participating, pick)
+            if untouched is not None:
+                selected = jnp.where(untouched, own, selected)
+            out = jnp.where(selected,
+                            (node_level + 2).astype(jnp.int8), out)
+            remaining = remaining & ~selected
+            return i + 1, remaining, out
+
+        def cond(state):
+            i, remaining, out = state
+            # `remaining` (not this level's participants): cached points
+            # owned by deeper levels must keep the loop alive even when a
+            # shallower level has no participants. An all-assigned batch
+            # still short-circuits, which is what makes uniform clouds
+            # cheap.
+            return (i < len(node_levels)) & jnp.any(remaining)
+
+        _, remaining, out = lax.while_loop(
+            cond, body, (jnp.int32(0), remaining0, out0))
+    else:
+        remaining, out = remaining0, out0
+
+    if terminal_level is not None:
+        participating = remaining if cached_level is None else (
+            remaining & ((cached_level == jnp.int8(-128))
+                         | (cached_level <= jnp.int8(terminal_level))))
+        out = jnp.where(participating, jnp.int8(terminal_level + 2), out)
+    return out

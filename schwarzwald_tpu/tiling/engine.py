@@ -486,14 +486,31 @@ class TilingAlgorithmBase:
                 kwargs["jit_cfgs"] = device_tiling.jittered_static_configs(
                     root_ext_x, root.max_spacing, root.max_depth)
             from ..util.trace import trace_span
+            # SCHWARZWALD_SWEEP_MODE=while: single rolled loop body for
+            # RANDOM_GRID (bit-identical; see octree_select_random_grid_
+            # while's measured tradeoff) for backends where the unrolled
+            # program's compile cost dominates.
+            import os as _os
+            use_while = (name == "RANDOM_GRID"
+                         and _os.environ.get("SCHWARZWALD_SWEEP_MODE")
+                         == "while")
             with trace_span("device_octree_sweep", "device"), \
                     jax.default_device(device):
-                device_levels = device_tiling.octree_select_grid(
-                    jnp.asarray(hi),
-                    None if lo is None else jnp.asarray(lo), cands=cands,
-                    max_points=self.meta.max_points_per_node,
-                    max_depth=root.max_depth, strategy=name,
-                    min_node_level=min_node_level, **kwargs)
+                if use_while:
+                    device_levels = device_tiling.octree_select_random_grid_while(
+                        jnp.asarray(hi),
+                        None if lo is None else jnp.asarray(lo),
+                        cands=cands,
+                        max_points=self.meta.max_points_per_node,
+                        max_depth=root.max_depth,
+                        min_node_level=min_node_level, **kwargs)
+                else:
+                    device_levels = device_tiling.octree_select_grid(
+                        jnp.asarray(hi),
+                        None if lo is None else jnp.asarray(lo), cands=cands,
+                        max_points=self.meta.max_points_per_node,
+                        max_depth=root.max_depth, strategy=name,
+                        min_node_level=min_node_level, **kwargs)
             if not materialize:
                 return (device_levels, n_real)
             return self._materialize_levels((device_levels, n_real))

@@ -537,3 +537,70 @@ def test_hi_only_sweep_falls_back_cleanly_on_deep_trees(rng, on_cpu):
         np.testing.assert_array_equal(dev.retrieve_points(name).positions,
                                       host.retrieve_points(name).positions,
                                       err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# While-loop RANDOM_GRID sweep: bit-identical to the unrolled program
+# ---------------------------------------------------------------------------
+
+def _sorted_words(rng, n, lo_extent=64.0, span=None):
+    span = (0.0, lo_extent) if span is None else span
+    pos = rng.uniform(span[0], span[1], (n, 3))
+    keys, _ = indexing.index_points(pos, BOUNDS.min, BOUNDS.max)
+    skeys = keys[indexing.sort_by_key(keys)]
+    return ((skeys >> np.uint64(32)).astype(np.uint32),
+            skeys.astype(np.uint32))
+
+
+@pytest.mark.parametrize("case", [
+    "fresh", "fresh_coarse", "fresh_takeall", "fast_level3", "padded",
+    "hi_only", "terminal_depth3", "reroot", "cached",
+])
+def test_while_sweep_bit_identical_to_unrolled(on_cpu, rng, case):
+    """octree_select_random_grid_while is a drop-in replacement for the
+    statically-unrolled octree_select_grid(RANDOM_GRID): identical int8
+    output (including 0 = unassigned host-fallback markers) on the same
+    inputs, for fresh, padded, hi-only, FAST-start-level, terminal,
+    re-root and cached/revisit sweeps."""
+    import jax.numpy as jnp
+
+    n = 6000
+    spacing, max_points, max_depth, minlv = 6.0, 200, 100, -1
+    hi, lo = _sorted_words(rng, n)
+    cached = None
+    n_valid = None
+    if case == "fresh_coarse":
+        spacing, max_points = 40.0, 50       # cand == -1 at the root
+    elif case == "fresh_takeall":
+        max_points = 10 ** 6                  # take-all at the root
+    elif case == "fast_level3":
+        minlv = 3
+    elif case == "padded":
+        pad = 8192 - n
+        hi = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)])
+        lo = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
+        n_valid = np.int32(n)
+    elif case == "hi_only":
+        lo = None
+    elif case == "terminal_depth3":
+        max_depth, max_points = 3, 50
+    elif case == "reroot":
+        hi, lo = _sorted_words(rng, 3000, span=(10.0, 10.0001))
+        spacing, max_points = 64.0 / 2 ** 18, 100
+    elif case == "cached":
+        # arbitrary mix of incoming (-128) and cached tiers: differential
+        # identity needs only the SAME inputs on both programs
+        minlv = 2
+        tiers = rng.choice(np.array([-128, 2, 3, 4], np.int8), n)
+        cached = jnp.asarray(np.sort(tiers))  # any per-point tier pattern
+
+    cands = tuple(device_tiling.candidate_levels(64.0, spacing, max_depth))
+    kw = dict(cands=cands, max_points=max_points, max_depth=max_depth,
+              min_node_level=minlv, cached_level=cached, n_valid=n_valid)
+    hi_j = jnp.asarray(hi)
+    lo_j = None if lo is None else jnp.asarray(lo)
+    want = device_tiling.octree_select_grid(hi_j, lo_j,
+                                            strategy="RANDOM_GRID", **kw)
+    got = device_tiling.octree_select_random_grid_while(hi_j, lo_j, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                  err_msg=case)
