@@ -11,7 +11,7 @@ import math
 
 import numpy as np
 
-from .aabb import AABB, bounds_from_octants
+from .aabb import AABB
 from . import morton
 
 
@@ -43,15 +43,33 @@ def node_from_index(node_key: int, levels: int, root: NodeStructure) -> NodeStru
     1327-1343, 1640-1656): level = levels - 1, spacing halves per level,
     bounds by iterative octant halving, morton key with the node's octants in
     the top levels.
-    """
-    octants = [(node_key >> (3 * (levels - 1 - i))) & 0b111 for i in range(levels)]
-    key = 0
-    for i, o in enumerate(octants):
-        key = int(morton.set_octant_at_level(key, i, o))
+
+    The bounds descent runs on python floats with the exact IEEE sequence of
+    the reference's iterated get_octant_bounds (e = (h-l)*0.5; l += bit
+    ? e : 0.0; h = l+e) — the per-level numpy small-array ops this used to
+    do cost ~0.1 ms per node, which dominated sweep persists at out-of-core
+    node counts."""
+    digits = []
+    l0, l1, l2 = (float(root.bounds.min[0]), float(root.bounds.min[1]),
+                  float(root.bounds.min[2]))
+    h0, h1, h2 = (float(root.bounds.max[0]), float(root.bounds.max[1]),
+                  float(root.bounds.max[2]))
+    for i in range(levels):
+        o = (node_key >> (3 * (levels - 1 - i))) & 0b111
+        digits.append(o)
+        e0 = (h0 - l0) * 0.5
+        e1 = (h1 - l1) * 0.5
+        e2 = (h2 - l2) * 0.5
+        l0 = l0 + (e0 if o & 4 else 0.0)
+        l1 = l1 + (e1 if o & 2 else 0.0)
+        l2 = l2 + (e2 if o & 1 else 0.0)
+        h0, h1, h2 = l0 + e0, l1 + e1, l2 + e2
+    key = (int(node_key) << (3 * (morton.MAX_LEVELS - levels))) \
+        if levels <= morton.MAX_LEVELS else int(node_key)
     return NodeStructure(
-        name="r" + "".join(str(o) for o in octants),
+        name="r" + "".join(str(o) for o in digits),
         morton_key=key,
-        bounds=bounds_from_octants(octants, root.bounds),
+        bounds=AABB(np.array([l0, l1, l2]), np.array([h0, h1, h2])),
         level=levels - 1,
         max_spacing=root.max_spacing / (2.0 ** levels),
         max_depth=root.max_depth,

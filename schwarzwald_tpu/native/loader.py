@@ -44,6 +44,10 @@ class NativeLib:
         lib.poisson_accept_mask.argtypes = [
             _f64p, ctypes.c_int64, _f64p, _f64p, ctypes.c_double,
             ctypes.c_void_p, _u8p]
+        lib.octree_sweep.argtypes = [
+            _u64p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            _f64p, _f64p, ctypes.c_double, ctypes.c_void_p, _i8p]
         lib.radix_argsort_u64.argtypes = [_u64p, ctypes.c_int64, _i64p]
         lib.radix_sort_kv_u64.argtypes = [_u64p, ctypes.c_int64, _i64p,
                                           _u64p]
@@ -120,6 +124,42 @@ class NativeLib:
         # view, not astype: this wrapper runs once per node visit and the
         # extra n-byte copy was measurable at out-of-core visit counts
         return out.view(bool)
+
+    SWEEP_STRATEGY_IDS = {"MIN_DISTANCE": 0, "MIN_DISTANCE_FAST": 1,
+                          "RANDOM_GRID": 2}
+
+    def octree_sweep(self, keys: np.ndarray, tiers, positions, strategy: str,
+                     min_node_level: int, max_depth: int, max_points: int,
+                     root_min, root_max, spacing_at_root: float,
+                     cands) -> np.ndarray:
+        """Host level-synchronous octree assignment over a merged
+        (key asc, tier asc) array. Returns int8 levels (node_level + 2);
+        0 = unassigned (re-rooting depths — caller falls back to the
+        recursion). tiers None = fresh batch; positions None is valid for
+        RANDOM_GRID; cands None is valid for MIN_DISTANCE."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        n = keys.size
+        out = np.zeros(n, dtype=np.int8)
+        if tiers is not None:
+            tiers = np.ascontiguousarray(tiers, dtype=np.int8)
+        if positions is not None:
+            positions = np.ascontiguousarray(positions, dtype=np.float64)
+        if cands is not None:
+            cands = np.ascontiguousarray(cands, dtype=np.int32)
+        self._lib.octree_sweep(
+            keys,
+            None if tiers is None else
+            tiers.ctypes.data_as(ctypes.c_void_p),
+            None if positions is None else
+            positions.ctypes.data_as(ctypes.c_void_p),
+            n, self.SWEEP_STRATEGY_IDS[strategy], min_node_level,
+            max_depth, max_points,
+            np.ascontiguousarray(root_min, dtype=np.float64),
+            np.ascontiguousarray(root_max, dtype=np.float64),
+            float(spacing_at_root),
+            None if cands is None else
+            cands.ctypes.data_as(ctypes.c_void_p), out)
+        return out
 
     def radix_argsort(self, keys: np.ndarray) -> np.ndarray:
         keys = np.ascontiguousarray(keys, dtype=np.uint64)

@@ -468,3 +468,321 @@ void las_decode_index_fused(const uint8_t* records, int64_t n, int32_t stride,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host level-synchronous octree sweep (the out-of-core visit-path kernel)
+// ---------------------------------------------------------------------------
+//
+// Computes, in ONE native call over the merged (key asc, tier asc) point
+// array, the octree assignment level of every point — the host twin of the
+// device sweep (ops/device_tiling.octree_select_grid) extended to the
+// Poisson-disk samplers. This replaces the per-node Python recursion
+// (engine._tile_node, ~1.2 ms/visit measured) for whole start-node subtrees:
+// the reference's do_tiling_for_node task graph (TilingAlgorithms.cpp:
+// 499-561) collapses into max_level data-parallel level passes.
+//
+// Exact host-recursion semantics per node segment at loop level L:
+//   - participation floor: a cached point (tier K >= 0) joins only at its
+//     own level and deeper (K <= L); incoming batch points are tier -128
+//     (read_pnts_from_disk merges at the owning node,
+//     TilingAlgorithms.cpp:50-109)
+//   - untouched nodes (all participants are the node's own cache) keep
+//     their file verbatim — the host recursion never visits them
+//   - AlwaysAdhereToMinSpacing when the node has own cached points,
+//     take-all when count <= max_points otherwise (Sampling.h:170-181)
+//   - MIN_DISTANCE: greedy sequential Poisson acceptance in merged order,
+//     node bounds descended exactly as get_octant_bounds
+//     (OctreeAlgorithms.cpp:3-18); accept rule identical to
+//     poisson_accept_mask above (bit-equal accept sets)
+//   - MIN_DISTANCE_FAST: every nth participant analyzed (n from the
+//     density ladder, Sampling.h:522-536), candidate==-1 root rule
+//   - RANDOM_GRID: first remaining point per candidate-level grid cell
+//     (RandomSortedGridSampling, Sampling.h:187-308); re-rooting depths
+//     (cand >= 21) leave the remainder unassigned for the host engine
+//   - terminal nodes at min(20, max_depth) take everything
+//
+// strategy: 0 = MIN_DISTANCE, 1 = MIN_DISTANCE_FAST, 2 = RANDOM_GRID.
+// tiers may be null (fresh batch: all -128). positions may be null for
+// RANDOM_GRID. cands (indexed by node_level+1) may be null for
+// MIN_DISTANCE. out must be zero-initialized; 0 = unassigned.
+
+namespace {
+
+// Greedy Poisson acceptor over one node segment. The ACCEPT SET depends
+// only on candidate order, float32(spacing)^2 and previously accepted
+// points — the grid (cell size spacing_f, same as poisson_accept_mask's
+// fast path) is pure acceleration, so accept sets are bit-identical to
+// the per-node kernel above.
+struct PoissonAcceptor {
+  double min_[3];
+  double ext_[3];
+  int64_t dim_[3], max_[3];
+  int64_t gx_, gy_, gz_;
+  double sq_spacing_;
+  bool dense_;
+  std::unordered_map<int64_t, int32_t>* hash_head_;
+  std::vector<int32_t>* dense_head_;
+  std::vector<int64_t>* dirty_;
+  std::vector<double>* pts_;
+  std::vector<int32_t>* next_;
+  double last_r_[3];
+  bool have_last_;
+
+  void init(const double* node_min, const double* node_max, double spacing,
+            std::unordered_map<int64_t, int32_t>* hash_head,
+            std::vector<int32_t>* dense_head, std::vector<int64_t>* dirty,
+            std::vector<double>* pts, std::vector<int32_t>* next) {
+    for (int a = 0; a < 3; ++a) {
+      min_[a] = node_min[a];
+      ext_[a] = node_max[a] - node_min[a];
+    }
+    const float spacing_f = static_cast<float>(spacing);
+    const double cell = static_cast<double>(spacing_f);
+    const int64_t MAX_DIM = (1 << 20) - 1;
+    for (int a = 0; a < 3; ++a) {
+      dim_[a] = (ext_[a] > 0 && cell > 0)
+          ? std::min<int64_t>(static_cast<int64_t>(ext_[a] / cell), MAX_DIM)
+          : 0;
+      max_[a] = dim_[a] > 0 ? dim_[a] - 1 : 0;
+    }
+    sq_spacing_ = static_cast<double>(spacing_f * spacing_f);
+    gx_ = max_[0] + 1; gy_ = max_[1] + 1; gz_ = max_[2] + 1;
+    constexpr int64_t DENSE_CELL_LIMIT = int64_t(1) << 24;
+    dense_ = gx_ * gy_ * gz_ <= DENSE_CELL_LIMIT;
+    hash_head_ = hash_head; dense_head_ = dense_head; dirty_ = dirty;
+    pts_ = pts; next_ = next;
+    pts_->clear(); next_->clear();
+    if (dense_) {
+      if (static_cast<int64_t>(dense_head_->size()) < gx_ * gy_ * gz_)
+        dense_head_->resize(gx_ * gy_ * gz_, -1);
+      dirty_->clear();
+    } else {
+      hash_head_->clear();
+    }
+    have_last_ = false;
+  }
+
+  bool try_accept(double px, double py, double pz) {
+    if (have_last_) {
+      const double dx = px - last_r_[0], dy = py - last_r_[1],
+                   dz = pz - last_r_[2];
+      if (dx * dx + dy * dy + dz * dz < sq_spacing_) return false;
+    }
+    const double p[3] = {px, py, pz};
+    int64_t c[3];
+    for (int a = 0; a < 3; ++a) {
+      const int64_t raw = (ext_[a] != 0)
+          ? static_cast<int64_t>((dim_[a] * (p[a] - min_[a])) / ext_[a]) : 0;
+      c[a] = std::max<int64_t>(0, std::min(raw, max_[a]));
+    }
+    const int64_t i_lo = std::max<int64_t>(c[0] - 1, 0),
+                  i_hi = std::min(c[0] + 1, max_[0]);
+    const int64_t j_lo = std::max<int64_t>(c[1] - 1, 0),
+                  j_hi = std::min(c[1] + 1, max_[1]);
+    const int64_t k_lo = std::max<int64_t>(c[2] - 1, 0),
+                  k_hi = std::min(c[2] + 1, max_[2]);
+    bool distant = true;
+    const std::vector<double>& pts = *pts_;
+    const std::vector<int32_t>& next = *next_;
+    if (dense_) {
+      for (int64_t k = k_lo; k <= k_hi && distant; ++k)
+        for (int64_t j = j_lo; j <= j_hi && distant; ++j) {
+          const int32_t* row = dense_head_->data() + (k * gy_ + j) * gx_;
+          for (int64_t i = i_lo; i <= i_hi && distant; ++i)
+            for (int32_t t = row[i]; t >= 0; t = next[t]) {
+              const double dx = px - pts[3 * t], dy = py - pts[3 * t + 1],
+                           dz = pz - pts[3 * t + 2];
+              if (dx * dx + dy * dy + dz * dz < sq_spacing_) {
+                distant = false;
+                last_r_[0] = pts[3 * t]; last_r_[1] = pts[3 * t + 1];
+                last_r_[2] = pts[3 * t + 2];
+                have_last_ = true;
+                break;
+              }
+            }
+        }
+    } else {
+      for (int64_t k = k_lo; k <= k_hi && distant; ++k)
+        for (int64_t j = j_lo; j <= j_hi && distant; ++j)
+          for (int64_t i = i_lo; i <= i_hi && distant; ++i) {
+            auto it = hash_head_->find((k << 40) | (j << 20) | i);
+            if (it == hash_head_->end()) continue;
+            for (int32_t t = it->second; t >= 0; t = next[t]) {
+              const double dx = px - pts[3 * t], dy = py - pts[3 * t + 1],
+                           dz = pz - pts[3 * t + 2];
+              if (dx * dx + dy * dy + dz * dz < sq_spacing_) {
+                distant = false;
+                last_r_[0] = pts[3 * t]; last_r_[1] = pts[3 * t + 1];
+                last_r_[2] = pts[3 * t + 2];
+                have_last_ = true;
+                break;
+              }
+            }
+          }
+    }
+    if (!distant) return false;
+    const int32_t t = static_cast<int32_t>(next_->size());
+    pts_->push_back(px); pts_->push_back(py); pts_->push_back(pz);
+    if (dense_) {
+      const int64_t cell = (c[2] * gy_ + c[1]) * gx_ + c[0];
+      const int32_t head = (*dense_head_)[cell];
+      if (head < 0) dirty_->push_back(cell);
+      next_->push_back(head);
+      (*dense_head_)[cell] = t;
+    } else {
+      auto ins = hash_head_->emplace((c[2] << 40) | (c[1] << 20) | c[0], t);
+      if (ins.second) {
+        next_->push_back(-1);
+      } else {
+        next_->push_back(ins.first->second);
+        ins.first->second = t;
+      }
+    }
+    return true;
+  }
+
+  void reset_dense() {
+    if (dense_)
+      for (const int64_t cell : *dirty_) (*dense_head_)[cell] = -1;
+  }
+};
+
+// Node bounds by octant halving from the root — the exact FP sequence of
+// ops/indexing.bounds_from_prefixes' scalar path (and the reference's
+// iterated get_octant_bounds): e = (h-l)*0.5; l += bit ? e : 0.0; h = l+e.
+inline void node_bounds_from_prefix(uint64_t prefix, int depth,
+                                    const double* root_min,
+                                    const double* root_max, double* lo,
+                                    double* hi) {
+  for (int a = 0; a < 3; ++a) { lo[a] = root_min[a]; hi[a] = root_max[a]; }
+  for (int t = 0; t < depth; ++t) {
+    const int oct = static_cast<int>((prefix >> (3 * (depth - 1 - t))) & 7);
+    const double e0 = (hi[0] - lo[0]) * 0.5;
+    const double e1 = (hi[1] - lo[1]) * 0.5;
+    const double e2 = (hi[2] - lo[2]) * 0.5;
+    lo[0] = lo[0] + ((oct & 4) ? e0 : 0.0);
+    lo[1] = lo[1] + ((oct & 2) ? e1 : 0.0);
+    lo[2] = lo[2] + ((oct & 1) ? e2 : 0.0);
+    hi[0] = lo[0] + e0; hi[1] = lo[1] + e1; hi[2] = lo[2] + e2;
+  }
+}
+
+}  // namespace
+
+extern "C" void octree_sweep(
+    const uint64_t* keys, const int8_t* tiers, const double* positions,
+    int64_t n, int32_t strategy, int32_t min_node_level, int32_t max_depth,
+    int32_t max_points, const double* root_min, const double* root_max,
+    double spacing_at_root, const int32_t* cands, int8_t* out) {
+  const int32_t max_level = std::min(20, max_depth);
+  static thread_local std::vector<int64_t> idx_buf;     // participating idx
+  static thread_local std::vector<int64_t> group_off;   // group starts
+  static thread_local std::vector<int64_t> group_own;   // own-cache counts
+  if (static_cast<int64_t>(idx_buf.size()) < n) idx_buf.resize(n);
+
+  int64_t remaining = n;
+  for (int32_t L = min_node_level; L <= max_level && remaining > 0; ++L) {
+    bool terminal;
+    int32_t cand = -2;  // -2 = no candidate rule (MIN_DISTANCE)
+    if (strategy == 2) {
+      cand = cands[L + 1];
+      const bool requires_deeper = cand > L;
+      terminal = requires_deeper ? (L >= max_level) : (cand >= max_level);
+      if (!terminal && cand >= 21) return;  // re-root: host engine finishes
+    } else {
+      terminal = L >= max_level;
+      if (strategy == 1) cand = cands[L + 1];
+    }
+    const int shift = 3 * (20 - L);  // depth L+1 node prefix (63 at root)
+
+    // Pass 1 (serial): collect participating points, cut groups at node-
+    // prefix changes. Participation: unassigned AND tier <= L (batch
+    // points are -128; a cached point never joins its ancestors).
+    group_off.clear();
+    group_own.clear();
+    int64_t m = 0;
+    uint64_t cur_prefix = 0;
+    for (int64_t idx = 0; idx < n; ++idx) {
+      if (out[idx] != 0 || (tiers && tiers[idx] > L)) continue;
+      const uint64_t prefix = keys[idx] >> shift;
+      if (group_off.empty() || prefix != cur_prefix) {
+        group_off.push_back(m);
+        group_own.push_back(0);
+        cur_prefix = prefix;
+      }
+      idx_buf[m++] = idx;
+      if (tiers && tiers[idx] == L) group_own.back()++;
+    }
+    group_off.push_back(m);
+    const int64_t n_groups = static_cast<int64_t>(group_own.size());
+
+    // Pass 2: groups are independent nodes — fan out across host threads
+    // (the reference's per-node Taskflow subflows, TilingAlgorithms.cpp:
+    // 524-560; deterministic, each group writes only its own points).
+    // Raw pointers hoisted: the scratch vectors are thread_local to the
+    // CALLING thread, and OMP workers must share the master's data.
+    const int64_t* IDX = idx_buf.data();
+    const int64_t* GOFF = group_off.data();
+    const int64_t* GOWN = group_own.data();
+    const int32_t nth =
+        (strategy == 1) ? (L < 0 ? 4 : (L < 1 ? 2 : 1)) : 1;
+    const int8_t assign = static_cast<int8_t>(L + 2);
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t g = 0; g < n_groups; ++g) {
+      const int64_t s = GOFF[g], e = GOFF[g + 1];
+      const int64_t cnt = e - s, own = GOWN[g];
+      if (cnt == 0) continue;
+      const bool untouched = own > 0 && own == cnt;
+      if (untouched || terminal || (own == 0 && cnt <= max_points)) {
+        for (int64_t t = s; t < e; ++t) out[IDX[t]] = assign;
+        continue;
+      }
+      if (cand == -1) {  // partition_at_root: take the first point
+        out[IDX[s]] = assign;
+        continue;
+      }
+      if (strategy == 2) {  // RANDOM_GRID: first point per cand-level cell
+        const int cshift = 3 * (20 - cand);
+        uint64_t prev_cell = ~uint64_t(0);
+        bool first = true;
+        for (int64_t t = s; t < e; ++t) {
+          const uint64_t cell = keys[IDX[t]] >> cshift;
+          if (first || cell != prev_cell) {
+            out[IDX[t]] = assign;
+            prev_cell = cell;
+            first = false;
+          }
+        }
+        continue;
+      }
+      // MIN_DISTANCE / MIN_DISTANCE_FAST: sequential Poisson acceptance
+      static thread_local std::unordered_map<int64_t, int32_t> hash_head;
+      static thread_local std::vector<int32_t> dense_head;
+      static thread_local std::vector<int64_t> dirty;
+      static thread_local std::vector<double> pts;
+      static thread_local std::vector<int32_t> next_link;
+      double lo[3], hi[3];
+      node_bounds_from_prefix(keys[IDX[s]] >> shift,
+                              L + 1, root_min, root_max, lo, hi);
+      const double spacing =
+          spacing_at_root / std::pow(2.0, static_cast<double>(L + 1));
+      PoissonAcceptor acc;
+      acc.init(lo, hi, spacing, &hash_head, &dense_head, &dirty, &pts,
+               &next_link);
+      int64_t seq = 0;
+      for (int64_t t = s; t < e; ++t, ++seq) {
+        if (nth > 1 && (seq % nth) != 0) continue;  // unanalyzed: descend
+        const int64_t idx = IDX[t];
+        if (acc.try_accept(positions[idx * 3], positions[idx * 3 + 1],
+                           positions[idx * 3 + 2]))
+          out[idx] = assign;
+      }
+      acc.reset_dense();
+    }
+    // Short-circuit once everything is assigned (uniform clouds finish in
+    // the first few levels) — an O(n) int8 recount per level is noise.
+    remaining = 0;
+    for (int64_t idx = 0; idx < n; ++idx)
+      if (out[idx] == 0) ++remaining;
+  }
+}

@@ -583,31 +583,59 @@ class TilingAlgorithmBase:
 
         Returns the list of start nodes actually handled on the device;
         the caller host-tiles the rest."""
-        if not hasattr(self.persistence, "node_names"):
-            return []
         if self.sampling_strategy.name not in ("RANDOM_GRID", "GRID_CENTER",
                                                "JITTERED"):
             return []
+        gathered = self._gather_revisit_subtrees(
+            arena, revisit_nodes, root, self.DEVICE_REVISIT_MIN_INCOMING,
+            self.DEVICE_REVISIT_MAX_CACHE_RATIO)
+        if gathered is None:
+            return []
+        handled, keys, ids, tiers, cached_counts = gathered
+        lv = self._device_select_levels(
+            arena, keys, ids, root, min_node_level=level - 1,
+            cached_levels=tiers)
+        if lv is None:
+            return []
+        self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
+                                         root, cached_counts)
+        return handled
+
+    def _gather_revisit_subtrees(self, arena, revisit_nodes, root,
+                                 min_incoming, max_ratio):
+        """Phase 1 of a (device or host) revisit sweep: gather every
+        accepted subtree's cached points (guards applied per start node),
+        re-derive keys per node exactly as the host merge path does, and
+        order everything by (key, tier) with incoming-before-cached ties
+        and shallower-cache-first. Subtrees are disjoint key ranges, so
+        all accepted start nodes run as ONE sweep. Returns (handled,
+        keys, ids, tiers, cached_counts) or None when nothing qualifies."""
+        if not hasattr(self.persistence, "node_names"):
+            return None
         try:
             all_names = self.persistence.node_names()
         except Exception:
-            return []
+            return None
+        import bisect
+
         from ..core.node import node_from_index
 
-        # Phase 1: gather every accepted subtree's cached points (guards
-        # applied per start node). Subtrees are disjoint key ranges, so
-        # ALL accepted start nodes run as ONE sweep — one dispatch per
-        # batch instead of one per start node.
+        # Subtree lookup by bisecting the sorted name list: names under a
+        # prefix are lexicographically contiguous (continuations are the
+        # octant digits 0-7 < "8"), so each start node costs O(log names)
+        # instead of a full startswith scan.
+        sorted_names = sorted(all_names)
         handled = []
         parts_k, parts_i, parts_t = [], [], []
         cached_counts: dict = {}
         for node, in_keys, in_ids in revisit_nodes:
-            if in_keys.size < self.DEVICE_REVISIT_MIN_INCOMING:
+            if in_keys.size < min_incoming:
                 continue
             prefix = node.name
-            subtree = [n for n in all_names
-                       if n.startswith(prefix) and n[len(prefix):].isdigit()
-                       or n == prefix]
+            i0 = bisect.bisect_left(sorted_names, prefix)
+            i1 = bisect.bisect_left(sorted_names, prefix + "8")
+            subtree = [n for n in sorted_names[i0:i1]
+                       if n == prefix or n[len(prefix):].isdigit()]
             node_k = [in_keys]
             node_i = [in_ids]
             node_t = [np.full(in_keys.size, -128, dtype=np.int8)]
@@ -624,8 +652,7 @@ class TilingAlgorithmBase:
                     continue
                 node_counts[name] = ci.size
                 total_cached += ci.size
-                if total_cached > (self.DEVICE_REVISIT_MAX_CACHE_RATIO
-                                   * in_keys.size):
+                if total_cached > max_ratio * in_keys.size:
                     ok = False
                     break
                 node_k.append(ck)
@@ -641,7 +668,7 @@ class TilingAlgorithmBase:
             cached_counts.update(node_counts)
             handled.append(node)
         if not handled:
-            return []
+            return None
 
         keys = np.concatenate(parts_k)
         ids = np.concatenate(parts_i)
@@ -653,14 +680,7 @@ class TilingAlgorithmBase:
         # node file order)
         order = np.lexsort((tiers, keys))
         keys, ids, tiers = keys[order], ids[order], tiers[order]
-        lv = self._device_select_levels(
-            arena, keys, ids, root, min_node_level=level - 1,
-            cached_levels=tiers)
-        if lv is None:
-            return []
-        self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
-                                         root, cached_counts)
-        return handled
+        return handled, keys, ids, tiers, cached_counts
 
     def _sweep_is_terminal(self, node_level: int, root) -> bool:
         """Host-side replica of octree_select_grid's terminal rule for a
@@ -668,7 +688,11 @@ class TilingAlgorithmBase:
         from ..ops import device_tiling
 
         max_level = min(MAX_OCTREE_LEVELS - 1, root.max_depth)
-        if self.sampling_strategy.name == "JITTERED":
+        if self.sampling_strategy.name in ("JITTERED", "MIN_DISTANCE",
+                                           "MIN_DISTANCE_FAST"):
+            # MIN_DISTANCE*: required depth == node level (Sampling.cpp:
+            # 29-47), so requires_deeper never holds and terminality is
+            # purely the max-level rule.
             return node_level >= max_level
         cands = device_tiling.candidate_levels(
             float(root.bounds.extent()[0]), root.max_spacing, root.max_depth)
@@ -701,6 +725,10 @@ class TilingAlgorithmBase:
             ends = np.append(starts[1:], idx.size)
             terminal = (node_level >= 0
                         and self._sweep_is_terminal(node_level, root))
+            # ONE arena gather for the whole level, then per-node slice
+            # views — per-node gathers cost ~0.25 ms each at out-of-core
+            # node counts (chunk location + run grouping per call)
+            level_buf = arena.gather(ids[idx])
             for s, e in zip(starts, ends):
                 sel = idx[s:e]
                 own = node_tiers[s:e] == node_level
@@ -718,9 +746,127 @@ class TilingAlgorithmBase:
                     sel = np.concatenate(
                         [sel[~own],
                          sel_own[np.argsort(ids[sel_own], kind="stable")]])
-                self._persist_node(arena.gather(ids[sel]), node.bounds,
-                                   node.name)
+                    buf = arena.gather(ids[sel])
+                else:
+                    buf = level_buf.slice(int(s), int(e))
+                self._persist_node(buf, node.bounds, node.name)
                 self._report_indexed(sel.size - cached)
+
+    # -- host level-synchronous sweep (native octree_sweep) -------------------
+
+    # Strategies covered by the native host sweep kernel
+    # (native/src/schwarzwald_native.cpp octree_sweep).
+    HOST_SWEEP_STRATEGIES = ("MIN_DISTANCE", "MIN_DISTANCE_FAST",
+                             "RANDOM_GRID")
+    # Revisit guards: unlike the device sweep there is no transfer cost,
+    # but the sweep re-reads and re-samples a start node's WHOLE subtree
+    # while the recursion touches only nodes on incoming paths — tiny
+    # localized top-ups (tiled flight-line input) stay on the recursion.
+    HOST_REVISIT_MIN_INCOMING = 256
+    HOST_REVISIT_MAX_CACHE_RATIO = 32.0
+
+    def _host_sweep_enabled(self) -> bool:
+        import os
+
+        if os.environ.get("SCHWARZWALD_NO_HOST_SWEEP"):
+            return False
+        if getattr(self, "_host_sweep_broken", False):
+            return False
+        if self.sampling_strategy.name not in self.HOST_SWEEP_STRATEGIES:
+            return False
+        from .. import native
+        lib = native._lib()
+        return lib is not None and hasattr(lib, "octree_sweep")
+
+    def _host_sweep_levels(self, arena, keys, ids, root: NodeStructure,
+                           min_node_level: int = -1, tiers=None):
+        """One native level-synchronous sweep (octree_sweep) computing
+        every point's octree assignment on the HOST — the out-of-core
+        twin of _device_select_levels, extended to the Poisson samplers.
+        Returns int8 levels (node_level + 2) or None to fall back to the
+        per-node recursion (re-rooting depths / unavailable kernel)."""
+        from .. import native
+
+        lib = native._lib()
+        name = self.sampling_strategy.name
+        root_ext_x = float(root.bounds.extent()[0])
+        cands = None
+        if name in ("MIN_DISTANCE_FAST", "RANDOM_GRID"):
+            from ..ops import device_tiling
+            cands = device_tiling.candidate_levels(
+                root_ext_x, root.max_spacing, root.max_depth)
+        positions = None
+        if name != "RANDOM_GRID":
+            # grow-only scratch (consumed synchronously by the native
+            # call): a fresh ~100 MB allocation per batch costs seconds in
+            # first-touch page faults on this deployment
+            positions = arena.positions_scratch(ids)
+        from ..util.trace import trace_span
+        with trace_span("host_octree_sweep", "engine"):
+            levels = lib.octree_sweep(
+                keys, tiers, positions, name, min_node_level,
+                root.max_depth, self.meta.max_points_per_node,
+                root.bounds.min, root.bounds.max, root.max_spacing, cands)
+        if (levels == 0).any():
+            # re-rooting depths (RANDOM_GRID cand >= 21): the recursion
+            # owns those — and will for every batch of this run, so stop
+            # paying the sweep attempt
+            self._host_sweep_broken = True
+            return None
+        return levels
+
+    def _host_revisit_start_nodes(self, arena, revisit_nodes, root,
+                                  level: int):
+        """Host-native revisit sweep over start-node subtrees: the same
+        gather + (key, tier) merge order + persist as the device revisit
+        path, with selection in one octree_sweep call. Byte-identical to
+        the per-node recursion (tests/test_host_sweep.py). Returns the
+        start nodes handled; the caller recurses the rest."""
+        gathered = self._gather_revisit_subtrees(
+            arena, revisit_nodes, root, self.HOST_REVISIT_MIN_INCOMING,
+            self.HOST_REVISIT_MAX_CACHE_RATIO)
+        if gathered is None:
+            return []
+        handled, keys, ids, tiers, cached_counts = gathered
+        lv = self._host_sweep_levels(arena, keys, ids, root,
+                                     min_node_level=level - 1, tiers=tiers)
+        if lv is None:
+            return []
+        self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
+                                         root, cached_counts)
+        return handled
+
+    def _host_sweep_batch_start_nodes(self, arena, start_nodes, root,
+                                      level: int):
+        """Host sweep over a batch's start nodes: fresh subtrees as one
+        concatenated sweep (they are disjoint ascending key ranges),
+        revisited subtrees through the gather+sweep path. Returns the
+        start nodes the per-node recursion still has to tile."""
+        if not start_nodes or not self._host_sweep_enabled():
+            return start_nodes
+        if not hasattr(self.persistence, "node_exists"):
+            return start_nodes
+        fresh, revisit = [], []
+        for sn in start_nodes:
+            (revisit if self.persistence.node_exists(sn[0].name)
+             else fresh).append(sn)
+        leftovers = []
+        if fresh:
+            fk = np.concatenate([sn[1] for sn in fresh])
+            fi = np.concatenate([sn[2] for sn in fresh])
+            levels = self._host_sweep_levels(arena, fk, fi, root,
+                                             min_node_level=level - 1)
+            if levels is None:
+                leftovers.extend(fresh)
+            else:
+                self._persist_device_assignment(arena, fk, fi, levels, root)
+        if revisit:
+            handled = self._host_revisit_start_nodes(arena, revisit, root,
+                                                     level)
+            handled_names = {n.name for n in handled}
+            leftovers.extend(sn for sn in revisit
+                             if sn[0].name not in handled_names)
+        return leftovers
 
     # -- batch API ----------------------------------------------------------
 
@@ -779,6 +925,13 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
                 self._any_batch_processed = True
                 return
         self._any_batch_processed = True
+        # Host level-synchronous sweep (native octree_sweep) for whatever
+        # the device paths did not take: the fresh first batch as one
+        # sweep from the root, later batches as a root-rooted revisit.
+        remaining = self._host_sweep_batch_start_nodes(
+            arena, [(root, skeys, order)], root, 0)
+        if not remaining:
+            return
         self._do_tiling_for_node(arena, NodeTask(root, root, skeys, order))
 
     def _device_batch(self, arena, sorted_keys, sorted_ids,
@@ -866,6 +1019,12 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             if level > 0:
                 self._start_nodes_used.add(
                     (morton.parse_node_name(node.name)[0], level))
+        # Host level-synchronous sweep (native octree_sweep): whatever the
+        # device paths did not take — fresh subtrees in one concatenated
+        # call, revisited subtrees via gather+sweep — leaving only guard
+        # rejections / re-rooting depths to the per-node recursion.
+        start_nodes = self._host_sweep_batch_start_nodes(
+            arena, start_nodes, root, level)
         self._tile_start_nodes_parallel(
             arena, [NodeTask(node, root, k, i)
                     for node, k, i in start_nodes])
