@@ -48,6 +48,9 @@ class NativeLib:
             _u64p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _f64p, _f64p, ctypes.c_double, ctypes.c_void_p, _i8p]
+        lib.gather_rows.argtypes = [
+            _u64p, ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
         lib.radix_argsort_u64.argtypes = [_u64p, ctypes.c_int64, _i64p]
         lib.radix_sort_kv_u64.argtypes = [_u64p, ctypes.c_int64, _i64p,
                                           _u64p]
@@ -160,6 +163,22 @@ class NativeLib:
             None if cands is None else
             cands.ctypes.data_as(ctypes.c_void_p), out)
         return out
+
+    def gather_rows(self, srcs: np.ndarray, chunk_ids, local: np.ndarray,
+                    row_bytes: int, out: np.ndarray) -> None:
+        """out[i] = row local[i] of the array whose base pointer is
+        srcs[chunk_ids[i]] (srcs[0] for all rows when chunk_ids is None).
+        Caller guarantees the source arrays are C-contiguous, alive, and
+        row_bytes-wide; out must be C-contiguous with n*row_bytes bytes."""
+        if chunk_ids is not None:
+            chunk_ids = np.ascontiguousarray(chunk_ids, dtype=np.int64)
+        local = np.ascontiguousarray(local, dtype=np.int64)
+        self._lib.gather_rows(
+            srcs,
+            None if chunk_ids is None else
+            chunk_ids.ctypes.data_as(ctypes.c_void_p),
+            local, local.size, row_bytes,
+            out.ctypes.data_as(ctypes.c_void_p))
 
     def radix_argsort(self, keys: np.ndarray) -> np.ndarray:
         keys = np.ascontiguousarray(keys, dtype=np.uint64)

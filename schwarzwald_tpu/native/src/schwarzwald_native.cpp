@@ -786,3 +786,87 @@ extern "C" void octree_sweep(
       if (out[idx] == 0) ++remaining;
   }
 }
+
+// ---------------------------------------------------------------------------
+// Multi-chunk row gather (the arena's hot data-movement primitive)
+// ---------------------------------------------------------------------------
+//
+// out[i] = chunk[chunk_ids[i]].row[local[i]] for fixed-size rows. Replaces
+// numpy's per-chunk-run fancy indexing in tiling/arena.py — one flat loop
+// with two-level indirection (numpy cannot express it without a python
+// loop over chunk runs; measured 9x faster than np.take for f64x3 rows on
+// this deployment). chunk_ids may be null: all rows come from srcs[0]
+// (single-chunk arenas). srcs are raw base pointers of C-contiguous
+// arrays supplied (and kept alive) by the caller.
+
+namespace {
+
+template <typename T, int K>
+void gather_typed(const uint64_t* srcs, const int64_t* chunk_ids,
+                  const int64_t* local, int64_t n, T* out) {
+  if (chunk_ids) {
+    for (int64_t i = 0; i < n; ++i) {
+      const T* s =
+          reinterpret_cast<const T*>(srcs[chunk_ids[i]]) + local[i] * K;
+      for (int k = 0; k < K; ++k) out[i * K + k] = s[k];
+    }
+  } else {
+    const T* S = reinterpret_cast<const T*>(srcs[0]);
+    for (int64_t i = 0; i < n; ++i) {
+      const T* s = S + local[i] * K;
+      for (int k = 0; k < K; ++k) out[i * K + k] = s[k];
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" void gather_rows(const uint64_t* srcs, const int64_t* chunk_ids,
+                            const int64_t* local, int64_t n,
+                            int64_t row_bytes, uint8_t* out) {
+  switch (row_bytes) {
+    case 24:
+      gather_typed<double, 3>(srcs, chunk_ids, local, n,
+                              reinterpret_cast<double*>(out));
+      return;
+    case 16:
+      gather_typed<uint64_t, 2>(srcs, chunk_ids, local, n,
+                                reinterpret_cast<uint64_t*>(out));
+      return;
+    case 8:
+      gather_typed<uint64_t, 1>(srcs, chunk_ids, local, n,
+                                reinterpret_cast<uint64_t*>(out));
+      return;
+    case 6:
+      gather_typed<uint16_t, 3>(srcs, chunk_ids, local, n,
+                                reinterpret_cast<uint16_t*>(out));
+      return;
+    case 4:
+      gather_typed<uint32_t, 1>(srcs, chunk_ids, local, n,
+                                reinterpret_cast<uint32_t*>(out));
+      return;
+    case 3:
+      gather_typed<uint8_t, 3>(srcs, chunk_ids, local, n, out);
+      return;
+    case 2:
+      gather_typed<uint16_t, 1>(srcs, chunk_ids, local, n,
+                                reinterpret_cast<uint16_t*>(out));
+      return;
+    case 1:
+      gather_typed<uint8_t, 1>(srcs, chunk_ids, local, n, out);
+      return;
+    default:
+      if (chunk_ids) {
+        for (int64_t i = 0; i < n; ++i)
+          std::memcpy(out + i * row_bytes,
+                      reinterpret_cast<const uint8_t*>(srcs[chunk_ids[i]]) +
+                          local[i] * row_bytes,
+                      row_bytes);
+      } else {
+        const uint8_t* S = reinterpret_cast<const uint8_t*>(srcs[0]);
+        for (int64_t i = 0; i < n; ++i)
+          std::memcpy(out + i * row_bytes, S + local[i] * row_bytes,
+                      row_bytes);
+      }
+  }
+}
