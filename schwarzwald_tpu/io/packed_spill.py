@@ -25,7 +25,7 @@ user-facing sink:
     idempotent (positions already sit on the scale grid).
 
 Crash consistency (--resume): writes between checkpoints live only in
-memory + unjournaled data-file bytes. commit_batch() fsyncs the data file
+memory + unjournaled data-file bytes. commit_batch() syncs the data file
 and publishes this batch's index entries as a journal segment through the
 SAME FileStaging manifest as the tiler checkpoint rename — segment and
 checkpoint advance atomically (io/staging.py). On reopen, committed
@@ -76,7 +76,10 @@ class PackedSpillStore:
             if os.path.getsize(self.data_path) > committed_end:
                 with open(self.data_path, "r+b") as f:
                     f.truncate(committed_end)
-        self._f = open(self.data_path, "ab")
+        # 1 MB userspace buffer: node blobs are a few KB and out-of-core
+        # runs append tens of thousands per batch — the default 8 KB
+        # buffer made nearly every blob a write(2)
+        self._f = open(self.data_path, "ab", buffering=1 << 20)
         self._read_fd = os.open(self.data_path, os.O_RDONLY)
         self._drained = False
         # Snapshot the wrapped sink's pre-existing nodes ONCE (resumed
@@ -183,7 +186,10 @@ class PackedSpillStore:
     def commit_batch(self, extra_renames=None) -> None:
         with self._lock:
             self._f.flush()
-            os.fsync(self._f.fileno())
+            # fdatasync: data + the size metadata needed to read it back
+            # (POSIX guarantees both); skips the inode timestamp flush
+            # that made fsync ~80 ms/call on this deployment
+            os.fdatasync(self._f.fileno())
             data_end = self._f.tell()
             pending, self._pending = self._pending, []
             seg_name = f"journal-{len(self._segments):06d}.json"
@@ -193,7 +199,7 @@ class PackedSpillStore:
         with open(staged, "w") as f:
             json.dump({"entries": pending, "data_end": data_end}, f)
             f.flush()
-            os.fsync(f.fileno())
+            os.fdatasync(f.fileno())
         self._staging.commit(extra_renames)
 
     # -- drain --------------------------------------------------------------
