@@ -47,7 +47,8 @@ class NativeLib:
         lib.octree_sweep.argtypes = [
             _u64p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            _f64p, _f64p, ctypes.c_double, ctypes.c_void_p, _i8p]
+            _f64p, _f64p, ctypes.c_double, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, _i8p]
         lib.gather_rows.argtypes = [
             _u64p, ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
@@ -129,7 +130,10 @@ class NativeLib:
         return out.view(bool)
 
     SWEEP_STRATEGY_IDS = {"MIN_DISTANCE": 0, "MIN_DISTANCE_FAST": 1,
-                          "RANDOM_GRID": 2}
+                          "RANDOM_GRID": 2, "GRID_CENTER": 3,
+                          "JITTERED": 4}
+
+    _perm_tables = None  # contiguous-u32 jitter tables, loaded once
 
     def octree_sweep(self, keys: np.ndarray, tiers, positions, strategy: str,
                      min_node_level: int, max_depth: int, max_points: int,
@@ -137,9 +141,10 @@ class NativeLib:
                      cands) -> np.ndarray:
         """Host level-synchronous octree assignment over a merged
         (key asc, tier asc) array. Returns int8 levels (node_level + 2);
-        0 = unassigned (re-rooting depths — caller falls back to the
-        recursion). tiers None = fresh batch; positions None is valid for
-        RANDOM_GRID; cands None is valid for MIN_DISTANCE."""
+        0 = unassigned (re-rooting depths / JITTERED error grids — caller
+        falls back to the recursion). tiers None = fresh batch; positions
+        None is valid for RANDOM_GRID; cands None is valid for
+        MIN_DISTANCE and JITTERED."""
         keys = np.ascontiguousarray(keys, dtype=np.uint64)
         n = keys.size
         out = np.zeros(n, dtype=np.int8)
@@ -149,6 +154,16 @@ class NativeLib:
             positions = np.ascontiguousarray(positions, dtype=np.float64)
         if cands is not None:
             cands = np.ascontiguousarray(cands, dtype=np.int32)
+        p16 = p32 = p64 = None
+        if strategy == "JITTERED":
+            if NativeLib._perm_tables is None:
+                from ..ops import permutations
+                NativeLib._perm_tables = tuple(
+                    np.ascontiguousarray(t, dtype=np.uint32)
+                    for t in (permutations.PERMUTATIONS_16,
+                              permutations.PERMUTATIONS_32,
+                              permutations.PERMUTATIONS_64))
+            p16, p32, p64 = NativeLib._perm_tables
         self._lib.octree_sweep(
             keys,
             None if tiers is None else
@@ -161,7 +176,11 @@ class NativeLib:
             np.ascontiguousarray(root_max, dtype=np.float64),
             float(spacing_at_root),
             None if cands is None else
-            cands.ctypes.data_as(ctypes.c_void_p), out)
+            cands.ctypes.data_as(ctypes.c_void_p),
+            None if p16 is None else p16.ctypes.data_as(ctypes.c_void_p),
+            None if p32 is None else p32.ctypes.data_as(ctypes.c_void_p),
+            None if p64 is None else p64.ctypes.data_as(ctypes.c_void_p),
+            out)
         return out
 
     def gather_rows(self, srcs: np.ndarray, chunk_ids, local: np.ndarray,

@@ -501,10 +501,21 @@ void las_decode_index_fused(const uint8_t* records, int64_t n, int32_t stride,
 //     (cand >= 21) leave the remainder unassigned for the host engine
 //   - terminal nodes at min(20, max_depth) take everything
 //
-// strategy: 0 = MIN_DISTANCE, 1 = MIN_DISTANCE_FAST, 2 = RANDOM_GRID.
+//   - GRID_CENTER: per candidate-level cell, the point closest to the
+//     cell center (GridCenterSampling, Sampling.h:380-420); first-min
+//     tie rule, any-NaN-in-cell selects nothing (numpy reduceat parity)
+//   - JITTERED: per grid-level cell, the point closest to the cell's
+//     permutation-table jitter target (Sampling.h:16-138, 422-520);
+//     <16x16 grids or grid_level >= 21 abort the sweep (the recursion
+//     raises the reference's error for those)
+//
+// strategy: 0 = MIN_DISTANCE, 1 = MIN_DISTANCE_FAST, 2 = RANDOM_GRID,
+// 3 = GRID_CENTER, 4 = JITTERED.
 // tiers may be null (fresh batch: all -128). positions may be null for
 // RANDOM_GRID. cands (indexed by node_level+1) may be null for
-// MIN_DISTANCE. out must be zero-initialized; 0 = unassigned.
+// MIN_DISTANCE/JITTERED. perm16/32/64 are the 16-row jitter permutation
+// tables (row lengths 16/32/64, 1-based values), null unless JITTERED.
+// out must be zero-initialized; 0 = unassigned.
 
 namespace {
 
@@ -673,7 +684,8 @@ extern "C" void octree_sweep(
     const uint64_t* keys, const int8_t* tiers, const double* positions,
     int64_t n, int32_t strategy, int32_t min_node_level, int32_t max_depth,
     int32_t max_points, const double* root_min, const double* root_max,
-    double spacing_at_root, const int32_t* cands, int8_t* out) {
+    double spacing_at_root, const int32_t* cands, const uint32_t* perm16,
+    const uint32_t* perm32, const uint32_t* perm64, int8_t* out) {
   const int32_t max_level = std::min(20, max_depth);
   static thread_local std::vector<int64_t> idx_buf;     // participating idx
   static thread_local std::vector<int64_t> group_off;   // group starts
@@ -683,8 +695,8 @@ extern "C" void octree_sweep(
   int64_t remaining = n;
   for (int32_t L = min_node_level; L <= max_level && remaining > 0; ++L) {
     bool terminal;
-    int32_t cand = -2;  // -2 = no candidate rule (MIN_DISTANCE)
-    if (strategy == 2) {
+    int32_t cand = -2;  // -2 = no candidate rule (MIN_DISTANCE/JITTERED)
+    if (strategy == 2 || strategy == 3) {
       cand = cands[L + 1];
       const bool requires_deeper = cand > L;
       terminal = requires_deeper ? (L >= max_level) : (cand >= max_level);
@@ -692,6 +704,11 @@ extern "C" void octree_sweep(
     } else {
       terminal = L >= max_level;
       if (strategy == 1) cand = cands[L + 1];
+      // JITTERED re-root rule: the engine re-roots when the REQUIRED
+      // index depth (approximate-extent formula, fed via cands) reaches
+      // 21 — the recursion owns those depths. cand stays -2: the
+      // partition_at_root branch below is not a JITTERED behavior.
+      if (strategy == 4 && !terminal && cands[L + 1] >= 21) return;
     }
     const int shift = 3 * (20 - L);  // depth L+1 node prefix (63 at root)
 
@@ -727,6 +744,7 @@ extern "C" void octree_sweep(
     const int32_t nth =
         (strategy == 1) ? (L < 0 ? 4 : (L < 1 ? 2 : 1)) : 1;
     const int8_t assign = static_cast<int8_t>(L + 2);
+    int jit_abort = 0;  // JITTERED error cases: recursion raises instead
 #pragma omp parallel for schedule(dynamic, 1)
     for (int64_t g = 0; g < n_groups; ++g) {
       const int64_t s = GOFF[g], e = GOFF[g + 1];
@@ -755,6 +773,137 @@ extern "C" void octree_sweep(
         }
         continue;
       }
+      if (strategy == 3) {  // GRID_CENTER: closest to cand-cell center
+        const int cshift = 3 * (20 - cand);
+        for (int64_t t = s; t < e;) {
+          const uint64_t cell = keys[IDX[t]] >> cshift;
+          int64_t r_end = t + 1;
+          while (r_end < e && (keys[IDX[r_end]] >> cshift) == cell)
+            ++r_end;
+          double clo[3], chi[3];
+          node_bounds_from_prefix(cell, cand + 1, root_min, root_max, clo,
+                                  chi);
+          // getCenter = min + extent/2 (same FP as mins + (maxs-mins)/2)
+          const double cx = clo[0] + (chi[0] - clo[0]) / 2.0;
+          const double cy = clo[1] + (chi[1] - clo[1]) / 2.0;
+          const double cz = clo[2] + (chi[2] - clo[2]) / 2.0;
+          int64_t best = -1;
+          double bestd = 0.0;
+          bool nan_run = false;
+          for (int64_t u = t; u < r_end; ++u) {
+            const int64_t idx = IDX[u];
+            double d = positions[idx * 3] - cx;
+            d *= d;
+            double w = positions[idx * 3 + 1] - cy;
+            d += w * w;
+            w = positions[idx * 3 + 2] - cz;
+            d += w * w;
+            if (d != d) {  // numpy reduceat: NaN poisons the whole cell
+              nan_run = true;
+              break;
+            }
+            if (best < 0 || d < bestd) {
+              best = u;
+              bestd = d;
+            }
+          }
+          if (!nan_run && best >= 0) out[IDX[best]] = assign;
+          t = r_end;
+        }
+        continue;
+      }
+      if (strategy == 4) {  // JITTERED: closest to permutation target
+        double lo[3], hi[3];
+        node_bounds_from_prefix(keys[IDX[s]] >> shift, L + 1, root_min,
+                                root_max, lo, hi);
+        const double node_extent_x = hi[0] - lo[0];
+        const double spacing =
+            spacing_at_root / std::pow(2.0, static_cast<double>(L + 1));
+        const double pcc = node_extent_x / spacing;
+        const int64_t v = static_cast<int64_t>(pcc);
+        int64_t actual = 0;
+        if (v > 0) {
+          actual = 1;
+          while ((actual << 1) <= v) actual <<= 1;
+        }
+        int lv = 0;
+        while ((int64_t(1) << lv) < actual) ++lv;
+        const int grid_level = L + lv;
+        if (actual < 16 || grid_level >= 21) {
+#pragma omp atomic write
+          jit_abort = 1;
+          continue;
+        }
+        const uint32_t* table;
+        int R;
+        if (actual <= 16) {
+          table = perm16;
+          R = 16;
+        } else if (actual <= 32) {
+          table = perm32;
+          R = 32;
+        } else {
+          table = perm64;
+          R = 64;
+        }
+        const int64_t plen = std::min<int64_t>(actual, 64);
+        const int start_index = (3 * (L + 1)) % 16;
+        const uint32_t* p0 = table + start_index * R;
+        const uint32_t* p1 = table + ((start_index + 1) % 16) * R;
+        const uint32_t* p2 = table + ((start_index + 2) % 16) * R;
+        const double gcs = node_extent_x / static_cast<double>(actual);
+        const double pcs = gcs / static_cast<double>(actual);
+        const int gshift = 3 * (20 - grid_level);
+        const uint64_t gmask = (uint64_t(1) << (3 * lv)) - 1;
+        for (int64_t t = s; t < e;) {
+          const uint64_t cell = keys[IDX[t]] >> gshift;
+          int64_t r_end = t + 1;
+          while (r_end < e && (keys[IDX[r_end]] >> gshift) == cell)
+            ++r_end;
+          const uint64_t rel = cell & gmask;
+          int64_t gx = 0, gy = 0, gz = 0;
+          for (int b = 0; b < lv; ++b) {
+            gx |= static_cast<int64_t>((rel >> (3 * b + 2)) & 1) << b;
+            gy |= static_cast<int64_t>((rel >> (3 * b + 1)) & 1) << b;
+            gz |= static_cast<int64_t>((rel >> (3 * b)) & 1) << b;
+          }
+          const double px =
+              static_cast<double>(p0[(gy + gz) % plen]) - 1.0;
+          const double py =
+              static_cast<double>(p1[(gx + gz) % plen]) - 1.0;
+          const double pz =
+              static_cast<double>(p2[(gx + gy) % plen]) - 1.0;
+          const double tx =
+              lo[0] + static_cast<double>(gx) * gcs + px * pcs;
+          const double ty =
+              lo[1] + static_cast<double>(gy) * gcs + py * pcs;
+          const double tz =
+              lo[2] + static_cast<double>(gz) * gcs + pz * pcs;
+          int64_t best = -1;
+          double bestd = 0.0;
+          bool nan_run = false;
+          for (int64_t u = t; u < r_end; ++u) {
+            const int64_t idx = IDX[u];
+            double d = positions[idx * 3] - tx;
+            d *= d;
+            double w = positions[idx * 3 + 1] - ty;
+            d += w * w;
+            w = positions[idx * 3 + 2] - tz;
+            d += w * w;
+            if (d != d) {
+              nan_run = true;
+              break;
+            }
+            if (best < 0 || d < bestd) {
+              best = u;
+              bestd = d;
+            }
+          }
+          if (!nan_run && best >= 0) out[IDX[best]] = assign;
+          t = r_end;
+        }
+        continue;
+      }
       // MIN_DISTANCE / MIN_DISTANCE_FAST: sequential Poisson acceptance
       static thread_local std::unordered_map<int64_t, int32_t> hash_head;
       static thread_local std::vector<int32_t> dense_head;
@@ -779,6 +928,7 @@ extern "C" void octree_sweep(
       }
       acc.reset_dense();
     }
+    if (jit_abort) return;  // leaves zeros: the engine recurses (+raises)
     // Short-circuit once everything is assigned (uniform clouds finish in
     // the first few levels) — an O(n) int8 recount per level is noise.
     remaining = 0;

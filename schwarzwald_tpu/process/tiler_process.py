@@ -67,8 +67,11 @@ class TilerArguments:
     # TilerMetaParameters.use_device.
     use_device: str | None = None
     # In-memory node cache size in bytes (--cache-size); see
-    # TilerMetaParameters.cache_size_bytes.
-    cache_size_bytes: int = 0
+    # TilerMetaParameters.cache_size_bytes. Default matches the CLI's
+    # 512 MiB — out-of-core revisits re-read every touched node per batch
+    # (TilingAlgorithms.cpp:50-109), and serving those from memory also
+    # preserves the re-derived-key memo (engine._read_cached_points).
+    cache_size_bytes: int = 512 << 20
     # Multi-chip mesh size (0 = single device); see TilerMetaParameters.
     multichip: int = 0
     # Multi-host tiling over a shared output filesystem: this process's

@@ -774,7 +774,7 @@ class TilingAlgorithmBase:
     # Strategies covered by the native host sweep kernel
     # (native/src/schwarzwald_native.cpp octree_sweep).
     HOST_SWEEP_STRATEGIES = ("MIN_DISTANCE", "MIN_DISTANCE_FAST",
-                             "RANDOM_GRID")
+                             "RANDOM_GRID", "GRID_CENTER", "JITTERED")
     # Revisit guards: unlike the device sweep there is no transfer cost,
     # but the sweep re-reads and re-samples a start node's WHOLE subtree
     # while the recursion touches only nodes on incoming paths — tiny
@@ -808,10 +808,23 @@ class TilingAlgorithmBase:
         name = self.sampling_strategy.name
         root_ext_x = float(root.bounds.extent()[0])
         cands = None
-        if name in ("MIN_DISTANCE_FAST", "RANDOM_GRID"):
+        if name in ("MIN_DISTANCE_FAST", "RANDOM_GRID", "GRID_CENTER"):
             from ..ops import device_tiling
             cands = device_tiling.candidate_levels(
                 root_ext_x, root.max_spacing, root.max_depth)
+        elif name == "JITTERED":
+            # per-level REQUIRED index depth via the reference's
+            # approximate-extent formula (Sampling.cpp:48-59) — the
+            # re-root decision must mirror the recursion's, which uses
+            # this and not the descended node extent
+            from ..ops.sampling import required_morton_index_depth
+            cands = np.array(
+                [required_morton_index_depth(
+                    self.sampling_strategy, lv, root_ext_x,
+                    root.max_spacing)
+                 for lv in range(-1, min(MAX_OCTREE_LEVELS - 1,
+                                         root.max_depth) + 1)],
+                dtype=np.int32)
         positions = None
         if name != "RANDOM_GRID":
             # grow-only scratch (consumed synchronously by the native

@@ -51,7 +51,7 @@ def _assert_identical(host_sink, sweep_sink, label):
 
 
 @pytest.mark.parametrize("sampling", ["MIN_DISTANCE", "MIN_DISTANCE_FAST",
-                                      "RANDOM_GRID"])
+                                      "RANDOM_GRID", "GRID_CENTER"])
 @pytest.mark.parametrize("strategy", [TilingStrategy.Fast,
                                       TilingStrategy.Accurate])
 def test_host_sweep_multi_batch_identical(rng, monkeypatch, strategy,
@@ -68,6 +68,40 @@ def test_host_sweep_multi_batch_identical(rng, monkeypatch, strategy,
     swept, algo = _run(batches, strategy, sampling, meta, monkeypatch,
                        sweep=True, pin_level=pin)
     _assert_identical(host, swept, f"{strategy}/{sampling}")
+
+
+@pytest.mark.parametrize("strategy", [TilingStrategy.Fast,
+                                      TilingStrategy.Accurate])
+def test_host_sweep_jittered_identical(rng, monkeypatch, strategy):
+    """JITTERED needs root_extent/spacing >= 16 (16x16 minimum grid);
+    permutation-table targets + argmin selection must match the
+    recursion byte-for-byte across fresh and revisit batches."""
+    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
+               for _ in range(3)]
+    meta = TilerMetaParameters(spacing_at_root=3.0, max_points_per_node=200,
+                               concurrency=4)
+    pin = 2 if strategy is TilingStrategy.Fast else None
+    host, _ = _run(batches, strategy, "JITTERED", meta, monkeypatch,
+                   sweep=False, pin_level=pin)
+    swept, _ = _run(batches, strategy, "JITTERED", meta, monkeypatch,
+                    sweep=True, pin_level=pin)
+    _assert_identical(host, swept, f"{strategy}/JITTERED")
+
+
+def test_host_sweep_jittered_small_grid_raises_like_recursion(rng,
+                                                              monkeypatch):
+    """root_extent/spacing < 16: the recursion raises the reference's
+    'Grids smaller than 16x16' error; the sweep must abort into the
+    recursion and surface the SAME error, not silently mis-sample."""
+    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (3000, 3))]
+    meta = TilerMetaParameters(spacing_at_root=8.0,
+                               max_points_per_node=100, concurrency=4)
+    with pytest.raises(RuntimeError, match="16x16"):
+        _run(batches, TilingStrategy.Accurate, "JITTERED", meta,
+             monkeypatch, sweep=False)
+    with pytest.raises(RuntimeError, match="16x16"):
+        _run(batches, TilingStrategy.Accurate, "JITTERED", meta,
+             monkeypatch, sweep=True)
 
 
 def test_host_sweep_terminal_nodes(rng, monkeypatch):
