@@ -422,6 +422,12 @@ def compute_las_scale_from_bounds(bounds: AABB) -> float:
 
 def quantize_positions(positions: np.ndarray, scale, offset) -> np.ndarray:
     """I32_QUANTIZE semantics: round half away from zero."""
+    if positions.shape[0] >= 256:
+        from .. import native
+        lib = native.las_codec()
+        if lib is not None:
+            return lib.quantize_i32(positions, np.asarray(scale),
+                                    np.asarray(offset))
     v = (positions - np.asarray(offset)) / np.asarray(scale)
     return np.where(v >= 0, v + 0.5, v - 0.5).astype(np.int32)
 

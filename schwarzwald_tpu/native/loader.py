@@ -56,6 +56,8 @@ class NativeLib:
             _u64p, _f64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
             ctypes.c_int32, _f64p, ctypes.c_double, ctypes.c_double,
             _u32p, _u32p, _u32p, ctypes.c_int64, _u8p]
+        lib.quantize_i32.argtypes = [
+            _f64p, ctypes.c_int64, _f64p, _f64p, _i32p]
         lib.gather_rows.argtypes = [
             _u64p, ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
@@ -226,6 +228,20 @@ class NativeLib:
             np.ascontiguousarray(p1, dtype=np.uint32),
             np.ascontiguousarray(p2, dtype=np.uint32), int(plen), out)
         return out.view(bool)
+
+    def quantize_i32(self, positions: np.ndarray, scale: np.ndarray,
+                     offset: np.ndarray) -> np.ndarray:
+        """Fused I32_QUANTIZE of an (n, 3) position block (bit-identical
+        to the numpy subtract/divide/round-half-away/astype chain)."""
+        positions = np.ascontiguousarray(positions, dtype=np.float64)
+        out = np.empty((positions.shape[0], 3), dtype=np.int32)
+        scale3 = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(scale, dtype=np.float64), 3))
+        offset3 = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(offset, dtype=np.float64), 3))
+        self._lib.quantize_i32(positions, positions.shape[0], scale3,
+                               offset3, out)
+        return out
 
     def gather_rows(self, srcs: np.ndarray, chunk_ids, local: np.ndarray,
                     row_bytes: int, out: np.ndarray) -> None:

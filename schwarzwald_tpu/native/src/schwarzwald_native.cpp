@@ -1120,3 +1120,22 @@ extern "C" void jittered_argmin(const uint64_t* keys,
     t = r_end;
   }
 }
+
+// I32_QUANTIZE (LASPersistence write path): out = int32(round half away
+// from zero of (pos - offset) / scale), one fused pass replacing the
+// numpy subtract/divide/where/astype temporary chain. Division (not
+// multiply-by-reciprocal) to keep bit parity with the numpy twin.
+extern "C" void quantize_i32(const double* pos, int64_t n,
+                             const double* scale, const double* offset,
+                             int32_t* out) {
+  const double ox = offset[0], oy = offset[1], oz = offset[2];
+  const double sx = scale[0], sy = scale[1], sz = scale[2];
+  for (int64_t i = 0; i < n; ++i) {
+    double v = (pos[i * 3] - ox) / sx;
+    out[i * 3] = static_cast<int32_t>(v >= 0 ? v + 0.5 : v - 0.5);
+    v = (pos[i * 3 + 1] - oy) / sy;
+    out[i * 3 + 1] = static_cast<int32_t>(v >= 0 ? v + 0.5 : v - 0.5);
+    v = (pos[i * 3 + 2] - oz) / sz;
+    out[i * 3 + 2] = static_cast<int32_t>(v >= 0 ? v + 0.5 : v - 0.5);
+  }
+}

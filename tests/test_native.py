@@ -58,3 +58,15 @@ def test_radix_argsort_trivial_high_bytes(lib, rng):
     keys = rng.integers(0, 255, size=50_000, dtype=np.uint64)
     np.testing.assert_array_equal(lib.radix_argsort(keys),
                                   np.argsort(keys, kind="stable"))
+
+
+def test_quantize_i32_matches_numpy(lib, rng):
+    """Fused I32_QUANTIZE vs the numpy chain, incl. negatives and exact
+    .5 boundaries (round half away from zero)."""
+    pos = rng.uniform(-1000.0, 1000.0, (20_000, 3))
+    pos[:64] = np.round(pos[:64] * 2) / 2  # exact halves after scaling
+    scale = np.array([0.001, 0.01, 0.0001])
+    offset = np.array([-3.5, 7.25, 0.0])
+    v = (pos - offset) / scale
+    want = np.where(v >= 0, v + 0.5, v - 0.5).astype(np.int32)
+    np.testing.assert_array_equal(lib.quantize_i32(pos, scale, offset), want)
