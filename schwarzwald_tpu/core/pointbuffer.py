@@ -89,7 +89,14 @@ class PointBuffer:
         self.columns[attr] = arr
 
     def take(self, indices) -> "PointBuffer":
-        """Gather a sub-buffer by indices (replaces per-point copying)."""
+        """Gather a sub-buffer by indices (replaces per-point copying).
+
+        Routes through the native prefetching row gather when available —
+        numpy fancy indexing is DRAM-latency bound on big out-of-LLC
+        buffers and this is the persist path's workhorse."""
+        gathered = _native_take(self, indices)
+        if gathered is not None:
+            return gathered
         out = PointBuffer(self.positions[indices])
         for attr, arr in self.columns.items():
             out.columns[attr] = arr[indices]
@@ -158,3 +165,41 @@ class PointBuffer:
         return all(
             np.array_equal(arr, other.columns[a]) for a, arr in self.columns.items()
         )
+
+
+_TAKE_MIN_ROWS = 2048
+
+
+def _native_take(buf: PointBuffer, indices) -> "PointBuffer | None":
+    """take() through the native single-chunk row gather, one flat pass
+    per column. Returns None (numpy fallback) for small gathers, boolean
+    masks, or dtypes the kernel has no row size for."""
+    idx = np.asarray(indices)
+    if idx.dtype == bool or idx.size < _TAKE_MIN_ROWS or idx.ndim != 1:
+        return None
+    from .. import native
+    lib = native.las_codec()
+    if lib is None:
+        return None
+    cols = list(buf.columns.items())
+    for _, arr in cols:
+        if not arr.flags.c_contiguous or arr.itemsize * (
+                arr.shape[1] if arr.ndim > 1 else 1) not in (
+                    1, 2, 3, 4, 6, 8, 16, 24):
+            return None
+    if not buf.positions.flags.c_contiguous:
+        return None
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= buf.count):
+        return None  # numpy handles negative / out-of-range semantics
+    out = PointBuffer.__new__(PointBuffer)
+    out.positions = np.empty((idx.size, 3), dtype=np.float64)
+    out.morton_keys = None
+    lib.gather_rows_single(buf.positions, idx, 24, out.positions)
+    out.columns = {}
+    for attr, arr in cols:
+        row = arr.itemsize * (arr.shape[1] if arr.ndim > 1 else 1)
+        dst = np.empty((idx.size,) + arr.shape[1:], dtype=arr.dtype)
+        lib.gather_rows_single(arr, idx, row, dst)
+        out.columns[attr] = dst
+    return out

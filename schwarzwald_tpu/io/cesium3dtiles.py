@@ -68,6 +68,8 @@ class Cesium3DTilesPersistence:
         os.makedirs(work_dir, exist_ok=True)
         from .staging import FileStaging
         self._staging = FileStaging(work_dir)
+        from .write_behind import writer_from_env
+        self._writer = writer_from_env()
 
     def _path(self, node_name: str) -> str:
         return os.path.join(self.work_dir, node_name + ".pnts")
@@ -76,23 +78,38 @@ class Cesium3DTilesPersistence:
                        node_name: str) -> None:
         if not points.count:
             raise RuntimeError("persist_points requires a non-empty range")
-        pnts.write_pnts(self._staging.path_for(self._path(node_name)),
-                        points, self.output_attributes,
-                        self.global_offset, self.rgb_mapping)
+        path = self._staging.path_for(self._path(node_name))
+        if self._writer is not None:
+            buf, total = pnts.encode_pnts_into(
+                points, self.output_attributes, self.global_offset,
+                self.rgb_mapping, self._writer.alloc)
+            self._writer.submit(path, buf, total)
+        else:
+            pnts.write_pnts(path, points, self.output_attributes,
+                            self.global_offset, self.rgb_mapping)
         self._on_write_node(node_name, bounds)
+
+    def _wait_written(self, path: str) -> None:
+        if self._writer is not None:
+            self._writer.wait(path)
 
     def retrieve_points(self, node_name: str) -> PointBuffer:
         path = self._path(node_name)
+        self._wait_written(path)
         if not os.path.exists(path):
             return PointBuffer()
         buf, _ = pnts.read_pnts(path, self.input_attributes)
         return buf
 
     def node_exists(self, node_name: str) -> bool:
-        return os.path.exists(self._path(node_name))
+        path = self._path(node_name)
+        self._wait_written(path)
+        return os.path.exists(path)
 
     def node_names(self) -> list:
         """Committed node names, for the device revisit sweep."""
+        if self._writer is not None:
+            self._writer.drain()
         return sorted(f[:-5] for f in os.listdir(self.work_dir)
                       if f.endswith(".pnts")
                       and os.path.isfile(os.path.join(self.work_dir, f)))
@@ -101,6 +118,8 @@ class Cesium3DTilesPersistence:
         self._staging.begin()
 
     def commit_batch(self, extra_renames=None) -> None:
+        if self._writer is not None:
+            self._writer.drain()  # renames must see completed files
         self._staging.commit(extra_renames)
 
     # -- tileset tree -------------------------------------------------------
@@ -148,6 +167,9 @@ class Cesium3DTilesPersistence:
 
     def close(self) -> None:
         """Write the tileset.json forest (write_tilesets, cpp:174-213)."""
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
         self._reconcile_existing_nodes()
         if self._root_tileset is None:
             return

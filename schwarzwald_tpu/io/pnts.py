@@ -87,14 +87,18 @@ def _binary_attributes(points: PointBuffer, output_attributes,
 _PAD = b"\x00" * 8
 
 
-def write_pnts(path: str, points: PointBuffer, output_attributes,
-               rtc_center, rgb_mapping: RGBMapping = RGBMapping.Nothing):
+def encode_pnts_into(points: PointBuffer, output_attributes, rtc_center,
+                     rgb_mapping: RGBMapping, alloc) -> tuple:
+    """Encode a full .pnts payload into a buffer obtained from `alloc(size)`
+    (an AsyncFileWriter pool, or bytearray for a one-shot). Returns
+    (buffer, nbytes). The buffer owns a copy of every array, so the point
+    data may be reused by the caller immediately."""
     n = points.count
     ft: dict = {"POINTS_LENGTH": n,
                 "RTC_CENTER": [float(rtc_center[0]), float(rtc_center[1]),
                                float(rtc_center[2])]}
     arrays = _binary_attributes(points, output_attributes, rgb_mapping)
-    parts = []  # (pad_bytes, array) pairs, written without re-copies
+    parts = []  # (pad_bytes, array) pairs
     offset = 0
     for name, arr, alignment in arrays:
         aligned = _align(offset, alignment)
@@ -108,18 +112,35 @@ def write_pnts(path: str, points: PointBuffer, output_attributes,
     ft_json_size = _align(len(ft_json), 8)
 
     total = HEADER_SIZE + ft_json_size + body_size
-    with open(path, "wb", buffering=1 << 20) as f:
-        f.write(b"pnts")
-        f.write(struct.pack("<6I", 1, total, ft_json_size, body_size, 0, 0))
-        f.write(ft_json)
-        if len(ft_json) != ft_json_size:
-            f.write(b" " * (ft_json_size - len(ft_json)))
-        for pad, arr in parts:
-            if pad:
-                f.write(_PAD[:pad])
-            f.write(memoryview(arr).cast("B"))
-        if tail_pad:
-            f.write(_PAD[:tail_pad])
+    buf = alloc(total)
+    view = memoryview(buf)
+    view[0:4] = b"pnts"
+    struct.pack_into("<6I", buf, 4, 1, total, ft_json_size, body_size, 0, 0)
+    pos = HEADER_SIZE
+    view[pos:pos + len(ft_json)] = ft_json
+    pos += len(ft_json)
+    if len(ft_json) != ft_json_size:
+        pad = ft_json_size - len(ft_json)
+        view[pos:pos + pad] = b" " * pad
+        pos += pad
+    for pad, arr in parts:
+        if pad:
+            view[pos:pos + pad] = _PAD[:pad]
+            pos += pad
+        view[pos:pos + arr.nbytes] = memoryview(arr).cast("B")
+        pos += arr.nbytes
+    if tail_pad:
+        view[pos:pos + tail_pad] = _PAD[:tail_pad]
+        pos += tail_pad
+    return buf, total
+
+
+def write_pnts(path: str, points: PointBuffer, output_attributes,
+               rtc_center, rgb_mapping: RGBMapping = RGBMapping.Nothing):
+    buf, total = encode_pnts_into(points, output_attributes, rtc_center,
+                                  rgb_mapping, bytearray)
+    with open(path, "wb") as f:
+        f.write(memoryview(buf)[:total])
 
 
 def read_pnts(path: str, attributes=None):

@@ -243,6 +243,13 @@ class NativeLib:
                                offset3, out)
         return out
 
+    def gather_rows_single(self, src: np.ndarray, idx: np.ndarray,
+                           row_bytes: int, out: np.ndarray) -> None:
+        """out[i] = row idx[i] of a single contiguous source array."""
+        srcs = np.array([src.ctypes.data], dtype=np.uint64)
+        self._lib.gather_rows(srcs, None, idx, idx.size, row_bytes,
+                              out.ctypes.data_as(ctypes.c_void_p))
+
     def gather_rows(self, srcs: np.ndarray, chunk_ids, local: np.ndarray,
                     row_bytes: int, out: np.ndarray) -> None:
         """out[i] = row local[i] of the array whose base pointer is

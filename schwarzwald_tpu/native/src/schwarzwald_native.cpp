@@ -954,8 +954,18 @@ namespace {
 template <typename T, int K>
 void gather_typed(const uint64_t* srcs, const int64_t* chunk_ids,
                   const int64_t* local, int64_t n, T* out) {
+  // Random rows over a working set far beyond LLC are DRAM-latency
+  // bound (~1 row per ~100 ns); software prefetch PF rows ahead keeps
+  // multiple line fills in flight (measured ~3x on the out-of-core
+  // revisit gathers of this deployment's VM).
+  constexpr int64_t PF = 24;
   if (chunk_ids) {
     for (int64_t i = 0; i < n; ++i) {
+      if (i + PF < n)
+        __builtin_prefetch(
+            reinterpret_cast<const T*>(srcs[chunk_ids[i + PF]]) +
+                local[i + PF] * K,
+            0, 0);
       const T* s =
           reinterpret_cast<const T*>(srcs[chunk_ids[i]]) + local[i] * K;
       for (int k = 0; k < K; ++k) out[i * K + k] = s[k];
@@ -963,6 +973,7 @@ void gather_typed(const uint64_t* srcs, const int64_t* chunk_ids,
   } else {
     const T* S = reinterpret_cast<const T*>(srcs[0]);
     for (int64_t i = 0; i < n; ++i) {
+      if (i + PF < n) __builtin_prefetch(S + local[i + PF] * K, 0, 0);
       const T* s = S + local[i] * K;
       for (int k = 0; k < K; ++k) out[i * K + k] = s[k];
     }
