@@ -68,7 +68,7 @@ class PackedSpillStore:
         committed_end = 0
         for seg in self._segments:
             doc = json.load(open(os.path.join(self.dir, seg)))
-            for e in doc["entries"]:
+            for e in self._unpack_entries(doc):
                 self._apply_entry(e)
             committed_end = doc["data_end"]
         # discard any uncommitted tail from a crashed batch
@@ -119,8 +119,8 @@ class PackedSpillStore:
         # write and out-of-core runs write hundreds of thousands — dict
         # keys tripled the json cost
         return [op, name, off, length,
-                [float(v) for v in bounds.min],
-                [float(v) for v in bounds.max]]
+                np.array(bounds.min, dtype=np.float64),
+                np.array(bounds.max, dtype=np.float64)]
 
     def _apply_entry(self, e: list) -> None:
         op, name, off, length, bmin, bmax = e
@@ -197,10 +197,61 @@ class PackedSpillStore:
         seg_path = os.path.join(self.dir, seg_name)
         staged = self._staging.path_for(seg_path)
         with open(staged, "w") as f:
-            json.dump({"entries": pending, "data_end": data_end}, f)
+            json.dump(self._pack_entries(pending, data_end), f)
             f.flush()
             os.fdatasync(f.fileno())
         self._staging.commit(extra_renames)
+
+    @staticmethod
+    def _pack_entries(pending: list, data_end: int) -> dict:
+        """Columnar segment layout: out-of-core batches journal thousands
+        of entries, and the positional-list JSON (6 nested lists + 6 float
+        reprs per entry) dominated commit cost. ops ride as a 'p'/'a'
+        string, names newline-joined, offsets/lengths/bounds as base64
+        little-endian arrays. The loader accepts this and the legacy
+        "entries" layout."""
+        import base64
+
+        n = len(pending)
+        offs = np.empty(n, dtype="<u8")
+        lens = np.empty(n, dtype="<u8")
+        bounds = np.empty((n, 6), dtype="<f8")
+        names = []
+        ops = []
+        for i, (op, name, off, length, bmin, bmax) in enumerate(pending):
+            ops.append("p" if op == "put" else "a")
+            names.append(name)
+            offs[i] = off
+            lens[i] = length
+            bounds[i, :3] = bmin
+            bounds[i, 3:] = bmax
+        return {"packed": {
+            "ops": "".join(ops),
+            "names": "\n".join(names),
+            "offs": base64.b64encode(offs.tobytes()).decode(),
+            "lens": base64.b64encode(lens.tobytes()).decode(),
+            "bounds": base64.b64encode(bounds.tobytes()).decode(),
+        }, "data_end": data_end}
+
+    @staticmethod
+    def _unpack_entries(doc: dict):
+        import base64
+
+        if "packed" not in doc:
+            yield from doc["entries"]
+            return
+        p = doc["packed"]
+        if not p["ops"]:
+            return
+        offs = np.frombuffer(base64.b64decode(p["offs"]), dtype="<u8")
+        lens = np.frombuffer(base64.b64decode(p["lens"]), dtype="<u8")
+        bounds = np.frombuffer(base64.b64decode(p["bounds"]),
+                               dtype="<f8").reshape(-1, 6)
+        names = p["names"].split("\n")
+        for i, op in enumerate(p["ops"]):
+            yield ["put" if op == "p" else "add", names[i], int(offs[i]),
+                   int(lens[i]), bounds[i, :3].tolist(),
+                   bounds[i, 3:].tolist()]
 
     # -- drain --------------------------------------------------------------
 

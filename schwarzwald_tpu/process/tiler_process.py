@@ -11,6 +11,7 @@ chain (:539-561), properties.json and ept.json outputs (:75-151, 664-682).
 """
 from __future__ import annotations
 
+import base64
 import dataclasses
 import json
 import os
@@ -429,14 +430,21 @@ class TilerProcess:
             # batch's atomic staging commit (or applies it directly when
             # the sink has no staging), so the checkpoint can never point
             # at a batch whose node writes didn't commit, nor vice versa.
+            # start_nodes_used can reach tens of thousands of (key, level)
+            # pairs out-of-core; packed little-endian u64/u8 arrays keep
+            # the per-batch checkpoint write O(bytes), not O(json tokens)
+            used = sorted(getattr(algorithm, "_start_nodes_used", ()))
+            keys = np.array([k for k, _ in used], dtype="<u8")
+            lvls = np.array([lv for _, lv in used], dtype=np.uint8)
             state = {
                 "files": cursor_snapshot,
                 "points_processed": resumed_points + points_processed,
                 "level_of_start_nodes":
                     getattr(algorithm, "level_of_start_nodes", None),
-                "start_nodes_used": sorted(
-                    list(t) for t in
-                    getattr(algorithm, "_start_nodes_used", ())),
+                "start_nodes_packed": {
+                    "keys": base64.b64encode(keys.tobytes()).decode(),
+                    "levels": base64.b64encode(lvls.tobytes()).decode(),
+                },
             }
             tmp = state_path + ".tmp"
             with open(tmp, "w") as f:
@@ -473,9 +481,18 @@ class TilerProcess:
                                              "level_of_start_nodes"):
                 tiler.algorithm.level_of_start_nodes = int(level)
             if hasattr(tiler.algorithm, "_start_nodes_used"):
-                tiler.algorithm._start_nodes_used.update(
-                    (int(k), int(lv)) for k, lv in
-                    resume_state.get("start_nodes_used", ()))
+                packed = resume_state.get("start_nodes_packed")
+                if packed is not None:
+                    keys = np.frombuffer(
+                        base64.b64decode(packed["keys"]), dtype="<u8")
+                    lvls = np.frombuffer(
+                        base64.b64decode(packed["levels"]), dtype=np.uint8)
+                    tiler.algorithm._start_nodes_used.update(
+                        zip(keys.tolist(), lvls.tolist()))
+                else:  # legacy checkpoint layout (pre-packed)
+                    tiler.algorithm._start_nodes_used.update(
+                        (int(k), int(lv)) for k, lv in
+                        resume_state.get("start_nodes_used", ()))
             self.progress.increment(INDEXING, resumed_points)
             self.progress.increment(LOADING, resumed_points)
 

@@ -227,3 +227,39 @@ def test_e2e_output_identical_with_and_without_spill(tmp_path, rng, strategy):
         np.testing.assert_array_equal(spilled[name].get(A.Intensity),
                                       plain[name].get(A.Intensity),
                                       err_msg=name)
+
+
+def test_legacy_entries_segment_still_loads(tmp_path, rng):
+    """Journal segments written before the columnar ("packed") layout use
+    a positional-list "entries" array; reopen must accept both."""
+    import json
+    import os
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    from schwarzwald_tpu.io.packed_spill import PackedSpillStore
+    import schwarzwald_tpu.io.bin_persistence as binio
+
+    out = tmp_path / "out"
+    store = PackedSpillStore(BinaryPersistence(str(out / "final")), str(out))
+    buf = PointBuffer(rng.uniform(0.0, 1.0, (100, 3)))
+    bounds = AABB([0.0] * 3, [1.0] * 3)
+    store.begin_batch()
+    store.persist_points(buf, bounds, "r0")
+    store.commit_batch()
+    store._f.close()
+    os.close(store._read_fd)
+
+    # rewrite the committed segment in the legacy layout
+    seg = os.path.join(store.dir, "journal-000000.json")
+    doc = json.load(open(seg))
+    entries = [[e[0], e[1], e[2], e[3], list(e[4]), list(e[5])]
+               for e in PackedSpillStore._unpack_entries(doc)]
+    json.dump({"entries": entries, "data_end": doc["data_end"]},
+              open(seg, "w"))
+
+    reopened = PackedSpillStore(BinaryPersistence(str(out / "final")),
+                                str(out))
+    got = reopened.retrieve_points("r0")
+    assert got == buf
