@@ -58,6 +58,8 @@ class NativeLib:
             _u32p, _u32p, _u32p, ctypes.c_int64, _u8p]
         lib.quantize_i32.argtypes = [
             _f64p, ctypes.c_int64, _f64p, _f64p, _i32p]
+        lib.locate_rows.argtypes = [
+            _i64p, ctypes.c_int64, _i64p, ctypes.c_int64, _i64p, _i64p]
         lib.gather_rows.argtypes = [
             _u64p, ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
@@ -242,6 +244,15 @@ class NativeLib:
         self._lib.quantize_i32(positions, positions.shape[0], scale3,
                                offset3, out)
         return out
+
+    def locate_rows(self, offsets: np.ndarray, ids: np.ndarray) -> tuple:
+        """(chunk_ids, local) for global row ids against sorted chunk
+        offsets — fused searchsorted(right)-1 + subtract."""
+        chunk_ids = np.empty(ids.size, dtype=np.int64)
+        local = np.empty(ids.size, dtype=np.int64)
+        self._lib.locate_rows(offsets, offsets.size, ids, ids.size,
+                              chunk_ids, local)
+        return chunk_ids, local
 
     def gather_rows_single(self, src: np.ndarray, idx: np.ndarray,
                            row_bytes: int, out: np.ndarray) -> None:

@@ -1150,3 +1150,25 @@ extern "C" void quantize_i32(const double* pos, int64_t n,
     out[i * 3 + 2] = static_cast<int32_t>(v >= 0 ? v + 0.5 : v - 0.5);
   }
 }
+
+// Fused arena locate: chunk_ids[i] = upper_bound(offsets, ids[i]) - 1,
+// local[i] = ids[i] - offsets[chunk_ids[i]] — one pass instead of
+// numpy's searchsorted + fancy-index + subtract (three).
+extern "C" void locate_rows(const int64_t* offsets, int64_t n_off,
+                            const int64_t* ids, int64_t n,
+                            int64_t* chunk_ids, int64_t* local) {
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t v = ids[i];
+    int64_t lo = 0, hi = n_off;  // upper_bound over offsets[0..n_off)
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (offsets[mid] <= v)
+        lo = mid + 1;
+      else
+        hi = mid;
+    }
+    const int64_t c = lo - 1;
+    chunk_ids[i] = c;
+    local[i] = v - offsets[c];
+  }
+}

@@ -42,10 +42,10 @@ def index_points(positions: np.ndarray, bounds_min, bounds_max):
     Large batches go through the fused OpenMP native kernel.
     """
     positions = np.ascontiguousarray(positions, dtype=np.float64)
-    # threshold covers per-node cached re-reads (avg ~1e3 points, tens of
-    # thousands of calls per out-of-core run): the python clamp+encode
-    # costs ~70 us/call vs ~10 us through the fused kernel
-    if positions.shape[0] >= 256:
+    # the fused kernel wins at EVERY size (~15 us vs ~60 us per call even
+    # at n=16 — per-node cached re-reads make tens of thousands of calls
+    # per out-of-core run); the numpy chain below is the fallback twin
+    if positions.shape[0] > 0:
         from .. import native
         lib = native.las_codec()
         if lib is not None:

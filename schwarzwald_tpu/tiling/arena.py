@@ -110,7 +110,12 @@ class PointArena:
         # per-gather list->array conversion dominated _locate
         offsets = self._offsets_arr
         if offsets is None or offsets.size != len(self._offsets):
-            offsets = self._offsets_arr = np.asarray(self._offsets)
+            offsets = self._offsets_arr = np.asarray(self._offsets,
+                                                     dtype=np.int64)
+        lib = native._lib()
+        if lib is not None and ids.dtype == np.int64 \
+                and ids.flags.c_contiguous:
+            return lib.locate_rows(offsets, ids)
         chunk_ids = np.searchsorted(offsets, ids, side="right") - 1
         local = ids - offsets[chunk_ids]
         return chunk_ids, local

@@ -99,6 +99,7 @@ class TilingAlgorithmBase:
         # invalidated if the root ever changes (it never does in a run).
         self._node_struct_cache: dict = {}
         self._node_struct_root = None
+        self._node_struct_root_obj = None
         # Device-fallback observability (round-3 verdict Weak #4): a
         # recurring kernel fault must not silently degrade every batch.
         # Counts surface in bench.py / journals; the first failure of
@@ -150,11 +151,17 @@ class TilingAlgorithmBase:
                      root: NodeStructure) -> NodeStructure:
         """Memoized node_from_index (nodes are immutable; root is fixed
         for the lifetime of a run)."""
-        root_id = (root.bounds.min.tobytes(), root.bounds.max.tobytes(),
-                   root.max_spacing, root.max_depth)
-        if self._node_struct_root != root_id:
-            self._node_struct_cache.clear()
-            self._node_struct_root = root_id
+        # two-tier root identity: object identity first (hot path — the
+        # same root NodeStructure is passed thousands of times per batch;
+        # the tobytes() value key alone cost ~0.2 s/run), value equality
+        # as the fallback so recreated-but-equal roots keep the cache
+        if root is not self._node_struct_root_obj:
+            root_id = (root.bounds.min.tobytes(), root.bounds.max.tobytes(),
+                       root.max_spacing, root.max_depth)
+            if self._node_struct_root != root_id:
+                self._node_struct_cache.clear()
+                self._node_struct_root = root_id
+            self._node_struct_root_obj = root
         key = (node_key, levels)
         node = self._node_struct_cache.get(key)
         if node is None:
