@@ -240,6 +240,50 @@ def config5_rate(tmp: str) -> float:
         return 0.0
 
 
+def config2_rate(tmp: str) -> float:
+    """BASELINE config #2: 10M-point LAZ -> ENTWINE_LAZ (Potree layout),
+    GRID_CENTER sampling, FAST strategy, one 10M production batch. The
+    reader thread's native LAZ decode overlaps indexing; output nodes are
+    LAZ-encoded at drain. pts/s end-to-end (decode included)."""
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io import las
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    try:
+        n = 10_000_000
+        src = os.path.join(tmp, "cfg2.laz")
+        rng = np.random.default_rng(22)
+        las.write_las(src, PointBuffer(rng.uniform(1.0, 999.0, (n, 3))),
+                      AABB([0.0] * 3, [1000.0] * 3), compressed=True)
+        with open(src, "rb") as f:
+            f.read()  # warm page cache
+
+        def run(i: int) -> float:
+            out = os.path.join(tmp, f"cfg2out{i}")
+            args = TilerArguments(
+                sources=[src], output_directory=out,
+                diagonal_fraction=250, sampling_strategy="GRID_CENTER",
+                tiling_strategy="FAST",
+                output_format=OutputFormat.ENTWINE_LAZ,
+                cache_size_bytes=1 << 30,
+                max_batch_read_size=10_000_000,
+                internal_cache_size=10_000_000)
+            t0 = time.perf_counter()
+            TilerProcess(args).run()
+            elapsed = time.perf_counter() - t0
+            shutil.rmtree(out, ignore_errors=True)
+            return elapsed
+
+        rate = n / min(run(0), run(1))
+        os.remove(src)
+        return rate
+    except Exception:
+        return 0.0
+
+
 def multichip_virtual4_rate() -> float:
     """End-to-end TilingAlgorithmMultiDevice throughput on a virtual
     4-device CPU mesh (routing all_to_all + per-owner device sweeps +
@@ -515,6 +559,8 @@ def main() -> None:
             "device_encode_sort_pts_per_sec": round(device_rate, 1),
             "multichip_virtual4_pts_per_sec":
                 round(multichip_virtual4_rate(), 1),
+            "config2_laz_entwine_pts_per_sec":
+                round(config2_rate(tmp), 1),
             "config4_jittered_attrs_ignore_pts_per_sec":
                 round(config4_rate(tmp), 1),
             "config5_multihost_laz_pts_per_sec":

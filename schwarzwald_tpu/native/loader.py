@@ -63,6 +63,9 @@ class NativeLib:
         lib.gather_rows.argtypes = [
             _u64p, ctypes.c_void_p, _i64p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p]
+        lib.gather_rows_mapped.argtypes = [
+            _u64p, _u32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p]
         lib.radix_argsort_u64.argtypes = [_u64p, ctypes.c_int64, _i64p]
         lib.radix_sort_kv_u64.argtypes = [_u64p, ctypes.c_int64, _i64p,
                                           _u64p]
@@ -275,6 +278,15 @@ class NativeLib:
             None if chunk_ids is None else
             chunk_ids.ctypes.data_as(ctypes.c_void_p),
             local, local.size, row_bytes,
+            out.ctypes.data_as(ctypes.c_void_p))
+
+    def gather_rows_mapped(self, srcs: np.ndarray, chunk_map: np.ndarray,
+                           offsets: np.ndarray, ids: np.ndarray,
+                           row_bytes: int, out: np.ndarray) -> None:
+        """Fused locate+gather: out[i] = row (ids[i]-offsets[c]) of
+        srcs[c], c = chunk_map[ids[i]] — one pass, no binary search."""
+        self._lib.gather_rows_mapped(
+            srcs, chunk_map, offsets, ids, ids.size, row_bytes,
             out.ctypes.data_as(ctypes.c_void_p))
 
     def radix_argsort(self, keys: np.ndarray) -> np.ndarray:

@@ -980,7 +980,79 @@ void gather_typed(const uint64_t* srcs, const int64_t* chunk_ids,
   }
 }
 
+template <typename T, int K>
+void gather_mapped_typed(const uint64_t* srcs, const uint32_t* chunk_map,
+                         const int64_t* offsets, const int64_t* ids,
+                         int64_t n, T* out) {
+  // Fused locate+gather: chunk_map[id] replaces the per-row binary
+  // search over offsets (measured ~2x end-to-end on 2M random rows of a
+  // 3.6M-row/2700-chunk arena: 90 -> 46 ns/row). Two prefetch stages:
+  // the map line far ahead, the row itself nearer (its address needs the
+  // map value, which the far stage has already pulled in).
+  constexpr int64_t PFM = 64, PF = 24;
+  for (int64_t i = 0; i < n; ++i) {
+    if (i + PFM < n) __builtin_prefetch(&chunk_map[ids[i + PFM]], 0, 0);
+    if (i + PF < n) {
+      const uint32_t c2 = chunk_map[ids[i + PF]];
+      __builtin_prefetch(reinterpret_cast<const T*>(srcs[c2]) +
+                             (ids[i + PF] - offsets[c2]) * K,
+                         0, 0);
+    }
+    const uint32_t c = chunk_map[ids[i]];
+    const T* s =
+        reinterpret_cast<const T*>(srcs[c]) + (ids[i] - offsets[c]) * K;
+    for (int k = 0; k < K; ++k) out[i * K + k] = s[k];
+  }
+}
+
 }  // namespace
+
+extern "C" void gather_rows_mapped(const uint64_t* srcs,
+                                   const uint32_t* chunk_map,
+                                   const int64_t* offsets, const int64_t* ids,
+                                   int64_t n, int64_t row_bytes,
+                                   uint8_t* out) {
+  switch (row_bytes) {
+    case 24:
+      gather_mapped_typed<double, 3>(srcs, chunk_map, offsets, ids, n,
+                                     reinterpret_cast<double*>(out));
+      return;
+    case 16:
+      gather_mapped_typed<uint64_t, 2>(srcs, chunk_map, offsets, ids, n,
+                                       reinterpret_cast<uint64_t*>(out));
+      return;
+    case 8:
+      gather_mapped_typed<uint64_t, 1>(srcs, chunk_map, offsets, ids, n,
+                                       reinterpret_cast<uint64_t*>(out));
+      return;
+    case 6:
+      gather_mapped_typed<uint16_t, 3>(srcs, chunk_map, offsets, ids, n,
+                                       reinterpret_cast<uint16_t*>(out));
+      return;
+    case 4:
+      gather_mapped_typed<uint32_t, 1>(srcs, chunk_map, offsets, ids, n,
+                                       reinterpret_cast<uint32_t*>(out));
+      return;
+    case 3:
+      gather_mapped_typed<uint8_t, 3>(srcs, chunk_map, offsets, ids, n, out);
+      return;
+    case 2:
+      gather_mapped_typed<uint16_t, 1>(srcs, chunk_map, offsets, ids, n,
+                                       reinterpret_cast<uint16_t*>(out));
+      return;
+    case 1:
+      gather_mapped_typed<uint8_t, 1>(srcs, chunk_map, offsets, ids, n, out);
+      return;
+    default:
+      for (int64_t i = 0; i < n; ++i) {
+        const uint32_t c = chunk_map[ids[i]];
+        std::memcpy(out + i * row_bytes,
+                    reinterpret_cast<const uint8_t*>(srcs[c]) +
+                        (ids[i] - offsets[c]) * row_bytes,
+                    row_bytes);
+      }
+  }
+}
 
 extern "C" void gather_rows(const uint64_t* srcs, const int64_t* chunk_ids,
                             const int64_t* local, int64_t n,

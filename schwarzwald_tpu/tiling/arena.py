@@ -19,6 +19,10 @@ class PointArena:
     def __init__(self):
         self._chunks: list[PointBuffer] = []
         self._offsets = [0]
+        # per-row chunk index (u32, capacity-doubled): lets the native
+        # gather fuse locate+copy in one pass instead of a per-row binary
+        # search over offsets (~2x on out-of-core persist gathers)
+        self._chunk_map = np.empty(0, dtype=np.uint32)
         # appends come from concurrent subtree workers (_read_cached_points
         # during the start-node fan-out); reads of already-appended ids
         # are lock-free (grow-only: chunk lands before its offset entry)
@@ -54,10 +58,17 @@ class PointArena:
         read-only view — copy before mutating)."""
         with self._append_lock:
             start = self._offsets[-1]
+            end = start + buffer.count
+            if end > self._chunk_map.size:
+                grown = np.empty(max(end, 2 * self._chunk_map.size, 4096),
+                                 dtype=np.uint32)
+                grown[:start] = self._chunk_map[:start]
+                self._chunk_map = grown
+            self._chunk_map[start:end] = len(self._chunks)
             self._chunks.append(buffer)
-            self._offsets.append(start + buffer.count)
+            self._offsets.append(end)
             self._offsets_arr = None  # invalidate the cached array
-        return self._iota_view(start, start + buffer.count)
+        return self._iota_view(start, end)
 
     _offsets_arr = None
 
@@ -104,7 +115,7 @@ class PointArena:
         cache[attr] = (n_chunks, result)
         return result
 
-    def _locate(self, ids: np.ndarray):
+    def _offsets_array(self) -> np.ndarray:
         # the offsets array is rebuilt only after appends: out-of-core
         # batches accumulate thousands of cached-read chunks and the
         # per-gather list->array conversion dominated _locate
@@ -112,6 +123,22 @@ class PointArena:
         if offsets is None or offsets.size != len(self._offsets):
             offsets = self._offsets_arr = np.asarray(self._offsets,
                                                      dtype=np.int64)
+        return offsets
+
+    def _native_rows(self, lib, ptrs: np.ndarray, ids: np.ndarray,
+                     row_bytes: int, out: np.ndarray) -> None:
+        """One native gather: single-chunk direct, multi-chunk through the
+        fused chunk-map kernel (no per-row binary search)."""
+        if len(self._chunks) == 1:
+            lib.gather_rows(ptrs, None, ids, row_bytes, out)
+        else:
+            ids = np.ascontiguousarray(ids, dtype=np.int64)
+            lib.gather_rows_mapped(ptrs, self._chunk_map,
+                                   self._offsets_array(), ids, row_bytes,
+                                   out)
+
+    def _locate(self, ids: np.ndarray):
+        offsets = self._offsets_array()
         lib = native._lib()
         if lib is not None and ids.dtype == np.int64 \
                 and ids.flags.c_contiguous:
@@ -146,11 +173,7 @@ class PointArena:
         if lib is not None:
             tab = self._ptr_table(None)
             if tab is not None and tab[1] == 24:
-                if len(self._chunks) == 1:
-                    lib.gather_rows(tab[0], None, ids, 24, out)
-                else:
-                    chunk_ids, local = self._locate(ids)
-                    lib.gather_rows(tab[0], chunk_ids, local, 24, out)
+                self._native_rows(lib, tab[0], ids, 24, out)
                 return out
         if len(self._chunks) == 1:
             return self._chunks[0].positions[ids]
@@ -182,11 +205,7 @@ class PointArena:
         if lib is not None:
             tab = self._ptr_table(None)
             if tab is not None and tab[1] == 24:
-                if len(self._chunks) == 1:
-                    lib.gather_rows(tab[0], None, ids, 24, out)
-                else:
-                    chunk_ids, local = self._locate(ids)
-                    lib.gather_rows(tab[0], chunk_ids, local, 24, out)
+                self._native_rows(lib, tab[0], ids, 24, out)
                 return out
         if len(self._chunks) == 1:
             np.take(self._chunks[0].positions, ids, axis=0, out=out)
@@ -210,12 +229,13 @@ class PointArena:
         if tab is None or tab[1] != 24:
             return None
         if len(self._chunks) == 1:
-            chunk_ids, local = None, ids
             ref_chunks = [self._chunks[0]]
         else:
-            chunk_ids, local = self._locate(ids)
+            ids = np.ascontiguousarray(ids, dtype=np.int64)
+            # referenced-chunk set for the column intersection: one pass
+            # over the (already maintained) chunk map instead of a locate
             referenced = np.zeros(len(self._chunks), dtype=bool)
-            referenced[chunk_ids] = True
+            referenced[self._chunk_map[ids]] = True
             ref_chunks = ([self._chunks[i] for i in np.flatnonzero(referenced)]
                           or [self._chunks[0]])
         common = set(ref_chunks[0].columns)
@@ -228,14 +248,13 @@ class PointArena:
                 return None
             tabs[attr] = t
         out = PointBuffer(np.empty((ids.size, 3), dtype=np.float64))
-        lib.gather_rows(tab[0], chunk_ids, local, 24, out.positions)
+        self._native_rows(lib, tab[0], ids, 24, out.positions)
         cols = {}
         for attr in common:
             template = ref_chunks[0].columns[attr]
             dst = np.empty((ids.size,) + template.shape[1:],
                            dtype=template.dtype)
-            lib.gather_rows(tabs[attr][0], chunk_ids, local, tabs[attr][1],
-                            dst)
+            self._native_rows(lib, tabs[attr][0], ids, tabs[attr][1], dst)
             cols[attr] = dst
         out.columns = cols
         return out

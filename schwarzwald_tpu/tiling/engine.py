@@ -569,6 +569,14 @@ class TilingAlgorithmBase:
         """Persist a device assignment: group by (level, node prefix) over
         the sorted order — ONE arena gather per level, then per-node slice
         views into it (no per-node fancy indexing)."""
+        from ..util.trace import trace_span
+        with trace_span("persist_fresh", "engine"):
+            self._persist_device_assignment_inner(arena, sorted_keys,
+                                                  sorted_ids, levels, root)
+
+    def _persist_device_assignment_inner(self, arena, sorted_keys,
+                                         sorted_ids, levels,
+                                         root: NodeStructure) -> None:
         for lv in np.unique(levels):
             node_level = int(lv) - 2
             mask = levels == lv
@@ -644,6 +652,14 @@ class TilingAlgorithmBase:
             all_names = self.persistence.node_names()
         except Exception:
             return None
+        from ..util.trace import trace_span
+        with trace_span("gather_revisit_subtrees", "engine"):
+            return self._gather_revisit_subtrees_inner(
+                arena, revisit_nodes, root, min_incoming, max_ratio,
+                all_names)
+
+    def _gather_revisit_subtrees_inner(self, arena, revisit_nodes, root,
+                                       min_incoming, max_ratio, all_names):
         import bisect
 
         # Subtree lookup by bisecting the sorted name list: names under a
@@ -735,6 +751,14 @@ class TilingAlgorithmBase:
         selected set is exactly their unchanged own cache are skipped
         (re-selection of an accepted set is idempotent for the grid
         samplers, so the bytes would be identical)."""
+        from ..util.trace import trace_span
+        with trace_span("persist_revisit", "engine"):
+            self._persist_revisit_assignment_inner(
+                arena, keys, ids, tiers, levels, root, cached_counts)
+
+    def _persist_revisit_assignment_inner(self, arena, keys, ids, tiers,
+                                          levels, root,
+                                          cached_counts: dict) -> None:
         for lv in np.unique(levels):
             node_level = int(lv) - 2
             idx = np.flatnonzero(levels == lv)

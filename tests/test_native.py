@@ -70,3 +70,39 @@ def test_quantize_i32_matches_numpy(lib, rng):
     v = (pos - offset) / scale
     want = np.where(v >= 0, v + 0.5, v - 0.5).astype(np.int32)
     np.testing.assert_array_equal(lib.quantize_i32(pos, scale, offset), want)
+
+
+def test_arena_mapped_gather_matches_numpy(lib, rng):
+    """PointArena multi-chunk gathers route through gather_rows_mapped
+    (fused chunk-map locate+copy); every entry must match plain numpy
+    indexing over the concatenated chunks, including chunk boundaries."""
+    from schwarzwald_tpu.core.attributes import PointAttribute
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.tiling.arena import PointArena
+
+    arena = PointArena()
+    all_pos, all_rgb = [], []
+    for count in (1, 700, 3, 1293, 64):
+        pos = rng.uniform(0.0, 100.0, (count, 3))
+        buf = PointBuffer(pos)
+        buf.set_column(PointAttribute.RGB,
+                       rng.integers(0, 65535, (count, 3)))
+        arena.append(buf)
+        all_pos.append(pos)
+        # compare against what set_column actually stored (layout cast)
+        all_rgb.append(buf.columns[PointAttribute.RGB])
+    ref_pos = np.concatenate(all_pos)
+    ref_rgb = np.concatenate(all_rgb)
+    n = arena.count
+    # boundary ids (first/last of each chunk) + random permutation slices
+    ids = np.concatenate([
+        np.array([0, n - 1], dtype=np.int64),
+        np.cumsum([1, 700, 3, 1293])  # chunk starts
+          .astype(np.int64),
+        rng.permutation(n)[: n // 2].astype(np.int64)])
+    np.testing.assert_array_equal(arena.positions(ids), ref_pos[ids])
+    np.testing.assert_array_equal(arena.positions_scratch(ids), ref_pos[ids])
+    out = arena.gather(ids)
+    np.testing.assert_array_equal(out.positions, ref_pos[ids])
+    np.testing.assert_array_equal(out.columns[PointAttribute.RGB],
+                                  ref_rgb[ids])
