@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write user-facing node files on every visit "
                         "instead of spilling to the packed arena and "
                         "draining once at the end")
+    p.add_argument("--checkpoint-interval", type=float, default=10.0,
+                   metavar="SECONDS",
+                   help="Minimum seconds between durable resume "
+                        "checkpoints on packed-spill runs (0 = after "
+                        "every batch; default 10). Output is unaffected; "
+                        "a crash re-reads the window's batches")
     p.add_argument("--laz-extended-output", action="store_true",
                    help="Write LAS 1.4 layered (v3) LAZ when the input "
                         "demands extended-range attributes. Off by "
@@ -186,6 +192,7 @@ def main(argv=None) -> int:
         multihost_count=args.multihost[1] if args.multihost else 1,
         laz_extended_output=args.laz_extended_output,
         packed_spill=not args.no_packed_spill,
+        checkpoint_interval_s=args.checkpoint_interval,
     )
     TilerProcess(targs).run()
     return 0

@@ -51,6 +51,22 @@ from .staging import FileStaging
 
 
 class PackedSpillStore:
+    # Re-reads are served from the in-memory index + data file, never from
+    # staged-vs-final paths, so the tiler may batch several process_batch
+    # calls into one begin/commit window (checkpoint_interval_s).
+    supports_deferred_commit = True
+
+    # Write-back budget: dirty node versions live in memory and hit the
+    # data file once per commit window (or when this many bytes
+    # accumulate), not once per visit. Out-of-core revisits rewrite every
+    # touched node every batch — write-through spilled ~tree_size bytes
+    # per batch and the commit fdatasync is charged by BYTES on this
+    # filesystem, so coalescing superseded versions is the lever. The
+    # buffers are the same objects the engine's node cache holds
+    # (references, not copies), so steady-state extra memory is bounded
+    # by this budget only when the LRU evicts first.
+    WRITEBACK_BUDGET = 256 << 20
+
     def __init__(self, inner, output_directory: str):
         self.inner = inner
         self.dir = os.path.join(output_directory, ".spill")
@@ -62,6 +78,11 @@ class PackedSpillStore:
         # extents NEWEST FIRST (terminal concat order)
         self._index: dict[str, dict] = {}
         self._pending: list[dict] = []  # journal entries since last commit
+        # write-back set: name -> {"op": "put"|"add", "bufs": [PointBuffer
+        # NEWEST FIRST], "bounds": AABB}; "put" supersedes any flushed
+        # extents, "add" stacks on top of them (terminal concat order)
+        self._dirty: dict[str, dict] = {}
+        self._dirty_bytes = 0
         self._segments = sorted(
             f for f in os.listdir(self.dir)
             if f.startswith("journal-") and f.endswith(".json"))
@@ -131,35 +152,74 @@ class PackedSpillStore:
             # newest first: the latest append is read back first
             self._index[name]["extents"].insert(0, ext)
 
+    @staticmethod
+    def _buf_nbytes(points: PointBuffer) -> int:
+        n = points.positions.nbytes
+        for arr in points.columns.values():
+            n += arr.nbytes
+        return n
+
     def persist_points(self, points: PointBuffer, bounds: AABB,
                        node_name: str) -> None:
-        blob = binio.serialize(self._spillable(points, bounds))
+        buf = self._spillable(points, bounds)
         with self._lock:
-            off, length = self._append_blob(blob)
-            e = self._record("put", node_name, off, length, bounds)
-            self._apply_entry(e)
-            self._pending.append(e)
+            old = self._dirty.get(node_name)
+            if old is not None:
+                self._dirty_bytes -= sum(self._buf_nbytes(b)
+                                         for b in old["bufs"])
+            self._dirty[node_name] = {"op": "put", "bufs": [buf],
+                                      "bounds": bounds}
+            self._dirty_bytes += self._buf_nbytes(buf)
+            if self._dirty_bytes > self.WRITEBACK_BUDGET:
+                self._flush_dirty_locked()
 
     def append_points(self, points: PointBuffer, bounds: AABB,
                       node_name: str) -> None:
         """Terminal-node append: new extent first on retrieval."""
-        blob = binio.serialize(self._spillable(points, bounds))
+        buf = self._spillable(points, bounds)
         with self._lock:
-            off, length = self._append_blob(blob)
-            e = self._record("add", node_name, off, length, bounds)
-            self._apply_entry(e)
-            self._pending.append(e)
+            entry = self._dirty.get(node_name)
+            if entry is None:
+                entry = self._dirty[node_name] = {"op": "add", "bufs": [],
+                                                  "bounds": bounds}
+            entry["bufs"].insert(0, buf)  # newest first
+            entry["bounds"] = bounds
+            self._dirty_bytes += self._buf_nbytes(buf)
+            if self._dirty_bytes > self.WRITEBACK_BUDGET:
+                self._flush_dirty_locked()
+
+    def _flush_dirty_locked(self) -> None:
+        """Append every dirty version to the data file and record journal
+        entries — called at commit (durability) or when the write-back
+        budget overflows. Oldest version first, so _apply_entry's
+        insert-at-front reproduces the newest-first extent order."""
+        for name, entry in self._dirty.items():
+            first = entry["op"] == "put"
+            for buf in reversed(entry["bufs"]):  # oldest first
+                blob = binio.serialize(buf)
+                off, length = self._append_blob(blob)
+                e = self._record("put" if first else "add", name, off,
+                                 length, entry["bounds"])
+                first = False
+                self._apply_entry(e)
+                self._pending.append(e)
+        self._dirty.clear()
+        self._dirty_bytes = 0
 
     def retrieve_points(self, node_name: str) -> PointBuffer:
         with self._lock:
-            entry = self._index.get(node_name)
-            if entry is None:
-                # not spilled this run: a resumed/pre-existing node of the
-                # wrapped sink (or another host's drained node)
-                return self.inner.retrieve_points(node_name)
-            self._f.flush()
-            extents = list(entry["extents"])
-        parts = []
+            dirty = self._dirty.get(node_name)
+            parts = list(dirty["bufs"]) if dirty is not None else []
+            extents = []
+            if dirty is None or dirty["op"] != "put":
+                entry = self._index.get(node_name)
+                if entry is not None:
+                    self._f.flush()
+                    extents = list(entry["extents"])
+                elif dirty is None:
+                    # not spilled this run: a resumed/pre-existing node of
+                    # the wrapped sink (or another host's drained node)
+                    return self.inner.retrieve_points(node_name)
         for off, length in extents:
             raw = os.pread(self._read_fd, length, off)
             parts.append(binio.deserialize(raw))
@@ -169,12 +229,14 @@ class PackedSpillStore:
 
     def node_exists(self, node_name: str) -> bool:
         with self._lock:
-            if node_name in self._index:
+            if node_name in self._dirty or node_name in self._index:
                 return True
         return node_name in self._inner_names
 
     def node_names(self) -> list:
-        names = set(self._index)
+        with self._lock:
+            names = set(self._index)
+            names.update(self._dirty)
         names.update(self._inner_names)
         return sorted(names)
 
@@ -185,6 +247,7 @@ class PackedSpillStore:
 
     def commit_batch(self, extra_renames=None) -> None:
         with self._lock:
+            self._flush_dirty_locked()
             self._f.flush()
             # fdatasync: data + the size metadata needed to read it back
             # (POSIX guarantees both); skips the inode timestamp flush
@@ -256,14 +319,26 @@ class PackedSpillStore:
     # -- drain --------------------------------------------------------------
 
     def drain(self) -> None:
-        """Write every live node once through the wrapped sink."""
+        """Write every live node once through the wrapped sink. Dirty
+        (never-flushed) versions drain straight from memory — their bytes
+        never touch the data file."""
         if self._drained:
             return
         self._drained = True
-        for name in sorted(self._index):
-            entry = self._index[name]
-            bounds = AABB(np.asarray(entry["bounds"][0]),
-                          np.asarray(entry["bounds"][1]))
+        with self._lock:
+            names = sorted(set(self._index) | set(self._dirty))
+        for name in names:
+            dirty = self._dirty.get(name)
+            if dirty is not None and (dirty["op"] == "put"
+                                      or name not in self._index):
+                bounds = dirty["bounds"]
+                if not isinstance(bounds, AABB):
+                    bounds = AABB(np.asarray(bounds[0]),
+                                  np.asarray(bounds[1]))
+            else:
+                entry = self._index[name]
+                bounds = AABB(np.asarray(entry["bounds"][0]),
+                              np.asarray(entry["bounds"][1]))
             self.inner.persist_points(self.retrieve_points(name), bounds,
                                       name)
 

@@ -50,7 +50,8 @@ def test_resume_continues_from_checkpoint(tmp_path, rng):
         sources=[str(src)], output_directory=str(out), spacing=8.0,
         sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
         output_format=OutputFormat.BIN, internal_cache_size=3000,
-        max_batch_read_size=3000)
+        max_batch_read_size=3000,
+        checkpoint_interval_s=0.0)  # per-batch: the test kills batch 3
 
     # Interrupt after the 2nd completed batch by raising from the read
     # stage (covers both the plain and the region-slot read paths).
@@ -278,3 +279,68 @@ def test_staging_distinguishes_same_basename_targets(tmp_path):
     st.commit()
     assert open(work / "a" / "n.bin").read() == "A2"
     assert open(work / "b" / "n.bin").read() == "B"
+
+
+def test_deferred_checkpoint_crash_restarts_clean(tmp_path, rng):
+    """With a deferred-commit window wider than the run (packed spill),
+    a crash before the first commit leaves NO checkpoint; --resume then
+    restarts from scratch over the same output directory (uncommitted
+    spill bytes are truncated on reopen) and produces a complete,
+    loss-free output."""
+    src = tmp_path / "in.las"
+    out = tmp_path / "out"
+    write_las(src, rng, 9000)
+    original = las.read_las(str(src)).positions
+
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.process import tiler as tiler_mod
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    args = TilerArguments(
+        sources=[str(src)], output_directory=str(out), spacing=8.0,
+        sampling_strategy="RANDOM_GRID", tiling_strategy="ACCURATE",
+        output_format=OutputFormat.BIN, internal_cache_size=3000,
+        max_batch_read_size=3000,
+        checkpoint_interval_s=1e9)  # never due within the test
+
+    orig_plain = tiler_mod.Tiler._read_batch
+    orig_region = tiler_mod.Tiler._read_batch_into_slot
+    calls = {"n": 0}
+
+    def _poison():
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt("simulated crash during batch 3 read")
+
+    def poisoned_plain(self, rc):
+        _poison()
+        return orig_plain(self, rc)
+
+    def poisoned_region(self, rc, slot):
+        _poison()
+        return orig_region(self, rc, slot)
+
+    tiler_mod.Tiler._read_batch = poisoned_plain
+    tiler_mod.Tiler._read_batch_into_slot = poisoned_region
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            TilerProcess(args).run()
+    finally:
+        tiler_mod.Tiler._read_batch = orig_plain
+        tiler_mod.Tiler._read_batch_into_slot = orig_region
+
+    # no commit was due, so no checkpoint exists
+    assert not os.path.exists(out / "tiler_state.json")
+
+    args.resume = True
+    TilerProcess(args).run()
+    assert not os.path.exists(out / "tiler_state.json")
+
+    sink = BinaryPersistence(str(out))
+    collected = [sink.retrieve_points(f[:-4]).positions
+                 for f in os.listdir(out) if f.endswith(".bin")]
+    got = np.concatenate(collected)
+    assert got.shape[0] == 9000  # no loss, no duplication
+    np.testing.assert_array_equal(got[np.lexsort(got.T)],
+                                  original[np.lexsort(original.T)])
