@@ -67,9 +67,10 @@ class PackedSpillStore:
     # by this budget only when the LRU evicts first.
     WRITEBACK_BUDGET = 256 << 20
 
-    def __init__(self, inner, output_directory: str):
+    def __init__(self, inner, output_directory: str,
+                 dir_name: str = ".spill"):
         self.inner = inner
-        self.dir = os.path.join(output_directory, ".spill")
+        self.dir = os.path.join(output_directory, dir_name)
         os.makedirs(self.dir, exist_ok=True)
         self.data_path = os.path.join(self.dir, "data.bin")
         self._staging = FileStaging(self.dir)  # replays a mid-commit crash
@@ -342,7 +343,11 @@ class PackedSpillStore:
             self.inner.persist_points(self.retrieve_points(name), bounds,
                                       name)
 
-    def close(self) -> None:
+    def drain_and_discard(self) -> None:
+        """Drain into the wrapped sink and delete the spill scratch WITHOUT
+        closing the wrapped sink — multihost non-primary hosts publish
+        their subtree this way before the subtree_done barrier (only host
+        0 closes the shared sink / writes the index artifacts)."""
         self.drain()
         try:
             self._f.close()
@@ -353,4 +358,7 @@ class PackedSpillStore:
         import shutil
 
         shutil.rmtree(self.dir, ignore_errors=True)
+
+    def close(self) -> None:
+        self.drain_and_discard()
         self.inner.close()

@@ -389,6 +389,17 @@ class TilingAlgorithmMultiHost:
         coord.mark("spills_done")
         coord.wait_all("spills_done")
         self.ingest_foreign(bounds)
+        sink = getattr(self.inner, "persistence", None)
+        if self.plan.process_index != 0:
+            # Publish this host's subtree as REAL files before the
+            # barrier: drain the per-host packed spill arena (if any) and
+            # flush any write-behind queue — host 0's finalize reads these
+            # files right after wait_all("subtree_done").
+            if hasattr(sink, "drain_and_discard"):
+                sink.drain_and_discard()
+                sink = sink.inner
+            if hasattr(sink, "commit_batch"):
+                sink.commit_batch()  # drains async writers; staging inert
         coord.write_manifest(self.inner._start_nodes_used)
         coord.mark("subtree_done")
         if self.plan.process_index == 0:

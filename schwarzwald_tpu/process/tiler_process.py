@@ -322,19 +322,21 @@ class TilerProcess:
             extended=self.extended_formats,
             laz_extended_output=self.args.laz_extended_output)
         n_batches = -(-total_count // max(1, self.args.max_batch_read_size))
-        if (self.args.packed_spill and self.args.multihost_count <= 1
-                and n_batches >= 3):
+        if self.args.packed_spill and n_batches >= 3:
             # Internal node traffic goes to the packed spill arena; the
             # user-facing files are written once at close (drain). Only
             # for genuinely out-of-core runs (>= 3 batches): a single-
             # batch run writes every node exactly once anyway, so the
             # arena round-trip would be pure overhead (~0.3 s/1M
-            # measured). Multi-host runs bypass it: hosts exchange nodes
-            # through the shared directory mid-run and host 0's finalize
-            # reads other hosts' drained files (io/packed_spill.py).
+            # measured). Multi-host runs get a PER-HOST arena (owned
+            # subtrees are disjoint); non-primary hosts publish theirs
+            # via drain_and_discard before the subtree_done barrier so
+            # host 0's finalize reads real files (parallel/multihost.py).
             from ..io.packed_spill import PackedSpillStore
+            suffix = (f"_h{self.args.multihost_index}" if multihost else "")
             persistence = PackedSpillStore(persistence,
-                                           self.args.output_directory)
+                                           self.args.output_directory,
+                                           dir_name=".spill" + suffix)
 
         resume_state = None
         if resume_requested:

@@ -83,37 +83,71 @@ class PointArena:
     def _ptr_table(self, attr):
         """(ptrs, row_bytes) for positions (attr None) or a column, or
         None when any chunk's array is non-contiguous / row-shape-mismatched
-        (callers fall back to the numpy run loop)."""
+        (callers fall back to the numpy run loop).
+
+        Built INCREMENTALLY: out-of-core revisits append a chunk per
+        cached-node read and gather thousands of times per batch — a
+        full rebuild per append made this O(chunks x gathers) (measured
+        4 s of a 19 s multihost run). Entry: [n_seen, ptrs(capacity),
+        row_bytes, dtype]; only chunks past n_seen are scanned. A
+        mismatch poisons the attr permanently (the table must cover every
+        chunk, so later appends can never un-poison it)."""
         cache = getattr(self, "_ptrs_cache", None)
         if cache is None:
-            cache = self._ptrs_cache = {}
+            with self._append_lock:
+                cache = getattr(self, "_ptrs_cache", None)
+                if cache is None:
+                    cache = self._ptrs_cache = {}
         ent = cache.get(attr)
+        if ent is None:
+            with self._append_lock:
+                ent = cache.get(attr)
+                if ent is None:
+                    ent = cache[attr] = [0, np.empty(64, dtype=np.uint64),
+                                         None, None]
+        seen = ent[0]  # single read: a concurrent poison sets it to None
+        if seen is None:
+            return None  # poisoned
         n_chunks = len(self._chunks)
-        if ent is not None and ent[0] == n_chunks:
-            return ent[1]
-        ptrs = np.empty(n_chunks, dtype=np.uint64)
-        row_bytes = dtype = None
-        # index up to the snapshot count only — concurrent subtree workers
-        # append chunks mid-build (grow-only, so ids handed out before this
-        # call never reference a chunk past the snapshot)
-        for i in range(n_chunks):
-            c = self._chunks[i]
-            a = c.positions if attr is None else c.columns.get(attr)
-            if a is None or not a.flags.c_contiguous:
-                cache[attr] = (n_chunks, None)
-                return None
-            rb = a.dtype.itemsize * int(np.prod(a.shape[1:], dtype=np.int64))
-            if row_bytes is None:
-                row_bytes, dtype = rb, a.dtype
-            elif rb != row_bytes or a.dtype != dtype:
-                # dtype check matters even at equal width: the numpy
-                # fallback value-casts on assignment, native bit-copies
-                cache[attr] = (n_chunks, None)
-                return None
-            ptrs[i] = a.ctypes.data
-        result = (ptrs, row_bytes)
-        cache[attr] = (n_chunks, result)
-        return result
+        if n_chunks > seen:
+            # extension mutates shared entry state: serialize with the
+            # append lock (concurrent subtree workers gather while others
+            # append); double-checked inside
+            with self._append_lock:
+                if ent[0] is None:
+                    return None
+                n_seen, ptrs, row_bytes, dtype = ent
+                if n_chunks > n_seen:
+                    if n_chunks > ptrs.size:
+                        grown = np.empty(max(n_chunks, 2 * ptrs.size),
+                                         dtype=np.uint64)
+                        grown[:n_seen] = ptrs[:n_seen]
+                        ptrs = ent[1] = grown
+                    for i in range(n_seen, n_chunks):
+                        c = self._chunks[i]
+                        a = (c.positions if attr is None
+                             else c.columns.get(attr))
+                        if a is None or not a.flags.c_contiguous:
+                            ent[0] = None
+                            return None
+                        # C-contiguous row stride IS the row byte width —
+                        # avoids a ~3 us np.prod per chunk
+                        rb = (a.strides[0] if a.ndim > 1
+                              else a.dtype.itemsize)
+                        if row_bytes is None:
+                            row_bytes, dtype = rb, a.dtype
+                            ent[2], ent[3] = rb, a.dtype
+                        elif rb != row_bytes or a.dtype != dtype:
+                            # dtype check matters even at equal width: the
+                            # numpy fallback value-casts on assignment,
+                            # native bit-copies
+                            ent[0] = None
+                            return None
+                        ptrs[i] = a.ctypes.data
+                    ent[0] = n_chunks
+        # views beyond n_chunks are never dereferenced (ids handed out
+        # before this call never reference a later chunk)
+        return ent[1][:n_chunks], ent[2]
 
     def _offsets_array(self) -> np.ndarray:
         # the offsets array is rebuilt only after appends: out-of-core

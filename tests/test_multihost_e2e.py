@@ -325,3 +325,51 @@ def test_pinned_level_vs_estimator_optimum_cost(tmp_path, rng):
     # the measured cost: clustered-in-one-level-2-cell data occupies 8x
     # fewer start nodes at level 3 than at the estimator's optimum 4
     assert pin_starts * 8 == nat_starts
+
+
+def test_multihost_packed_spill_matches_no_spill(tmp_path, rng):
+    """Out-of-core multihost runs (>= 3 batches) route node traffic
+    through PER-HOST packed spill arenas; non-primary hosts publish their
+    subtree via drain_and_discard before the subtree_done barrier. The
+    node set and every node's bytes must match the no-spill run, and no
+    spill scratch may survive."""
+    files = []
+    for i in range(3):
+        path = tmp_path / f"part{i}.las"
+        _write_las(path, rng, 4000)
+        files.append(str(path))
+
+    def run(out, spill):
+        errors = []
+
+        def run_host(index):
+            try:
+                TilerProcess(TilerArguments(
+                    sources=files, output_directory=str(out), spacing=5.0,
+                    max_points_per_node=400,
+                    sampling_strategy="RANDOM_GRID",
+                    output_format=OutputFormat.BIN,
+                    internal_cache_size=1000, max_batch_read_size=1000,
+                    multihost_index=index, multihost_count=2,
+                    packed_spill=spill, fixed_start_level=3)).run()
+            except BaseException as err:
+                errors.append((index, err))
+
+        threads = [threading.Thread(target=run_host, args=(i,))
+                   for i in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors, errors
+        return _collect(out)
+
+    no_spill = run(tmp_path / "ns", False)
+    spilled = run(tmp_path / "ws", True)
+    assert set(no_spill) == set(spilled)
+    for name, buf in no_spill.items():
+        other = spilled[name]
+        assert buf.count == other.count, name
+        np.testing.assert_array_equal(buf.positions, other.positions)
+    for h in (0, 1):
+        assert not os.path.exists(tmp_path / "ws" / f".spill_h{h}")
