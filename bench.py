@@ -48,11 +48,12 @@ def make_input(tmp: str) -> str:
     from schwarzwald_tpu.core.pointbuffer import PointBuffer
     from schwarzwald_tpu.io import las
 
-    rng = np.random.default_rng(42)
-    pos = rng.uniform(1.0, 999.0, (N_POINTS, 3))
-    buf = PointBuffer(pos)
     path = os.path.join(tmp, "bench.las")
-    las.write_las(path, buf, AABB([0.0] * 3, [1000.0] * 3))
+    if not os.path.exists(path):  # fragments reuse the parent's input
+        rng = np.random.default_rng(42)
+        pos = rng.uniform(1.0, 999.0, (N_POINTS, 3))
+        buf = PointBuffer(pos)
+        las.write_las(path, buf, AABB([0.0] * 3, [1000.0] * 3))
     return path
 
 
@@ -362,49 +363,37 @@ def device_poisson_rate(backend: str = "cpu") -> float:
         return 0.0
 
 
-def device_on_vs_off_10m(tmp: str) -> dict:
-    """Round-3 verdict item 1's 'done' bar: device_on vs device_off on a
-    production config at 10M-point scale (FAST + RANDOM_GRID, 1M-point
-    batches -> one fused sweep dispatch per fresh batch + one revisit
-    sweep per later batch). Returns both rates + the device sweep /
-    fallback counters of the device run."""
+def make_10m_input(tmp: str) -> str:
+    """10M-point LAS input, shared between the parent (host rows) and the
+    tpu fragment (device rows) via the common tmp dir."""
     from schwarzwald_tpu.core.aabb import AABB
     from schwarzwald_tpu.core.pointbuffer import PointBuffer
     from schwarzwald_tpu.io import las
 
-    out = {}
-    try:
-        n = 10_000_000
-        src = os.path.join(tmp, "bench10m.las")
+    src = os.path.join(tmp, "bench10m.las")
+    if not os.path.exists(src):
         rng = np.random.default_rng(10)
-        las.write_las(src, PointBuffer(rng.uniform(1.0, 999.0, (n, 3))),
+        las.write_las(src, PointBuffer(rng.uniform(1.0, 999.0,
+                                                   (10_000_000, 3))),
                       AABB([0.0] * 3, [1000.0] * 3))
-        with open(src, "rb") as f:
-            f.read()  # warm page cache
+    with open(src, "rb") as f:
+        f.read()  # warm page cache
+    return src
 
-        def rate(use_device):
-            # one 10M-point processing batch == ONE fused sweep dispatch
-            # (the --internal-cache-size 10M production default); rep 1 of
-            # the device runs pays the per-process sweep compile, so take
-            # the best of 3
-            times = []
-            for i in range(3 if use_device else 2):
-                times.append(run_tiler(
-                    src, os.path.join(tmp, f"out10m{i}"), strategy="FAST",
-                    use_device=use_device, n_points=n, batch=10_000_000))
-            return n / min(times)
 
-        on = rate("tpu")
-        out["device_on_10M_pts_per_sec"] = round(on, 1)
-        out["device_on_10M_sweeps_ok"] = _LAST_DEVICE_STATS.get(
-            "device_sweeps_ok", 0)
-        out["device_on_10M_fallbacks"] = _LAST_DEVICE_STATS.get(
-            "device_fallbacks", 0)
-        out["device_off_10M_pts_per_sec"] = round(rate(None), 1)
-        os.remove(src)
-    except Exception:
-        pass
-    return out
+def rate_10m(tmp: str, use_device, reps: int) -> float:
+    """10M-point production-config rate (FAST + RANDOM_GRID, one 10M
+    processing batch == ONE fused sweep dispatch — the
+    --internal-cache-size production default). Device reps: rep 1 pays
+    the per-process sweep compile, so callers pass reps>=2 and take the
+    best (warm) one."""
+    n = 10_000_000
+    src = make_10m_input(tmp)
+    times = [run_tiler(
+        src, os.path.join(tmp, f"out10m_{use_device}_{i}"),
+        strategy="FAST", use_device=use_device, n_points=n,
+        batch=10_000_000) for i in range(reps)]
+    return n / min(times)
 
 
 def revisit_sweep_rate(tmp: str) -> dict:
@@ -496,6 +485,101 @@ def laz_decode_rate() -> float:
         return 0.0
 
 
+# ---------------------------------------------------------------------------
+# Fragment isolation. Every row that touches a JAX backend runs in a
+# SUBPROCESS: on this deployment the accelerator sits behind a tunnel
+# whose client init can block indefinitely (not error) when the tunnel
+# is down, and jax.devices() initializes EVERY platform — so a single
+# in-process touch could hang the whole benchmark and lose the host rows
+# with it. The parent never imports a backend; a wedged fragment is
+# killed at its timeout and its rows are reported as unreachable.
+
+def _fragment_tpu(tmp: str) -> dict:
+    """All rows needing the real accelerator (or default) backend."""
+    import jax
+
+    from schwarzwald_tpu.ops.device import (call_with_timeout,
+                                            probe_dispatch_latency,
+                                            resolve_use_device)
+
+    ok, devs = call_with_timeout(jax.devices, 180.0)
+    if not ok or not devs:
+        return {"device_unreachable": True}
+    out: dict = {}
+    probed = probe_dispatch_latency(reps=3)
+    if probed:
+        out["device_probe_latency_ms"] = round(probed[0] * 1000, 3)
+        out["device_probe_platform"] = probed[1]
+    out["use_device_auto_decision"] = (
+        resolve_use_device("auto", cache_path=None) or "host")
+    out["device_encode_sort_pts_per_sec"] = round(
+        device_encode_sort_rate(), 1)
+    try:
+        # rep 1 pays the per-process sweep compile (the XLA persistent
+        # cache does not hold across processes on this deployment's axon
+        # backend); report the warm rep
+        src = make_input(tmp)
+        device_on_elapsed = min(run_tiler(
+            src, os.path.join(tmp, f"outdev{i}"), strategy="ACCURATE",
+            use_device="tpu") for i in range(2))
+        out["device_on_pts_per_sec"] = round(N_POINTS / device_on_elapsed, 1)
+    except Exception:
+        out["device_on_pts_per_sec"] = 0.0
+    try:
+        out["device_on_10M_pts_per_sec"] = round(rate_10m(tmp, "tpu", 3), 1)
+        out["device_on_10M_sweeps_ok"] = _LAST_DEVICE_STATS.get(
+            "device_sweeps_ok", 0)
+        out["device_on_10M_fallbacks"] = _LAST_DEVICE_STATS.get(
+            "device_fallbacks", 0)
+    except Exception:
+        pass
+    out["device_poisson_tpu_pts_per_sec"] = round(
+        device_poisson_rate("tpu"), 1)
+    return out
+
+
+def _fragment_cpu(tmp: str) -> dict:
+    """Rows that pin backend='cpu' (virtual mesh, cpu-device sweeps).
+
+    Pinned via jax.config, not just JAX_PLATFORMS: this deployment's
+    accelerator plugin re-pins jax_platforms at interpreter start
+    (sitecustomize), so the env var alone would still initialize the
+    tunneled plugin — whose client init blocks forever when the tunnel
+    is down. The config pin keeps this fragment immune to tunnel state."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    out = {
+        "multichip_virtual4_pts_per_sec": round(multichip_virtual4_rate(), 1),
+        "device_poisson_pts_per_sec": round(device_poisson_rate(), 1),
+    }
+    out.update(revisit_sweep_rate(tmp))
+    return out
+
+
+_FRAGMENTS = {"tpu": _fragment_tpu, "cpu": _fragment_cpu}
+
+
+def run_fragment(name: str, tmp: str, env_extra: dict,
+                 timeout_s: float) -> dict:
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--fragment", name, "--tmp", tmp]
+    env = {**os.environ, **env_extra}
+    try:
+        p = subprocess.run(cmd, env=env, timeout=timeout_s,
+                           capture_output=True, text=True)
+        for line in reversed((p.stdout or "").strip().splitlines()):
+            if line.startswith("{"):
+                return json.loads(line)
+        return {f"{name}_fragment_error": (p.stderr or "")[-400:]}
+    except subprocess.TimeoutExpired:
+        return {f"{name}_fragment_timeout_s": timeout_s}
+    except Exception as exc:  # noqa: BLE001 - report, never hang the bench
+        return {f"{name}_fragment_error": repr(exc)[:400]}
+
+
 def main() -> None:
     tmp = tempfile.mkdtemp(prefix="schwarzwald_bench_")
     try:
@@ -515,27 +599,16 @@ def main() -> None:
         fast_elapsed, _ = best_and_median(2, lambda i: run_tiler(
             src, os.path.join(tmp, f"outf{i}"), strategy="FAST"))
         pts_per_sec = N_POINTS / elapsed
-        device_rate = device_encode_sort_rate()
+        device_off_10m = rate_10m(tmp, None, 2)
 
-        # Device path on vs off, same config — plus the measured probe
-        # behind --use-device auto: the host/device decision is DATA in
-        # this JSON, not a hardcoded default (round-2 verdict item 4).
-        from schwarzwald_tpu.ops.device import (probe_dispatch_latency,
-                                                resolve_use_device)
-        probed = probe_dispatch_latency(reps=3)
-        probe_latency = probed[0] if probed else None
-        probe_platform = probed[1] if probed else None
-        auto_decision = resolve_use_device("auto", cache_path=None)
-        try:
-            # the XLA persistent cache does not hold across processes on
-            # this deployment's axon backend, so rep 1 pays the sweep
-            # compile (minutes); always run 2 and report the warm one
-            device_on_elapsed = min(run_tiler(
-                src, os.path.join(tmp, f"outdev{i}"), strategy="ACCURATE",
-                use_device="tpu") for i in range(2))
-            device_on_rate = N_POINTS / device_on_elapsed
-        except Exception:
-            device_on_rate = 0.0
+        # Jax-touching rows, each in its own killable subprocess. The
+        # host/device decision stays DATA in this JSON (round-2 verdict
+        # item 4) — it now arrives from the tpu fragment, or as
+        # device_unreachable when the accelerator tunnel is down.
+        tpu_rows = run_fragment("tpu", tmp, {}, 2400)
+        cpu_rows = run_fragment(
+            "cpu", tmp, {"JAX_PLATFORMS": "cpu"}, 1800)
+
         print(json.dumps({
             "metric": "end_to_end_las_to_3dtiles",
             "value": round(pts_per_sec, 1),
@@ -551,26 +624,16 @@ def main() -> None:
             "default_config_vs_baseline":
                 round(N_POINTS / default_elapsed / BASELINE_PTS_PER_SEC, 4),
             "fast_strategy_pts_per_sec": round(N_POINTS / fast_elapsed, 1),
-            "device_on_pts_per_sec": round(device_on_rate, 1),
-            "device_probe_latency_ms":
-                round(probe_latency * 1000, 3) if probe_latency else None,
-            "device_probe_platform": probe_platform,
-            "use_device_auto_decision": auto_decision or "host",
-            "device_encode_sort_pts_per_sec": round(device_rate, 1),
-            "multichip_virtual4_pts_per_sec":
-                round(multichip_virtual4_rate(), 1),
+            "device_off_10M_pts_per_sec": round(device_off_10m, 1),
             "config2_laz_entwine_pts_per_sec":
                 round(config2_rate(tmp), 1),
             "config4_jittered_attrs_ignore_pts_per_sec":
                 round(config4_rate(tmp), 1),
             "config5_multihost_laz_pts_per_sec":
                 round(config5_rate(tmp), 1),
-            "device_poisson_pts_per_sec": round(device_poisson_rate(), 1),
-            "device_poisson_tpu_pts_per_sec":
-                round(device_poisson_rate("tpu"), 1),
             "laz_decode_pts_per_sec": round(laz_decode_rate(), 1),
-            **device_on_vs_off_10m(tmp),
-            **revisit_sweep_rate(tmp),
+            **tpu_rows,
+            **cpu_rows,
             "host_concurrency": os.cpu_count(),
             "baseline_assumption":
                 "reference multi-core CPU ~2.5e6 pts/s (unpublished; "
@@ -581,4 +644,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--fragment" in sys.argv:
+        frag = sys.argv[sys.argv.index("--fragment") + 1]
+        frag_tmp = sys.argv[sys.argv.index("--tmp") + 1]
+        print(json.dumps(_FRAGMENTS[frag](frag_tmp)))
+    else:
+        main()

@@ -72,6 +72,32 @@ def _default_platform_name() -> str | None:
         return None
 
 
+def call_with_timeout(fn, timeout_s: float, *args, **kwargs):
+    """Run fn on a daemon thread; (True, result) or (False, None) after
+    timeout_s. JAX backend *initialization* on tunneled-accelerator
+    deployments can block indefinitely (not error) when the tunnel is
+    down — a probe must never take the production host path down with
+    it. The abandoned thread stays parked inside the C client init and
+    dies with the process (daemon)."""
+    import threading
+
+    box: dict = {}
+
+    def runner():
+        try:
+            box["r"] = fn(*args, **kwargs)
+        except Exception:
+            box["r"] = None
+
+    t = threading.Thread(target=runner, daemon=True,
+                         name="schwarzwald-device-probe")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return False, None
+    return True, box.get("r")
+
+
 def resolve_use_device(requested: str | None,
                        threshold_s: float = 0.002,
                        cache_path: str | None = "auto") -> str | None:
@@ -82,11 +108,33 @@ def resolve_use_device(requested: str | None,
     ~/.cache/schwarzwald_tpu/device_probe.json) and enables the device
     path only when the accelerator is local (round-trip < threshold) and
     not the cpu platform. The decision is measured data, not a hardcoded
-    default (round-2 verdict item 4)."""
+    default (round-2 verdict item 4).
+
+    The whole resolution (including reading the cache, whose validation
+    asks the default backend's platform name) runs under a watchdog
+    (SCHWARZWALD_PROBE_TIMEOUT_S, default 60 s): if backend bring-up
+    hangs, the run proceeds host-only and nothing is cached."""
     if requested in ("cpu", "tpu"):
         return requested
     if requested != "auto":
         return None
+    import os
+
+    timeout_s = float(os.environ.get("SCHWARZWALD_PROBE_TIMEOUT_S", "60"))
+    ok, decision = call_with_timeout(
+        _resolve_auto_uncached, timeout_s, threshold_s, cache_path)
+    if not ok:
+        from ..util import log
+
+        log.warn("--use-device auto: backend probe did not answer in "
+                 f"{timeout_s:.0f}s (accelerator unreachable?); "
+                 "continuing host-only")
+        return None
+    return decision
+
+
+def _resolve_auto_uncached(threshold_s: float,
+                           cache_path: str | None) -> str | None:
     import json
     import os
 

@@ -76,13 +76,27 @@ def owned_node_block(process_index: int, process_count: int,
     return lo, hi
 
 
+def _jax_distributed_initialized() -> bool:
+    """True only when jax.distributed.initialize() has run. Checked via
+    the distributed client handle, NOT jax.process_count(): the latter
+    initializes every backend, and on tunneled-TPU deployments backend
+    bring-up can block indefinitely — the filesystem-coordinated
+    multihost path must never touch the accelerator just to plan."""
+    try:
+        from jax._src import distributed
+
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
 def all_reduce_bounds(local_bounds: AABB) -> AABB:
     """Global bounds union across processes (psum-style all-reduce when a
     jax distributed runtime is up; identity for a single process)."""
     try:
         import jax
 
-        if jax.process_count() > 1:
+        if _jax_distributed_initialized() and jax.process_count() > 1:
             import jax.numpy as jnp
             from jax.experimental.multihost_utils import (
                 process_allgather)
@@ -107,8 +121,11 @@ def plan_multihost_tiling(files_with_counts, local_bounds: AABB,
         try:
             import jax
 
-            process_index = jax.process_index()
-            process_count = jax.process_count()
+            if _jax_distributed_initialized():
+                process_index = jax.process_index()
+                process_count = jax.process_count()
+            else:
+                process_index, process_count = 0, 1
         except Exception:
             process_index, process_count = 0, 1
 

@@ -1,10 +1,14 @@
 """Test configuration.
 
 Multi-device sharding tests use an 8-device virtual CPU mesh (SURVEY.md §4).
-NOTE: in this environment the axon TPU plugin ignores JAX_PLATFORMS, so we
-cannot globally select the cpu platform; instead jax's coexisting cpu
-backend is used explicitly (jax.devices("cpu") + jax.default_device) by the
-fixtures below. f64 math is only bit-exact on the cpu backend.
+NOTE: in this environment the axon TPU plugin pins jax_platforms via
+jax.config at interpreter start (sitecustomize), so the JAX_PLATFORMS env
+var alone does not stick — and merely calling jax.devices("cpu") would
+initialize EVERY registered platform, including the tunneled TPU plugin,
+whose client init can block forever when the tunnel is down (observed).
+config.update below wins over the sitecustomize pin and keeps the whole
+suite hermetic: every test pins the cpu backend anyway (f64 math is only
+bit-exact there).
 """
 import os
 
@@ -13,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -163,3 +163,40 @@ def test_resolve_use_device_cache_behavior(tmp_path, monkeypatch):
                         lambda *a, **k: (0.030, "tpu"))
     assert dev.resolve_use_device("auto", cache_path=cache3) is None
     assert json.load(open(cache3))["decision"] is None
+
+
+def test_resolve_use_device_hang_guard(tmp_path, monkeypatch):
+    """A WEDGED backend probe (tunneled client init blocking forever, not
+    erroring) must not hang the production host path: resolution runs
+    under a watchdog and falls back to host without caching anything."""
+    import time
+
+    from schwarzwald_tpu.ops import device as dev
+
+    cache = str(tmp_path / "probe.json")
+
+    def hung_probe(*a, **k):
+        time.sleep(60)
+
+    monkeypatch.setattr(dev, "probe_dispatch_latency", hung_probe)
+    monkeypatch.setenv("SCHWARZWALD_PROBE_TIMEOUT_S", "0.3")
+    t0 = time.perf_counter()
+    assert dev.resolve_use_device("auto", cache_path=cache) is None
+    assert time.perf_counter() - t0 < 5.0
+    assert not os.path.exists(cache)  # timeout never poisons the cache
+
+
+def test_call_with_timeout():
+    import time
+
+    from schwarzwald_tpu.ops.device import call_with_timeout
+
+    ok, r = call_with_timeout(lambda: 42, 5.0)
+    assert ok and r == 42
+    ok, r = call_with_timeout(lambda: time.sleep(30), 0.2)
+    assert not ok and r is None
+    # exceptions inside the worker surface as (True, None), not a raise
+    def boom():
+        raise RuntimeError("x")
+    ok, r = call_with_timeout(boom, 5.0)
+    assert ok and r is None

@@ -53,3 +53,32 @@ def test_plan_multi_process_split():
     assert sorted(covered) == sorted(f for f, _ in files)
     assert plans[0].owned_node_range == (0, 16)
     assert plans[3].owned_node_range == (48, 64)
+
+
+def test_planning_never_initializes_a_backend(monkeypatch):
+    """Filesystem-coordinated multihost planning must not touch
+    jax.process_count()/process_index(): those initialize every JAX
+    backend, and on tunneled-TPU deployments backend bring-up can block
+    FOREVER when the tunnel is down (observed in production: two bench
+    hosts wedged in make_c_api_client). Planning with explicit indices —
+    and bounds all-reduce without a distributed runtime — must complete
+    using no backend at all."""
+    import jax
+
+    def wedged(*a, **k):
+        raise AssertionError("backend touched during multihost planning")
+
+    monkeypatch.setattr(jax, "process_count", wedged)
+    monkeypatch.setattr(jax, "process_index", wedged)
+
+    from schwarzwald_tpu.parallel import multihost
+
+    bounds = AABB([0, 0, 0], [10, 10, 20])
+    assert multihost.all_reduce_bounds(bounds).extent()[2] == 20
+    plan = plan_multihost_tiling([("a.las", 5)], bounds, start_level=3,
+                                 process_index=1, process_count=2)
+    assert plan.process_index == 1 and plan.process_count == 2
+    # and the implicit-index path falls back to single-process rather
+    # than asking a backend, when no distributed runtime is up
+    plan = plan_multihost_tiling([("a.las", 5)], bounds, start_level=3)
+    assert (plan.process_index, plan.process_count) == (0, 1)
