@@ -30,7 +30,24 @@ try:
     _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
     _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
 except Exception:
-    pass
+    _libc = None
+
+
+def malloc_trim() -> bool:
+    """Release free heap pages back to the OS (glibc malloc_trim(0)).
+
+    The mallopt tuning above trades RSS for throughput: freed big
+    buffers stay mapped so the next batch skips first-touch faults.
+    SCHWARZWALD_MALLOC_TRIM=1 calls this once per checkpoint window
+    (see process/tiler.py) for memory-constrained deployments — opt-in
+    because re-faulting costs ~2x wall clock on big-tree runs while the
+    peak RSS there is live data, not retained-free heap (measured, see
+    README). glibc >= 2.8 releases interior free chunks page-wise, not
+    just the heap top. Returns False when unavailable (non-glibc)."""
+    try:
+        return bool(_libc is not None and _libc.malloc_trim(0) >= 0)
+    except Exception:
+        return False
 
 import jax
 
