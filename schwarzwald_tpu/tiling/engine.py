@@ -516,37 +516,108 @@ class TilingAlgorithmBase:
                 kwargs["jit_cfgs"] = device_tiling.jittered_static_configs(
                     root_ext_x, root.max_spacing, root.max_depth)
             from ..util.trace import trace_span
-            # SCHWARZWALD_SWEEP_MODE=while: single rolled loop body for
-            # RANDOM_GRID (bit-identical; see octree_select_random_grid_
-            # while's measured tradeoff) for backends where the unrolled
-            # program's compile cost dominates.
+            # Sweep program choice for RANDOM_GRID (the two are
+            # bit-identical; see octree_select_random_grid_while):
+            #   unrolled — ~22 statically-unrolled level sweeps; 2x faster
+            #     warm exec, but 60-70x slower to COMPILE (measured 70 s
+            #     vs 1.1 s on this deployment's cpu backend) and the
+            #     persistent XLA cache does not hold across processes on
+            #     the axon backend, so every process pays it.
+            #   while   — one rolled loop body, compiles in ~1 s.
+            #   tiered (default off-cpu) — serve sweeps with the while
+            #     program immediately and background-compile the unrolled
+            #     one (remote-compiled on axon: the waiting thread burns
+            #     no local CPU); switch when ready. First-batch latency
+            #     drops from minutes to seconds, steady state keeps the
+            #     fast program. cpu backends default to unrolled: their
+            #     background compile would contend for the same cores.
+            # SCHWARZWALD_SWEEP_MODE=while|unrolled|tiered overrides.
             import os as _os
-            use_while = (name == "RANDOM_GRID"
-                         and _os.environ.get("SCHWARZWALD_SWEEP_MODE")
-                         == "while")
+            mode = _os.environ.get("SCHWARZWALD_SWEEP_MODE")
+            if name != "RANDOM_GRID":
+                mode = "unrolled"
+            elif mode not in ("while", "unrolled", "tiered"):
+                mode = ("unrolled" if device.platform == "cpu" else "tiered")
+            unrolled_args = dict(
+                cands=cands, max_points=self.meta.max_points_per_node,
+                max_depth=root.max_depth, strategy=name,
+                min_node_level=min_node_level, **kwargs)
             with trace_span("device_octree_sweep", "device"), \
                     jax.default_device(device):
-                if use_while:
-                    device_levels = device_tiling.octree_select_random_grid_while(
-                        jnp.asarray(hi),
-                        None if lo is None else jnp.asarray(lo),
-                        cands=cands,
-                        max_points=self.meta.max_points_per_node,
-                        max_depth=root.max_depth,
-                        min_node_level=min_node_level, **kwargs)
+                hi_j = jnp.asarray(hi)
+                lo_j = None if lo is None else jnp.asarray(lo)
+                if mode == "tiered":
+                    mode = ("unrolled" if self._tiered_unrolled_ready(
+                        device, hi_j, lo_j, unrolled_args) else "while")
+                if mode == "while":
+                    wargs = dict(unrolled_args)
+                    wargs.pop("strategy")
+                    device_levels = \
+                        device_tiling.octree_select_random_grid_while(
+                            hi_j, lo_j, **wargs)
                 else:
                     device_levels = device_tiling.octree_select_grid(
-                        jnp.asarray(hi),
-                        None if lo is None else jnp.asarray(lo), cands=cands,
-                        max_points=self.meta.max_points_per_node,
-                        max_depth=root.max_depth, strategy=name,
-                        min_node_level=min_node_level, **kwargs)
+                        hi_j, lo_j, **unrolled_args)
             if not materialize:
                 return (device_levels, n_real)
             return self._materialize_levels((device_levels, n_real))
         except Exception as err:
             self._note_device_fallback(err)
             return None
+
+    # Tiered-compile registry: per-process (the XLA in-process compile
+    # cache is per-process), keyed by the unrolled program's static
+    # signature. Values: "compiling" | "ready".
+    _tiered_state: dict = {}
+    _tiered_lock = None
+
+    def _tiered_unrolled_ready(self, device, hi_j, lo_j,
+                               unrolled_args: dict) -> bool:
+        """True when the unrolled sweep program for this signature is
+        compiled and warm. Otherwise kick off (once per signature) a
+        daemon thread that compiles it by running one throwaway sweep on
+        the same arrays — sharing the module-level jit cache — and
+        return False so the caller serves this sweep with the
+        1-second-compile while program."""
+        import threading
+
+        from ..ops import device_tiling
+
+        cls = TilingAlgorithmBase
+        if cls._tiered_lock is None:
+            cls._tiered_lock = threading.Lock()
+        sig = (hi_j.shape, None if lo_j is None else lo_j.shape,
+               unrolled_args["cands"], unrolled_args["max_points"],
+               unrolled_args["max_depth"], unrolled_args["min_node_level"],
+               unrolled_args.get("cached_level") is not None,
+               unrolled_args.get("n_valid") is not None,
+               "positions" in unrolled_args, device.platform)
+        with cls._tiered_lock:
+            state = cls._tiered_state.get(sig)
+            if state == "ready":
+                return True
+            if state == "compiling":
+                return False
+            cls._tiered_state[sig] = "compiling"
+
+        def compile_unrolled():
+            try:
+                import jax as _jax
+
+                with _jax.default_device(device):
+                    out = device_tiling.octree_select_grid(
+                        hi_j, lo_j, **unrolled_args)
+                    _jax.block_until_ready(out)
+                with cls._tiered_lock:
+                    cls._tiered_state[sig] = "ready"
+            except Exception:
+                # compile failure: stay on the while program forever
+                # (sweeps keep working); never retry-loop the compiler
+                pass
+
+        threading.Thread(target=compile_unrolled, daemon=True,
+                         name="sweep-tiered-compile").start()
+        return False
 
     def _materialize_levels(self, result):
         """Block on an async sweep result; None on device failure or when

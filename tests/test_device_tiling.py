@@ -604,3 +604,59 @@ def test_while_sweep_bit_identical_to_unrolled(on_cpu, rng, case):
     got = device_tiling.octree_select_random_grid_while(hi_j, lo_j, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                   err_msg=case)
+
+
+def test_tiered_sweep_mode_matches_host_and_promotes(rng, on_cpu,
+                                                     monkeypatch):
+    """SCHWARZWALD_SWEEP_MODE=tiered serves early sweeps with the rolled
+    (fast-compile) program and background-compiles the unrolled one; the
+    tiled output must equal the host run regardless of which program
+    served a given batch, and the per-process registry must eventually
+    promote the signature to 'ready'."""
+    import time
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.memory import MemoryPersistence
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+    from schwarzwald_tpu.tiling.engine import TilingAlgorithmBase
+
+    monkeypatch.setenv("SCHWARZWALD_SWEEP_MODE", "tiered")
+    TilingAlgorithmBase._tiered_state.clear()
+    bounds = AABB([0.0] * 3, [64.0] * 3)
+    pos = rng.uniform(0.0, 64.0, (6000, 3))
+
+    def run(use_device, batches=2):
+        persistence = MemoryPersistence()
+        meta = TilerMetaParameters(spacing_at_root=4.0,
+                                   max_points_per_node=200,
+                                   concurrency=2, use_device=use_device)
+        algo = make_tiling_algorithm(TilingStrategy.Accurate,
+                                     SamplingStrategy("RANDOM_GRID", 200),
+                                     persistence, meta)
+        for b in range(batches):
+            lo = b * pos.shape[0] // batches
+            hi = (b + 1) * pos.shape[0] // batches
+            algo.process_batch(PointBuffer(pos[lo:hi].copy()), bounds)
+        algo.finalize(bounds)
+        return persistence, algo
+
+    monkeypatch.setenv("SCHWARZWALD_SWEEP_MODE", "")
+    host, _ = run(None)
+    monkeypatch.setenv("SCHWARZWALD_SWEEP_MODE", "tiered")
+    dev, algo = run("cpu")
+    assert algo.device_sweeps_ok > 0 and algo.device_fallbacks == 0
+    assert set(host.node_names()) == set(dev.node_names())
+    for name in host.node_names():
+        np.testing.assert_array_equal(dev.retrieve_points(name).positions,
+                                      host.retrieve_points(name).positions,
+                                      err_msg=name)
+    # the background compile of the tiny test program promotes quickly
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if "ready" in TilingAlgorithmBase._tiered_state.values():
+            break
+        time.sleep(0.5)
+    assert "ready" in TilingAlgorithmBase._tiered_state.values()
