@@ -433,6 +433,115 @@ def _random_grid_level_plan(cands: tuple, max_points: int, max_depth: int,
     return tuple(node_levels), tuple(cand_levels), terminal_level
 
 
+def _key_axis_bit_dyn(hi, lo, t, axis: int):
+    """_key_axis_bit with a TRACED descent level t. The hi/lo word choice
+    becomes a where(); shifts are clamped so both branches are defined.
+    Performs the identical extraction for any concrete t, so results are
+    bit-identical to the static helper."""
+    pos = 3 * (20 - t) + (2 - axis)
+    hi_bit = (hi >> jnp.clip(pos - 32, 0, 31).astype(jnp.uint32)) \
+        & jnp.uint32(1)
+    if lo is None:
+        return hi_bit
+    lo_bit = (lo >> jnp.clip(pos, 0, 31).astype(jnp.uint32)) & jnp.uint32(1)
+    return jnp.where(pos >= 32, hi_bit, lo_bit)
+
+
+def _node_min_max_dyn(hi, lo, depth, root_min, root_max,
+                      max_steps: int = MAX_LEVELS):
+    """_node_min_max with a TRACED depth: the halving loop unrolls to the
+    static bound and steps t >= depth keep the previous value. Active
+    steps perform the exact same FP operations in the same order as the
+    static helper, so the surviving values are bit-identical."""
+    n = hi.shape[0]
+    mins = [jnp.full(n, root_min[a], jnp.float64) for a in range(3)]
+    maxs = [jnp.full(n, root_max[a], jnp.float64) for a in range(3)]
+    for t in range(max_steps):
+        active = t < depth
+        for a in range(3):
+            half = (maxs[a] - mins[a]) / 2
+            bit = _key_axis_bit_dyn(hi, lo, jnp.int32(t), a).astype(
+                jnp.float64)
+            new_min = mins[a] + bit * half
+            new_max = new_min + half
+            mins[a] = jnp.where(active, new_min, mins[a])
+            maxs[a] = jnp.where(active, new_max, maxs[a])
+    return mins, maxs
+
+
+def _cell_centers_dyn(hi, lo, depth, root_min, root_max):
+    mins, maxs = _node_min_max_dyn(hi, lo, depth, root_min, root_max)
+    return [mins[a] + (maxs[a] - mins[a]) / 2 for a in range(3)]
+
+
+def _pick_grid_center_dyn(hi, lo, positions, cand, remaining, iota,
+                          root_min, root_max):
+    """_pick_grid_center with a TRACED candidate level."""
+    cx, cy, cz = _cell_centers_dyn(hi, lo, cand + 1, root_min, root_max)
+    d = ((positions[:, 0] - cx) ** 2 + (positions[:, 1] - cy) ** 2
+         + (positions[:, 2] - cz) ** 2)
+    cand_first = _first_in_cell_dyn(hi, lo, cand + 1)
+    masked = jnp.where(remaining, d, jnp.inf)
+    is_min = remaining & (masked == _segment_min(cand_first, masked))
+    _, before_eq, _ = _segment_fields(cand_first, is_min, iota)
+    return is_min & (before_eq == 0)
+
+
+# JITTERED grids use at most 64 cells per axis -> at most 6 octant digits
+# below the node.
+_JITTER_MAX_SUBLEVELS = 6
+
+
+def _grid_coords_of_cell_dyn(hi, lo, node_level, levels):
+    """_grid_coords_of_cell with TRACED node_level and levels."""
+    n = hi.shape[0]
+    gx = jnp.zeros(n, jnp.int32)
+    gy = jnp.zeros(n, jnp.int32)
+    gz = jnp.zeros(n, jnp.int32)
+    for j in range(_JITTER_MAX_SUBLEVELS):
+        active = j < levels
+        t = node_level + 1 + j
+        shift = jnp.maximum(levels - 1 - j, 0)
+        bx = _key_axis_bit_dyn(hi, lo, t, 0).astype(jnp.int32) << shift
+        by = _key_axis_bit_dyn(hi, lo, t, 1).astype(jnp.int32) << shift
+        bz = _key_axis_bit_dyn(hi, lo, t, 2).astype(jnp.int32) << shift
+        gx = jnp.where(active, gx | bx, gx)
+        gy = jnp.where(active, gy | by, gy)
+        gz = jnp.where(active, gz | bz, gz)
+    return gx, gy, gz
+
+
+def _pick_jittered_dyn(hi, lo, positions, node_level, cfg_row, perms_row,
+                       remaining, iota, root_min, root_max):
+    """_pick_jittered with traced node_level and per-level config row
+    (cfg_row = [levels, grid_level, actual, plen] int32, perms_row =
+    (3, 64) int32 permutation tables padded to length 64)."""
+    levels, grid_level, actual, plen = (cfg_row[0], cfg_row[1], cfg_row[2],
+                                        cfg_row[3])
+    nmins, nmaxs = _node_min_max_dyn(hi, lo, node_level + 1, root_min,
+                                     root_max)
+    node_extent_x = nmaxs[0] - nmins[0]
+    grid_cell_size = node_extent_x / actual.astype(jnp.float64)
+    permutation_cell_size = grid_cell_size / actual.astype(jnp.float64)
+    gx, gy, gz = _grid_coords_of_cell_dyn(hi, lo, node_level, levels)
+    px = (perms_row[0][(gy + gz) % plen] - 1).astype(jnp.float64)
+    py = (perms_row[1][(gx + gz) % plen] - 1).astype(jnp.float64)
+    pz = (perms_row[2][(gx + gy) % plen] - 1).astype(jnp.float64)
+    tx = nmins[0] + (gx.astype(jnp.float64) * grid_cell_size
+                     + px * permutation_cell_size)
+    ty = nmins[1] + (gy.astype(jnp.float64) * grid_cell_size
+                     + py * permutation_cell_size)
+    tz = nmins[2] + (gz.astype(jnp.float64) * grid_cell_size
+                     + pz * permutation_cell_size)
+    d = ((positions[:, 0] - tx) ** 2 + (positions[:, 1] - ty) ** 2
+         + (positions[:, 2] - tz) ** 2)
+    cell_first = _first_in_cell_dyn(hi, lo, grid_level + 1)
+    masked = jnp.where(remaining, d, jnp.inf)
+    is_min = remaining & (masked == _segment_min(cell_first, masked))
+    _, before_eq, _ = _segment_fields(cell_first, is_min, iota)
+    return is_min & (before_eq == 0)
+
+
 def _first_in_cell_dyn(hi, lo, groups):
     """_first_in_cell with a TRACED group count (while-loop sweep body).
     Shifts are clamped so every branch is well-defined; groups <= 0 (the
@@ -530,6 +639,149 @@ def octree_select_random_grid_while(hi, lo, cands: tuple, max_points: int,
             # shallower level has no participants. An all-assigned batch
             # still short-circuits, which is what makes uniform clouds
             # cheap.
+            return (i < len(node_levels)) & jnp.any(remaining)
+
+        _, remaining, out = lax.while_loop(
+            cond, body, (jnp.int32(0), remaining0, out0))
+    else:
+        remaining, out = remaining0, out0
+
+    if terminal_level is not None:
+        participating = remaining if cached_level is None else (
+            remaining & ((cached_level == jnp.int8(-128))
+                         | (cached_level <= jnp.int8(terminal_level))))
+        out = jnp.where(participating, jnp.int8(terminal_level + 2), out)
+    return out
+
+
+def _grid_level_plan(strategy: str, cands: tuple, jit_cfgs: tuple,
+                     max_depth: int, min_node_level: int, hi_only: bool):
+    """Static per-level plan for the while-loop sweep, all three grid
+    strategies. Mirrors octree_select_grid's unrolled control flow:
+    returns (node_levels, cand_levels, cfg_rows, terminal_level) where
+    cand_levels is () for JITTERED and cfg_rows is () otherwise."""
+    max_level = min(MAX_LEVELS - 1, max_depth)
+    node_levels, cand_levels, cfg_rows = [], [], []
+    terminal_level = None
+    for node_level in range(min_node_level, max_level + 1):
+        if strategy == "JITTERED":
+            cfg = jit_cfgs[node_level + 1]
+            is_terminal = node_level >= max_level
+            if not is_terminal and cfg is None:
+                break  # <16 grid (reference raises) or >=21 grid level
+            cand = None
+        else:
+            cand = cands[node_level + 1]
+            requires_deeper = cand > node_level
+            is_terminal = (node_level >= max_level if requires_deeper
+                           else cand >= max_level)
+            if not is_terminal and cand >= MAX_LEVELS:
+                break  # re-rooting: host engine finishes unassigned points
+        if hi_only:
+            needed = max(node_level + 1,
+                         0 if cand is None else cand + 1)
+            if 3 * needed > 31:
+                break  # lo word not shipped: host fallback from here on
+        if is_terminal:
+            terminal_level = node_level
+            break
+        node_levels.append(node_level)
+        if strategy == "JITTERED":
+            cfg_rows.append(cfg)
+        else:
+            cand_levels.append(cand)
+    return (tuple(node_levels), tuple(cand_levels), tuple(cfg_rows),
+            terminal_level)
+
+
+@functools.partial(jax.jit, static_argnames=("cands", "max_points",
+                                             "max_depth", "strategy",
+                                             "jit_cfgs", "min_node_level"))
+def octree_select_grid_while(hi, lo, cands: tuple, max_points: int,
+                             max_depth: int, strategy: str = "RANDOM_GRID",
+                             positions=None, root_min=None, root_max=None,
+                             jit_cfgs: tuple = None, min_node_level: int = -1,
+                             cached_level=None, n_valid=None):
+    """octree_select_grid as ONE while-loop level body — all three grid
+    strategies, bit-identical output to the unrolled program (asserted by
+    tests/test_device_tiling.py). Compiles 60-70x faster (the unrolled
+    program statically expands ~22 level sweeps); warm exec is ~2x slower
+    (traced-level geometry runs every clamped halving step). This is the
+    fast-compile tier of the engine's tiered sweep mode."""
+    from jax import lax
+
+    n = hi.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    node_levels, cand_levels, cfg_rows, terminal_level = _grid_level_plan(
+        strategy, cands, jit_cfgs, max_depth, min_node_level, lo is None)
+    remaining0 = (jnp.ones(n, dtype=bool) if n_valid is None
+                  else iota < jnp.asarray(n_valid, jnp.int32))
+    out0 = jnp.zeros(n, dtype=jnp.int8)
+
+    if node_levels:
+        nl_arr = jnp.asarray(node_levels, jnp.int32)
+        if strategy == "JITTERED":
+            cfg_arr = jnp.asarray(
+                [(c[0], c[1], c[2], c[3]) for c in cfg_rows], jnp.int32)
+            perms_arr = jnp.asarray(
+                [[list(p) + [0] * (64 - len(p)) for p in c[4]]
+                 for c in cfg_rows], jnp.int32)
+        else:
+            cd_arr = jnp.asarray(cand_levels, jnp.int32)
+
+        def participating_at(remaining, node_level):
+            if cached_level is None:
+                return remaining
+            return remaining & (
+                (cached_level == jnp.int8(-128))
+                | (cached_level <= node_level.astype(jnp.int8)))
+
+        def body(state):
+            i, remaining, out = state
+            node_level = nl_arr[i]
+            participating = participating_at(remaining, node_level)
+            node_first = _first_in_cell_dyn(hi, lo, node_level + 1)
+            _, before_node, in_node = _segment_fields(node_first,
+                                                      participating, iota)
+            take_all = in_node <= max_points
+            untouched = None
+            own = None
+            if cached_level is not None:
+                own = participating & (
+                    cached_level == node_level.astype(jnp.int8))
+                _, _, own_in_node = _segment_fields(node_first, own, iota)
+                take_all = take_all & (own_in_node == 0)
+                untouched = (own_in_node > 0) & (in_node == own_in_node)
+            if strategy == "JITTERED":
+                pick = _pick_jittered_dyn(
+                    hi, lo, positions, node_level, cfg_arr[i], perms_arr[i],
+                    participating, iota, root_min, root_max)
+            elif strategy == "GRID_CENTER":
+                cand = cd_arr[i]
+                pick_grid = _pick_grid_center_dyn(
+                    hi, lo, positions, cand, participating, iota,
+                    root_min, root_max)
+                pick_root = participating & (before_node == 0)
+                pick = jnp.where(cand < 0, pick_root, pick_grid)
+            else:
+                cand = cd_arr[i]
+                pick_first = _first_in_cell_dyn(hi, lo,
+                                                jnp.maximum(cand, 0) + 1)
+                _, before_cand, _ = _segment_fields(pick_first,
+                                                    participating, iota)
+                pick_grid = participating & (before_cand == 0)
+                pick_root = participating & (before_node == 0)
+                pick = jnp.where(cand < 0, pick_root, pick_grid)
+            selected = jnp.where(take_all, participating, pick)
+            if untouched is not None:
+                selected = jnp.where(untouched, own, selected)
+            out = jnp.where(selected,
+                            (node_level + 2).astype(jnp.int8), out)
+            remaining = remaining & ~selected
+            return i + 1, remaining, out
+
+        def cond(state):
+            i, remaining, out = state
             return (i < len(node_levels)) & jnp.any(remaining)
 
         _, remaining, out = lax.while_loop(

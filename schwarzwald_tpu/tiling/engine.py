@@ -516,8 +516,8 @@ class TilingAlgorithmBase:
                 kwargs["jit_cfgs"] = device_tiling.jittered_static_configs(
                     root_ext_x, root.max_spacing, root.max_depth)
             from ..util.trace import trace_span
-            # Sweep program choice for RANDOM_GRID (the two are
-            # bit-identical; see octree_select_random_grid_while):
+            # Sweep program choice (grid strategies; the two programs are
+            # bit-identical; see octree_select_grid_while):
             #   unrolled — ~22 statically-unrolled level sweeps; 2x faster
             #     warm exec, but 60-70x slower to COMPILE (measured 70 s
             #     vs 1.1 s on this deployment's cpu backend) and the
@@ -534,9 +534,7 @@ class TilingAlgorithmBase:
             # SCHWARZWALD_SWEEP_MODE=while|unrolled|tiered overrides.
             import os as _os
             mode = _os.environ.get("SCHWARZWALD_SWEEP_MODE")
-            if name != "RANDOM_GRID":
-                mode = "unrolled"
-            elif mode not in ("while", "unrolled", "tiered"):
+            if mode not in ("while", "unrolled", "tiered"):
                 mode = ("unrolled" if device.platform == "cpu" else "tiered")
             unrolled_args = dict(
                 cands=cands, max_points=self.meta.max_points_per_node,
@@ -550,11 +548,8 @@ class TilingAlgorithmBase:
                     mode = ("unrolled" if self._tiered_unrolled_ready(
                         device, hi_j, lo_j, unrolled_args) else "while")
                 if mode == "while":
-                    wargs = dict(unrolled_args)
-                    wargs.pop("strategy")
-                    device_levels = \
-                        device_tiling.octree_select_random_grid_while(
-                            hi_j, lo_j, **wargs)
+                    device_levels = device_tiling.octree_select_grid_while(
+                        hi_j, lo_j, **unrolled_args)
                 else:
                     device_levels = device_tiling.octree_select_grid(
                         hi_j, lo_j, **unrolled_args)

@@ -660,3 +660,59 @@ def test_tiered_sweep_mode_matches_host_and_promotes(rng, on_cpu,
             break
         time.sleep(0.5)
     assert "ready" in TilingAlgorithmBase._tiered_state.values()
+
+
+@pytest.mark.parametrize("strategy", ["GRID_CENTER", "JITTERED"])
+@pytest.mark.parametrize("case", [
+    "fresh", "fresh_takeall", "fast_level3", "padded", "terminal_depth3",
+    "cached",
+])
+def test_while_sweep_positions_strategies_bit_identical(on_cpu, rng,
+                                                        strategy, case):
+    """octree_select_grid_while covers GRID_CENTER and JITTERED too:
+    identical int8 output to the unrolled program on the same inputs (the
+    traced-level geometry helpers perform the exact same FP operations in
+    the same order, so the f64 distances are bit-identical on cpu)."""
+    import jax.numpy as jnp
+
+    n = 6000
+    spacing, max_points, max_depth, minlv = 2.0, 100, 100, -1
+    pos = rng.uniform(0.0, 64.0, (n, 3))
+    keys, _ = indexing.index_points(pos, BOUNDS.min, BOUNDS.max)
+    order = indexing.sort_by_key(keys)
+    skeys, spos = keys[order], pos[order]
+    cached = None
+    n_valid = None
+    if case == "fresh_takeall":
+        max_points = 10 ** 6
+    elif case == "fast_level3":
+        minlv = 3
+    elif case == "padded":
+        pad = 8192 - n
+        skeys = np.concatenate(
+            [skeys, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))])
+        spos = np.concatenate([spos, np.zeros((pad, 3))])
+        n_valid = np.int32(n)
+    elif case == "terminal_depth3":
+        max_depth, max_points = 3, 50
+    elif case == "cached":
+        minlv = 2
+        tiers = rng.choice(np.array([-128, 2, 3, 4], np.int8), n)
+        cached = jnp.asarray(np.sort(tiers))
+
+    hi = (skeys >> np.uint64(32)).astype(np.uint32)
+    lo = skeys.astype(np.uint32)
+    cands = tuple(device_tiling.candidate_levels(64.0, spacing, max_depth))
+    kw = dict(cands=cands, max_points=max_points, max_depth=max_depth,
+              min_node_level=minlv, cached_level=cached, n_valid=n_valid,
+              strategy=strategy, positions=jnp.asarray(spos),
+              root_min=jnp.asarray(BOUNDS.min),
+              root_max=jnp.asarray(BOUNDS.max))
+    if strategy == "JITTERED":
+        kw["jit_cfgs"] = device_tiling.jittered_static_configs(
+            64.0, spacing, max_depth)
+    hi_j, lo_j = jnp.asarray(hi), jnp.asarray(lo)
+    want = device_tiling.octree_select_grid(hi_j, lo_j, **kw)
+    got = device_tiling.octree_select_grid_while(hi_j, lo_j, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                  err_msg=f"{strategy}/{case}")
