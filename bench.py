@@ -123,6 +123,49 @@ def device_encode_sort_rate() -> float:
         return 0.0
 
 
+def config3_rate(tmp: str) -> float:
+    """BASELINE config #3, scaled to this box: multi-file LAS directory ->
+    3DTILES with MIN_DISTANCE sampling + ACCURATE strategy (the full-run
+    shape is the 100M soak in README; this row tracks the config's
+    pipeline — multi-reader directory scan + Poisson path — at bench
+    scale). pts/s over total points, best of 2."""
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.attributes import OutputFormat
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io import las
+    from schwarzwald_tpu.process.tiler_process import (TilerArguments,
+                                                       TilerProcess)
+
+    try:
+        rng = np.random.default_rng(4)
+        n_per, n_files = 250_000, 4
+        src_dir = os.path.join(tmp, "cfg3")
+        os.makedirs(src_dir, exist_ok=True)
+        bounds = AABB([0.0] * 3, [1000.0] * 3)
+        for i in range(n_files):
+            path = os.path.join(src_dir, f"part{i}.las")
+            if not os.path.exists(path):
+                las.write_las(path, PointBuffer(
+                    rng.uniform(1.0, 999.0, (n_per, 3))), bounds)
+
+        def run(i: int) -> float:
+            out = os.path.join(tmp, f"cfg3out{i}")
+            t0 = time.perf_counter()
+            TilerProcess(TilerArguments(
+                sources=[src_dir], output_directory=out,
+                diagonal_fraction=250, sampling_strategy="MIN_DISTANCE",
+                tiling_strategy="ACCURATE",
+                output_format=OutputFormat.CZM_3DTILES,
+                cache_size_bytes=1 << 30)).run()
+            elapsed = time.perf_counter() - t0
+            shutil.rmtree(out, ignore_errors=True)
+            return elapsed
+
+        return n_per * n_files / min(run(0), run(1))
+    except Exception:
+        return 0.0
+
+
 def config4_rate(tmp: str) -> float:
     """BASELINE config #4: JITTERED sampling, full attribute passthrough
     (RGB, intensity, classification), --ignore error recovery over a
@@ -627,6 +670,8 @@ def main() -> None:
             "device_off_10M_pts_per_sec": round(device_off_10m, 1),
             "config2_laz_entwine_pts_per_sec":
                 round(config2_rate(tmp), 1),
+            "config3_multifile_min_distance_pts_per_sec":
+                round(config3_rate(tmp), 1),
             "config4_jittered_attrs_ignore_pts_per_sec":
                 round(config4_rate(tmp), 1),
             "config5_multihost_laz_pts_per_sec":
