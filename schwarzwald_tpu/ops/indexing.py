@@ -59,6 +59,22 @@ def index_points(positions: np.ndarray, bounds_min, bounds_max):
     return keys, positions
 
 
+def is_sorted(keys: np.ndarray) -> bool:
+    """True when keys are already nondecreasing (one cheap vector pass).
+
+    Node contents are persisted in key order, and the lossy-sink re-read
+    (LAS/LAZ quantization) is an identity transform whenever the stored
+    values are already aligned to the sink's grid — the common case
+    (input LAS/LAZ at the same or coarser scale than the output). The
+    re-sort of retrieved contents then has nothing to do; callers use
+    this check to skip the radix argsort plus the reorder gather (the
+    two dominated the finalize reconstruction profile) while keeping the
+    full sort as the fallback for genuinely perturbed keys."""
+    if keys.size <= 1:
+        return True
+    return bool((keys[1:] >= keys[:-1]).all())
+
+
 def sort_by_key(keys: np.ndarray):
     """Stable argsort by Morton key.
 

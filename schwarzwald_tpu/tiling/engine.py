@@ -213,7 +213,8 @@ class TilingAlgorithmBase:
             sub, _ = indexing.index_points(cached.positions.copy(),
                                            node.bounds.min, node.bounds.max)
         keys = np.uint64(node.morton_key) | (sub >> _U(3 * start_level))
-        if not self.persistence.is_lossless:
+        if not self.persistence.is_lossless \
+                and not indexing.is_sorted(keys):
             order = indexing.sort_by_key(keys)
             keys = keys[order]
             # reorder the buffer itself so the memoized keys align with it
@@ -1410,7 +1411,8 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         keys, clamped = indexing.index_points(data.positions,
                                               root.bounds.min, root.bounds.max)
         data.positions = clamped
-        if not self.persistence.is_lossless:
+        if not self.persistence.is_lossless \
+                and not indexing.is_sorted(keys):
             order = indexing.sort_by_key(keys)
             keys = keys[order]
             data = data.take(order)

@@ -152,6 +152,60 @@ def test_nodes_contain_their_points(rng):
         assert (pts >= bounds.min - eps).all() and (pts <= bounds.max + eps).all()
 
 
+def test_is_sorted_basics():
+    assert indexing.is_sorted(np.empty(0, dtype=np.uint64))
+    assert indexing.is_sorted(np.array([7], dtype=np.uint64))
+    assert indexing.is_sorted(np.array([1, 1, 2], dtype=np.uint64))
+    assert not indexing.is_sorted(np.array([2, 1], dtype=np.uint64))
+    assert not indexing.is_sorted(np.array([1, 3, 2, 4], dtype=np.uint64))
+
+
+def test_reconstruct_sorts_out_of_order_lossy_children(rng, tmp_path):
+    """The reconstruction sort-skip (indexing.is_sorted guard) must fall
+    back to the full stable sort when a retrieved child's contents are NOT
+    key-ordered — e.g. an output dir pre-populated by another tool, or a
+    lossy re-read whose quantization genuinely reorders keys. Differential:
+    a hand-written oracle twin of _reconstruct_single_node (always-sort)
+    over the same lossy LAS persistence."""
+    from schwarzwald_tpu.io.las_persistence import LASPersistence
+    from schwarzwald_tpu.ops.sampling import SamplingBehaviour
+
+    persistence = LASPersistence(str(tmp_path))
+    # Two root children: r4's contents are deliberately UNSORTED by key.
+    pos0 = rng.uniform([0.0, 0.0, 0.0], [32.0, 32.0, 32.0], size=(500, 3))
+    pos4 = rng.uniform([32.0, 0.0, 0.0], [64.0, 32.0, 32.0], size=(500, 3))
+    keys4, _ = indexing.index_points(pos4.copy(), BOUNDS.min, BOUNDS.max)
+    assert not indexing.is_sorted(keys4[np.argsort(keys4)][::-1].copy())
+    pos4 = pos4[np.argsort(keys4)][::-1]  # reverse key order
+    persistence.persist_points(PointBuffer(pos0), octant_bounds(0, BOUNDS), "r0")
+    persistence.persist_points(PointBuffer(pos4), octant_bounds(4, BOUNDS), "r4")
+
+    meta = TilerMetaParameters(spacing_at_root=8.0, max_depth=100,
+                               max_points_per_node=100, concurrency=1)
+    strategy = SamplingStrategy("GRID_CENTER", 100)
+    algo = make_tiling_algorithm(TilingStrategy.Fast, strategy, persistence,
+                                 meta)
+    algo.level_of_start_nodes = 1
+    algo._start_nodes_used = {(0, 1), (4, 1)}
+    algo.finalize(BOUNDS)
+
+    # Oracle twin: retrieve children in octant order, concat, index from
+    # root, FULL stable sort, sample AlwaysAdhere, keep the selected prefix.
+    bufs = [persistence.retrieve_points(f"r{o}").positions for o in (0, 4)]
+    data = np.concatenate([b for b in bufs if b.size])
+    keys, clamped = indexing.index_points(data, BOUNDS.min, BOUNDS.max)
+    order = np.argsort(keys, kind="stable")
+    keys, clamped = keys[order], clamped[order]
+    res = strategy.sample(keys, clamped, 0, -1, BOUNDS.min, BOUNDS.max, 8.0,
+                          SamplingBehaviour.AlwaysAdhereToMinSpacing)
+    want = res.apply(clamped)[:res.selected_count]
+    # compare through the same lossy roundtrip the persisted root took
+    want_q = persistence.simulate_retrieve(PointBuffer(want.copy()),
+                                           BOUNDS).positions
+    got = persistence.retrieve_points("r").positions
+    np.testing.assert_array_equal(got, want_q)
+
+
 def test_random_grid_density_bound(rng):
     """Interior nodes keep at most one point per candidate-level cell."""
     buf = make_cloud(rng, 9000)
