@@ -432,6 +432,67 @@ def quantize_positions(positions: np.ndarray, scale, offset) -> np.ndarray:
     return np.where(v >= 0, v + 0.5, v - 0.5).astype(np.int32)
 
 
+def simulate_roundtrip(buffer: PointBuffer, fmt: int, scale,
+                       offset) -> PointBuffer:
+    """Column-level equivalent of encode_records followed by
+    decode_records(attributes_for_format(fmt)) — what a LAS persist +
+    re-read returns, without packing/unpacking record structs.
+
+    The round trip is lossy only in a handful of places (position grid
+    quantization, legacy 3-bit return masks, the extended scan-angle unit
+    conversion); everything else is an identity copy because PointBuffer
+    columns already use the canonical LAS dtypes (ATTRIBUTE_LAYOUT).
+    Differentially tested against the real encode+decode pair
+    (tests/test_las.py::test_simulate_roundtrip_matches_encode_decode)."""
+    fmt = base_point_format(fmt)
+    scale = np.asarray(scale, dtype=np.float64)
+    offset = np.asarray(offset, dtype=np.float64)
+    n = buffer.count
+    xyz = quantize_positions(buffer.positions, scale, offset)
+    positions = np.empty((n, 3), dtype=np.float64)
+    positions[:, 0] = xyz[:, 0] * scale[0] + offset[0]
+    positions[:, 1] = xyz[:, 1] * scale[1] + offset[1]
+    positions[:, 2] = xyz[:, 2] * scale[2] + offset[2]
+    out = PointBuffer(positions)
+
+    extended = fmt >= 6
+    A = PointAttribute
+
+    def col(attr, dtype):
+        c = buffer.get(attr)
+        return c if c is not None else np.zeros(n, dtype=dtype)
+
+    out.columns[A.Intensity] = col(A.Intensity, np.uint16).copy()
+    ret_mask = 0xF if extended else 0x7
+    out.columns[A.ReturnNumber] = col(A.ReturnNumber, np.uint8) & ret_mask
+    out.columns[A.NumberOfReturns] = \
+        col(A.NumberOfReturns, np.uint8) & ret_mask
+    out.columns[A.ScanDirectionFlag] = \
+        col(A.ScanDirectionFlag, np.uint8) & 0x1
+    out.columns[A.EdgeOfFlightLine] = \
+        col(A.EdgeOfFlightLine, np.uint8) & 0x1
+    out.columns[A.Classification] = col(A.Classification, np.uint8).copy()
+    rank = col(A.ScanAngleRank, np.int8)
+    if extended:
+        # i8 rank -> i16 0.006-degree units -> i8 rank (encode + decode
+        # sides of the laszip compatibility-mode conversion)
+        units = np.clip(np.round(rank.astype(np.float64) / 0.006),
+                        -32768, 32767)
+        rank = np.clip(np.round(units * 0.006), -128, 127).astype(np.int8)
+    else:
+        rank = rank.copy()
+    out.columns[A.ScanAngleRank] = rank
+    out.columns[A.UserData] = col(A.UserData, np.uint8).copy()
+    out.columns[A.PointSourceID] = col(A.PointSourceID, np.uint16).copy()
+    if fmt in (1, 3, 6, 7, 8):
+        out.columns[A.GPSTime] = col(A.GPSTime, np.float64).copy()
+    if fmt in (2, 3, 7, 8):
+        rgb = buffer.get(A.RGB)
+        out.columns[A.RGB] = (rgb.copy() if rgb is not None
+                              else np.zeros((n, 3), dtype=np.uint8))
+    return out
+
+
 def encode_records(buffer: PointBuffer, fmt: int, scale, offset) -> np.ndarray:
     dtype = point_record_dtype(fmt)
     rec = np.zeros(buffer.count, dtype=dtype)

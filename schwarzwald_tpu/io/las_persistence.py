@@ -78,25 +78,19 @@ class LASPersistence:
     def simulate_retrieve(self, points: PointBuffer, bounds: AABB
                           ) -> PointBuffer:
         """What retrieve_points would return after persist_points(points,
-        bounds, ...) — computed in memory (encode + decode the records,
-        skipping file IO and LAZ entropy coding, both of which are
-        lossless). Lets the engine's node cache serve LOSSY sinks with
-        exact re-read parity."""
+        bounds, ...) — computed in memory at column level
+        (las.simulate_roundtrip: position quantization + the few lossy
+        attribute masks, skipping record-struct packing, file IO and LAZ
+        entropy coding, all of which preserve the values). Lets the
+        engine's node cache serve LOSSY sinks with exact re-read
+        parity."""
         import numpy as np
 
         fmt = las.choose_point_format(points, extended=self.extended)
         scale = las.compute_las_scale_from_bounds(bounds)
-        header = las.LASHeader(
-            point_data_format=fmt,
-            point_record_length=las.record_length_for_format(fmt),
-            point_count=points.count,
-            scale=np.full(3, scale),
-            offset=np.asarray(bounds.min, dtype=np.float64),
-        )
-        records = las.encode_records(points, fmt, header.scale,
-                                     header.offset)
-        return las.decode_records(records.view(np.uint8).reshape(-1),
-                                  header, las.attributes_for_format(fmt))
+        return las.simulate_roundtrip(points, fmt, np.full(3, scale),
+                                      np.asarray(bounds.min,
+                                                 dtype=np.float64))
 
     def node_exists(self, node_name: str) -> bool:
         return os.path.exists(self._path(node_name))

@@ -239,6 +239,108 @@ def test_las_persistence_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back.positions, buf.positions, atol=0.001)
 
 
+def _adversarial_buffer(rng, n, attributes):
+    """random_buffer with out-of-range values that exercise every lossy
+    mask in the LAS round trip (return numbers > 7/15, scan angle
+    extremes, flag bits set)."""
+    buf = PointBuffer(rng.uniform(BOUNDS.min, BOUNDS.max, size=(n, 3)))
+    if A.RGB in attributes:
+        buf.set_column(A.RGB, rng.integers(0, 256, (n, 3), dtype=np.uint8))
+    if A.Intensity in attributes:
+        buf.set_column(A.Intensity,
+                       rng.integers(0, 65536, n, dtype=np.uint16))
+    if A.Classification in attributes:
+        buf.set_column(A.Classification,
+                       rng.integers(0, 256, n, dtype=np.uint8))
+    if A.GPSTime in attributes:
+        buf.set_column(A.GPSTime, rng.uniform(-1e9, 1e9, n))
+    if A.ReturnNumber in attributes:
+        buf.set_column(A.ReturnNumber,
+                       rng.integers(0, 256, n, dtype=np.uint8))
+    if A.NumberOfReturns in attributes:
+        buf.set_column(A.NumberOfReturns,
+                       rng.integers(0, 256, n, dtype=np.uint8))
+    if A.ScanAngleRank in attributes:
+        buf.set_column(A.ScanAngleRank,
+                       rng.integers(-128, 128, n).astype(np.int8))
+    if A.ScanDirectionFlag in attributes:
+        buf.set_column(A.ScanDirectionFlag,
+                       rng.integers(0, 256, n, dtype=np.uint8))
+    if A.EdgeOfFlightLine in attributes:
+        buf.set_column(A.EdgeOfFlightLine,
+                       rng.integers(0, 256, n, dtype=np.uint8))
+    if A.UserData in attributes:
+        buf.set_column(A.UserData, rng.integers(0, 256, n, dtype=np.uint8))
+    if A.PointSourceID in attributes:
+        buf.set_column(A.PointSourceID,
+                       rng.integers(0, 65536, n, dtype=np.uint16))
+    return buf
+
+
+_SIM_ATTR_SUBSETS = [
+    (),
+    (A.Intensity, A.Classification),
+    (A.RGB, A.GPSTime),
+    (A.ReturnNumber, A.NumberOfReturns, A.ScanAngleRank,
+     A.ScanDirectionFlag, A.EdgeOfFlightLine, A.UserData,
+     A.PointSourceID),
+    (A.RGB, A.Intensity, A.Classification, A.GPSTime, A.ReturnNumber,
+     A.NumberOfReturns, A.ScanAngleRank, A.ScanDirectionFlag,
+     A.EdgeOfFlightLine, A.UserData, A.PointSourceID),
+]
+
+
+@pytest.mark.parametrize("fmt", [0, 1, 2, 3, 6, 7, 8])
+def test_simulate_roundtrip_matches_encode_decode(rng, fmt):
+    """las.simulate_roundtrip (the column-level fast path behind
+    LASPersistence.simulate_retrieve) is byte-identical to the real
+    encode_records -> decode_records pair for every point format and
+    attribute subset, including adversarial out-of-range values that
+    exercise the lossy masks."""
+    scale = np.full(3, 0.001)
+    offset = np.asarray(BOUNDS.min, dtype=np.float64)
+    header = las.LASHeader(
+        point_data_format=fmt,
+        point_record_length=las.record_length_for_format(fmt),
+        scale=scale, offset=offset)
+    for attrs in _SIM_ATTR_SUBSETS:
+        for n in (0, 7, 400):
+            buf = _adversarial_buffer(rng, n, attrs)
+            records = las.encode_records(buf, fmt, scale, offset)
+            oracle = las.decode_records(
+                records.view(np.uint8).reshape(-1), header,
+                las.attributes_for_format(fmt))
+            fast = las.simulate_roundtrip(buf, fmt, scale, offset)
+            assert fast.attributes() == oracle.attributes()
+            np.testing.assert_array_equal(fast.positions, oracle.positions)
+            for attr in oracle.columns:
+                np.testing.assert_array_equal(
+                    fast.columns[attr], oracle.columns[attr],
+                    err_msg=f"fmt={fmt} attr={attr} attrs={attrs}")
+
+
+def test_simulate_retrieve_matches_real_file_roundtrip(tmp_path, rng):
+    """The engine's cache contract: simulate_retrieve equals an actual
+    persist_points -> retrieve_points through the filesystem."""
+    sink = LASPersistence(str(tmp_path))
+    sink.begin_batch()
+    buf = _adversarial_buffer(rng, 300, (A.RGB, A.Intensity,
+                                         A.Classification, A.GPSTime,
+                                         A.ReturnNumber,
+                                         A.NumberOfReturns,
+                                         A.ScanAngleRank))
+    sink.persist_points(buf, BOUNDS, "r02")
+    sink.commit_batch()
+    real = sink.retrieve_points("r02")
+    sim = sink.simulate_retrieve(buf, BOUNDS)
+    assert sim.attributes() == real.attributes()
+    np.testing.assert_array_equal(sim.positions, real.positions)
+    for attr in real.columns:
+        np.testing.assert_array_equal(sim.columns[attr],
+                                      real.columns[attr],
+                                      err_msg=str(attr))
+
+
 def test_las14_extended_format_read(tmp_path, rng):
     """Hand-built LAS 1.4 format-6/7 files read correctly (extended return
     counts, 16-bit scan angle, always-present GPS time)."""
