@@ -1341,6 +1341,10 @@ struct ItemSet {
     for_decode = decode_side;
     enc = e;
     dec = d;
+    // callable repeatedly on the same object (thread-local reuse): clear
+    // presence flags so a different signature doesn't inherit stale items
+    has_point10 = has_gpstime = has_rgb = false;
+    n_extra = 0;
     U32 off = 0;
     for (I32 i = 0; i < num_items; i++) {
       switch (types[i]) {
@@ -1499,7 +1503,11 @@ struct Point14v3 {
   Point14v3Context ctx[4];
   U32 current_context = 0;
 
-  void create(bool decode_side) { for_decode = decode_side; }
+  void create(bool decode_side) {
+    for_decode = decode_side;
+    // reuse: force context reallocation on re-create (signature change)
+    for (int c = 0; c < 4; c++) ctx[c].allocated = false;
+  }
 
   inline ArithmeticModel& lazy(ArithmeticModel* models, U8* flags, U32 i,
                                U32 symbols) {
@@ -1831,6 +1839,9 @@ struct Rgb14v3 {
   void create(bool decode_side, bool nir) {
     for_decode = decode_side;
     has_nir = nir;
+    // reuse across signatures: drop contexts allocated for a different
+    // nir/for_decode configuration (create is only re-run on change)
+    for (int c = 0; c < 4; c++) ctx[c].allocated = false;
   }
 
   void ctx_create_and_init(U32 c, const U16 rgb[3], U16 nir) {
@@ -2054,6 +2065,10 @@ struct Byte14v3 {
     for_decode = decode_side;
     number = n;
     lays.resize(n);
+    // reuse across signatures: contexts sized for a different byte count
+    // must reallocate (ctx_create_and_init's else-branch indexes m_bytes
+    // by the NEW number)
+    for (int c = 0; c < 4; c++) ctx[c].allocated = false;
   }
 
   void ctx_create_and_init(U32 c, const U8* seed) {
@@ -2125,6 +2140,8 @@ struct LayeredItemSet {
   int create(const U16* types, const I32* sizes, I32 num_items,
              bool decode_side) {
     for_decode = decode_side;
+    // callable repeatedly on the same object (thread-local reuse)
+    has_rgb = has_extra = false;
     bool has_point14 = false;
     U32 off = 0;
     for (I32 i = 0; i < num_items; i++) {
@@ -2305,6 +2322,115 @@ static inline bool items_layered(const U16* types, I32 num_items) {
   return false;
 }
 
+// ---------------------------------------------------------------------------
+// thread-local coder-state reuse
+// ---------------------------------------------------------------------------
+// Creating an ItemSet/LayeredItemSet allocates and first-touches tens to
+// hundreds of KB of entropy-model tables. The tiler encodes one small LAZ
+// file per octree node (a few thousand points), so a fresh allocation per
+// call costs more than the coding itself. Chunk semantics only require the
+// model CONTENTS to reset — init()/init_chunk()/enc_start(), which every
+// call path already performs per chunk — so the allocations themselves are
+// cached per thread, keyed by the item signature. Footprint is bounded by
+// the largest signature ever used on the thread (a few hundred KB).
+
+struct CoderKey {
+  std::vector<U16> types;
+  std::vector<I32> sizes;
+
+  bool matches(const U16* t, const I32* s, I32 n) const {
+    if ((I32)types.size() != n) return false;
+    for (I32 i = 0; i < n; i++)
+      if (types[(size_t)i] != t[i] || sizes[(size_t)i] != s[i]) return false;
+    return true;
+  }
+  void assign(const U16* t, const I32* s, I32 n) {
+    types.assign(t, t + n);
+    sizes.assign(s, s + n);
+  }
+};
+
+struct PointwiseEncState {
+  CoderKey key;
+  bool ready = false;
+  ArithmeticEncoder enc;
+  ItemSet items;
+};
+struct PointwiseDecState {
+  CoderKey key;
+  bool ready = false;
+  ArithmeticDecoder dec;
+  ItemSet items;
+};
+struct LayeredEncState {
+  CoderKey key;
+  bool ready = false;
+  LayeredItemSet items;
+};
+struct LayeredDecState {
+  CoderKey key;
+  bool ready = false;
+  LayeredItemSet items;
+};
+
+static int acquire_pointwise_enc(const U16* t, const I32* s, I32 n,
+                                 ItemSet** items, ArithmeticEncoder** enc) {
+  thread_local PointwiseEncState st;
+  if (!st.ready || !st.key.matches(t, s, n)) {
+    st.ready = false;
+    int rc = st.items.create(t, s, n, false, &st.enc, nullptr);
+    if (rc) return rc;
+    st.key.assign(t, s, n);
+    st.ready = true;
+  }
+  *items = &st.items;
+  *enc = &st.enc;
+  return 0;
+}
+
+static int acquire_pointwise_dec(const U16* t, const I32* s, I32 n,
+                                 ItemSet** items, ArithmeticDecoder** dec) {
+  thread_local PointwiseDecState st;
+  if (!st.ready || !st.key.matches(t, s, n)) {
+    st.ready = false;
+    int rc = st.items.create(t, s, n, true, nullptr, &st.dec);
+    if (rc) return rc;
+    st.key.assign(t, s, n);
+    st.ready = true;
+  }
+  *items = &st.items;
+  *dec = &st.dec;
+  return 0;
+}
+
+static int acquire_layered_enc(const U16* t, const I32* s, I32 n,
+                               LayeredItemSet** items) {
+  thread_local LayeredEncState st;
+  if (!st.ready || !st.key.matches(t, s, n)) {
+    st.ready = false;
+    int rc = st.items.create(t, s, n, false);
+    if (rc) return rc;
+    st.key.assign(t, s, n);
+    st.ready = true;
+  }
+  *items = &st.items;
+  return 0;
+}
+
+static int acquire_layered_dec(const U16* t, const I32* s, I32 n,
+                               LayeredItemSet** items) {
+  thread_local LayeredDecState st;
+  if (!st.ready || !st.key.matches(t, s, n)) {
+    st.ready = false;
+    int rc = st.items.create(t, s, n, true);
+    if (rc) return rc;
+    st.key.assign(t, s, n);
+    st.ready = true;
+  }
+  *items = &st.items;
+  return 0;
+}
+
 }  // namespace laz
 
 // ---------------------------------------------------------------------------
@@ -2325,32 +2451,34 @@ int64_t laz_decode_points(const uint8_t* data, int64_t n_bytes,
                           const int32_t* item_sizes, int32_t num_items,
                           uint8_t* out) {
   if (items_layered(item_types, num_items)) {
-    LayeredItemSet items;
-    int rc = items.create(item_types, item_sizes, num_items, true);
+    LayeredItemSet* items;
+    int rc = acquire_layered_dec(item_types, item_sizes, num_items, &items);
     if (rc) return rc;
-    const U32 rl = items.record_length;
+    const U32 rl = items->record_length;
     I64 pos = 0, done = 0;
     while (done < n_points) {
       I64 count = n_points - done;
       if (chunk_size > 0 && count > chunk_size) count = chunk_size;
-      I64 used = items.dec_chunk(data + pos, n_bytes - pos, count,
-                                 out + done * rl);
+      I64 used = items->dec_chunk(data + pos, n_bytes - pos, count,
+                                  out + done * rl);
       if (used < 0) return used;
       pos += used;
       done += count;
     }
     return pos;
   }
-  ArithmeticDecoder dec;
-  ItemSet items;
-  int rc = items.create(item_types, item_sizes, num_items, true, nullptr,
-                        &dec);
+  ArithmeticDecoder* decp;
+  ItemSet* items;
+  int rc = acquire_pointwise_dec(item_types, item_sizes, num_items, &items,
+                                 &decp);
   if (rc) return rc;
-  const U32 rl = items.record_length;
+  ArithmeticDecoder& dec = *decp;
+  const U32 rl = items->record_length;
 
   dec.data = data;
   dec.pos = 0;
   dec.end = (size_t)n_bytes;
+  dec.overrun = false;
 
   int64_t done = 0;
   while (done < n_points) {
@@ -2360,10 +2488,10 @@ int64_t laz_decode_points(const uint8_t* data, int64_t n_bytes,
     if (dec.pos + rl > dec.end) return -3;
     std::memcpy(out + done * rl, data + dec.pos, rl);
     dec.pos += rl;
-    items.init(out + done * rl);
+    items->init(out + done * rl);
     dec.reinit();  // reads the decoder's 4-byte lookahead
     for (int64_t i = 1; i < count; i++) {
-      items.read(out + (done + i) * rl);
+      items->read(out + (done + i) * rl);
       if (dec.overrun) return -3;
     }
     done += count;
@@ -2380,19 +2508,20 @@ int64_t laz_encode_stream(const uint8_t* records, int64_t n_points,
                           const int32_t* item_sizes, int32_t num_items,
                           uint8_t* out, int64_t out_capacity) {
   const bool layered = items_layered(item_types, num_items);
-  ArithmeticEncoder enc;
-  ItemSet items;
-  LayeredItemSet litems;
+  ArithmeticEncoder enc;  // chunk-table coder (model-free, cheap)
   U32 rl;
   if (layered) {
-    int rc = litems.create(item_types, item_sizes, num_items, false);
+    LayeredItemSet* probe;
+    int rc = acquire_layered_enc(item_types, item_sizes, num_items, &probe);
     if (rc) return rc;
-    rl = litems.record_length;
+    rl = probe->record_length;
   } else {
-    int rc = items.create(item_types, item_sizes, num_items, false, &enc,
-                          nullptr);
+    ItemSet* probe;
+    ArithmeticEncoder* penc;
+    int rc = acquire_pointwise_enc(item_types, item_sizes, num_items,
+                                   &probe, &penc);
     if (rc) return rc;
-    rl = items.record_length;
+    rl = probe->record_length;
   }
   if (chunk_size <= 0) chunk_size = 50000;
 
@@ -2414,29 +2543,29 @@ int64_t laz_encode_stream(const uint8_t* records, int64_t n_points,
     // raw first point
     b.insert(b.end(), records + start * rl, records + (start + 1) * rl);
     if (layered) {
-      LayeredItemSet lit;
-      if (lit.create(item_types, item_sizes, num_items, false)) {
+      LayeredItemSet* lit;
+      if (acquire_layered_enc(item_types, item_sizes, num_items, &lit)) {
         chunk_err[(size_t)c] = -2;
         continue;
       }
-      lit.enc_chunk_begin(records + start * rl);
+      lit->enc_chunk_begin(records + start * rl);
       for (int64_t i = 1; i < count; i++)
-        lit.enc_point(records + (start + i) * rl);
-      if (!lit.enc_chunk_end(b, (U32)count)) chunk_err[(size_t)c] = -4;
+        lit->enc_point(records + (start + i) * rl);
+      if (!lit->enc_chunk_end(b, (U32)count)) chunk_err[(size_t)c] = -4;
     } else {
-      ArithmeticEncoder cenc;
-      ItemSet cit;
-      if (cit.create(item_types, item_sizes, num_items, false, &cenc,
-                     nullptr)) {
+      ArithmeticEncoder* cenc;
+      ItemSet* cit;
+      if (acquire_pointwise_enc(item_types, item_sizes, num_items, &cit,
+                                &cenc)) {
         chunk_err[(size_t)c] = -2;
         continue;
       }
-      cit.init(records + start * rl);
-      cenc.init(&b);
+      cit->init(records + start * rl);
+      cenc->init(&b);
       for (int64_t i = 1; i < count; i++)
-        cit.write(records + (start + i) * rl);
-      cenc.done();
-      if (cenc.error) chunk_err[(size_t)c] = -4;
+        cit->write(records + (start + i) * rl);
+      cenc->done();
+      if (cenc->error) chunk_err[(size_t)c] = -4;
     }
   }
   for (int64_t c = 0; c < n_chunks; c++)
