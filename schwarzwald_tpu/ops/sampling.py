@@ -45,10 +45,43 @@ class SamplingBehaviour(enum.Enum):
     AlwaysAdhereToMinSpacing = 1
 
 
-@dataclasses.dataclass
 class SampleResult:
-    order: np.ndarray | None  # permutation; None = identity arrangement
-    selected_count: int
+    """Stable partition of a Morton-sorted range: selected points (in
+    original order) first, the rest (in original order) after.
+
+    `order` — the full permutation — is materialized lazily from
+    (selected indices, mask): the finalize reconstruction pass persists
+    only the selected prefix, so the rest-half of the permutation (a
+    flatnonzero + concatenate over the whole node) is never built there.
+    order=None with no lazy parts means the identity arrangement
+    (take-all / first-point cases)."""
+
+    __slots__ = ("_order", "selected_count", "_selected", "_mask")
+
+    def __init__(self, order: np.ndarray | None, selected_count: int,
+                 selected: np.ndarray | None = None,
+                 mask: np.ndarray | None = None):
+        self._order = order
+        self.selected_count = int(selected_count)
+        self._selected = selected
+        self._mask = mask
+
+    @property
+    def order(self) -> np.ndarray | None:
+        if self._order is None and self._selected is not None:
+            self._order = np.concatenate(
+                [self._selected, np.flatnonzero(~self._mask)])
+            self._selected = self._mask = None
+        return self._order
+
+    def selected_indices(self) -> np.ndarray | None:
+        """Indices of the selected points without forcing the full
+        permutation; None = identity prefix (first selected_count rows)."""
+        if self._selected is not None:
+            return self._selected
+        if self._order is not None:
+            return self._order[:self.selected_count]
+        return None
 
     def apply(self, arr: np.ndarray) -> np.ndarray:
         return arr if self.order is None else arr[self.order]
@@ -81,19 +114,20 @@ def _identity_first_point(n: int) -> SampleResult:
 
 
 def _stable_order(selected_idx: np.ndarray, n: int) -> SampleResult:
-    """Build [selected in order] + [rest in order] permutation."""
+    """[selected in order] + [rest in order] permutation, rest built
+    lazily (SampleResult docstring)."""
     mask = np.zeros(n, dtype=bool)
     mask[selected_idx] = True
-    order = np.concatenate([selected_idx, np.flatnonzero(~mask)])
-    return SampleResult(order, int(selected_idx.size))
+    return SampleResult(None, int(selected_idx.size),
+                        selected=selected_idx, mask=mask)
 
 
 def _stable_order_from_mask(selected_mask: np.ndarray) -> SampleResult:
     """_stable_order when the boolean mask already exists (Poisson paths):
     skips rebuilding it from indices."""
     selected = np.flatnonzero(selected_mask)
-    order = np.concatenate([selected, np.flatnonzero(~selected_mask)])
-    return SampleResult(order, int(selected.size))
+    return SampleResult(None, int(selected.size),
+                        selected=selected, mask=selected_mask)
 
 
 def _argmin_per_run(values: np.ndarray, starts: np.ndarray) -> np.ndarray:

@@ -1423,10 +1423,12 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             keys, data.positions, node.morton_key, levels - 1,
             root.bounds.min, root.bounds.max, root.max_spacing,
             SamplingBehaviour.AlwaysAdhereToMinSpacing)
-        # only the selected prefix is persisted; gather just that
+        # only the selected prefix is persisted; gather just that —
+        # selected_indices() avoids materializing the rest-half of the
+        # sampling permutation (never needed at finalize)
+        sel_idx = result.selected_indices()
         selected = (data.slice(0, result.selected_count).copy()
-                    if result.order is None
-                    else data.take(result.order[:result.selected_count]))
+                    if sel_idx is None else data.take(sel_idx))
         if selected.count:
             self._persist_node(selected, node.bounds, node.name)
 
