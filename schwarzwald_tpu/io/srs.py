@@ -182,7 +182,9 @@ _ELLIPSOIDS = {
     "clrk66": (6378206.4, 1.0 - math.sqrt(1.0 - 0.00676866)),
     "airy": (6377563.396, 1.0 / 299.3249646),       # OSGB36
     "intl": (6378388.0, 1.0 / 297.0),                # ED50 / Snyder examples
-    "bessel": (6377397.155, 1.0 / 299.1528128),      # DHDN / Tokyo
+    "bessel": (6377397.155, 1.0 / 299.1528128),      # DHDN / Tokyo / RD / CH
+    "evrst30": (6377276.345, 1.0 / 300.8017),        # Everest 1830 (1937)
+    "evrstss": (6377298.556, 1.0 / 300.8017),        # Everest (Sabah/Sarawak)
 }
 
 
@@ -476,6 +478,256 @@ def polar_stereo_inverse(easting, northing, p: PolarStereoParams):
 
 
 # ---------------------------------------------------------------------------
+# Oblique stereographic (EPSG:9809 "double" stereographic, PROJ +proj=sterea)
+# ---------------------------------------------------------------------------
+
+
+class ObliqueStereoParams:
+    """Oblique (and equatorial) stereographic via the conformal sphere —
+    EPSG method 9809, the Netherlands RD New projection (EPSG:28992).
+    Formulas: EPSG Guidance Note 7-2, 'Oblique and Equatorial
+    Stereographic'; independently vectored against the GN7-2 Amersfoort
+    worked example in tests/test_srs.py."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0,
+                 ellipsoid: str = "wgs84", towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a, self.e2 = a, f * (2 - f)
+        e = self.e = math.sqrt(self.e2)
+        self.k0, self.x0, self.y0 = k0, x0, y0
+        self.lon0 = lon0
+        self.towgs84 = towgs84
+        phi0 = math.radians(lat0)
+        s0 = math.sin(phi0)
+        nu0 = a / math.sqrt(1 - self.e2 * s0 * s0)
+        rho0 = a * (1 - self.e2) / (1 - self.e2 * s0 * s0) ** 1.5
+        self.R = math.sqrt(rho0 * nu0)
+        n = self.n = math.sqrt(1 + self.e2 * math.cos(phi0) ** 4
+                               / (1 - self.e2))
+        w1 = ((1 + s0) / (1 - s0)
+              * ((1 - e * s0) / (1 + e * s0)) ** e) ** n
+        sin_chi1 = (w1 - 1) / (w1 + 1)
+        self.c = ((n + s0) * (1 - sin_chi1)) / ((n - s0) * (1 + sin_chi1))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        self.lam0 = math.radians(lon0)  # Lambda_0 on the sphere = lon0
+
+
+def oblique_stereo_forward(lon_deg, lat_deg, p: ObliqueStereoParams):
+    lam_g = np.radians(np.asarray(lon_deg, np.float64))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    # geodetic -> conformal sphere
+    lam = p.n * (lam_g - math.radians(p.lon0)) + p.lam0
+    s = np.sin(phi)
+    es = p.e * s
+    w = p.c * ((1 + s) / (1 - s) * ((1 - es) / (1 + es)) ** p.e) ** p.n
+    chi = np.arcsin((w - 1) / (w + 1))
+    dlam = lam - p.lam0
+    b = (1 + np.sin(chi) * math.sin(p.chi0)
+         + np.cos(chi) * math.cos(p.chi0) * np.cos(dlam))
+    x = p.x0 + 2 * p.R * p.k0 * np.cos(chi) * np.sin(dlam) / b
+    y = p.y0 + 2 * p.R * p.k0 * (np.sin(chi) * math.cos(p.chi0)
+                                 - np.cos(chi) * math.sin(p.chi0)
+                                 * np.cos(dlam)) / b
+    return x, y
+
+
+def oblique_stereo_inverse(easting, northing, p: ObliqueStereoParams):
+    xp = np.asarray(easting, np.float64) - p.x0
+    yp = np.asarray(northing, np.float64) - p.y0
+    g = 2 * p.R * p.k0 * math.tan(math.pi / 4 - p.chi0 / 2)
+    h = 4 * p.R * p.k0 * math.tan(p.chi0) + g
+    i = np.arctan2(xp, h + yp)
+    j = np.arctan2(xp, g - yp) - i
+    chi = p.chi0 + 2 * np.arctan2(yp - xp * np.tan(j / 2), 2 * p.R * p.k0)
+    lam = j + 2 * i + p.lam0
+    # conformal sphere -> geodetic (iterate isometric latitude, GN7-2)
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (p.c * (1 - np.sin(chi)))) / p.n
+    phi = 2 * np.arctan(np.exp(psi)) - math.pi / 2
+    for _ in range(6):
+        es = p.e * np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2 + math.pi / 4)
+                       * ((1 - es) / (1 + es)) ** (p.e / 2))
+        phi = phi - (psi_i - psi) * np.cos(phi) \
+            * (1 - es * es) / (1 - p.e2)
+    lon = np.degrees((lam - p.lam0) / p.n) + p.lon0
+    return _wrap_lon(lon), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Hotine oblique Mercator (EPSG:9812 variant A / 9815 variant B,
+# PROJ +proj=omerc)
+# ---------------------------------------------------------------------------
+
+
+class OmercParams:
+    """Hotine oblique Mercator. Variant B (EPSG:9815, false coordinates at
+    the projection centre — PROJ's omerc default) unless no_uoff, which
+    gives variant A (EPSG:9812, natural origin — PROJ +no_uoff).
+    Formulas: EPSG Guidance Note 7-2 'Hotine Oblique Mercator';
+    independently vectored against the GN7-2 Timbalai 1948 / RSO Borneo
+    worked example in tests/test_srs.py."""
+
+    def __init__(self, latc: float, lonc: float, alpha: float,
+                 gamma: float | None = None, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0, no_uoff: bool = False,
+                 ellipsoid: str = "wgs84", towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a, self.e2 = a, f * (2 - f)
+        e = self.e = math.sqrt(self.e2)
+        self.x0, self.y0 = x0, y0
+        self.no_uoff = no_uoff
+        self.towgs84 = towgs84
+        phic = math.radians(latc)
+        alphac = math.radians(alpha)
+        self.gammac = math.radians(gamma if gamma is not None else alpha)
+        sc = math.sin(phic)
+        self.B = math.sqrt(1 + self.e2 * math.cos(phic) ** 4
+                           / (1 - self.e2))
+        self.A = (a * self.B * k0 * math.sqrt(1 - self.e2)
+                  / (1 - self.e2 * sc * sc))
+        t0 = float(_snyder_t(phic, e))
+        D = (self.B * math.sqrt(1 - self.e2)
+             / (math.cos(phic) * math.sqrt(1 - self.e2 * sc * sc)))
+        D2 = max(D * D, 1.0)
+        sign = -1.0 if latc < 0 else 1.0
+        F = D + math.sqrt(D2 - 1) * sign
+        self.H = F * t0 ** self.B
+        G = (F - 1 / F) / 2
+        self.gamma0 = math.asin(math.sin(alphac) / D)
+        self.lam0 = (math.radians(lonc)
+                     - math.asin(G * math.tan(self.gamma0)) / self.B)
+        if abs(abs(alpha) - 90.0) < 1e-12:
+            # GN7-2 special case alpha_c = 90
+            self.uc = self.A * (math.radians(lonc) - self.lam0)
+        else:
+            self.uc = ((self.A / self.B)
+                       * math.atan2(math.sqrt(D2 - 1), math.cos(alphac))
+                       * sign)
+
+
+def omerc_forward(lon_deg, lat_deg, p: OmercParams):
+    lam = np.radians(np.asarray(lon_deg, np.float64))
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    t = _snyder_t(phi, p.e)
+    q = p.H / t ** p.B
+    s = (q - 1 / q) / 2
+    bl = p.B * (lam - p.lam0)
+    v_num = -np.sin(bl) * math.cos(p.gamma0) + s * math.sin(p.gamma0)
+    t_big = (q + 1 / q) / 2
+    u_cap = v_num / t_big
+    v = p.A * np.log((1 - u_cap) / (1 + u_cap)) / (2 * p.B)
+    u = (p.A * np.arctan2(s * math.cos(p.gamma0)
+                          + np.sin(bl) * math.sin(p.gamma0), np.cos(bl))
+         / p.B)
+    if not p.no_uoff:
+        # variant B: false coordinates at the projection centre
+        # (uc already carries sign(lat_c); atan2 term is non-negative)
+        u = u - p.uc
+    x = v * math.cos(p.gammac) + u * math.sin(p.gammac) + p.x0
+    y = u * math.cos(p.gammac) - v * math.sin(p.gammac) + p.y0
+    return x, y
+
+
+def omerc_inverse(easting, northing, p: OmercParams):
+    xp = np.asarray(easting, np.float64) - p.x0
+    yp = np.asarray(northing, np.float64) - p.y0
+    v = xp * math.cos(p.gammac) - yp * math.sin(p.gammac)
+    u = yp * math.cos(p.gammac) + xp * math.sin(p.gammac)
+    if not p.no_uoff:
+        u = u + p.uc
+    q = np.exp(-p.B * v / p.A)
+    s = (q - 1 / q) / 2
+    t_big = (q + 1 / q) / 2
+    bu = p.B * u / p.A
+    v_cap = np.sin(bu)
+    u_cap = (v_cap * math.cos(p.gamma0) + s * math.sin(p.gamma0)) / t_big
+    t = (p.H / np.sqrt((1 + u_cap) / (1 - u_cap))) ** (1 / p.B)
+    phi = _phi_from_t(t, p.e)
+    lam = p.lam0 - np.arctan2(s * math.cos(p.gamma0)
+                              - v_cap * math.sin(p.gamma0),
+                              np.cos(bu)) / p.B
+    return _wrap_lon(np.degrees(lam)), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
+# Swiss oblique Mercator (EPSG:9814, PROJ +proj=somerc) — CH1903 / LV03
+# (EPSG:21781) and CH1903+ / LV95 (EPSG:2056)
+# ---------------------------------------------------------------------------
+
+
+class SomercParams:
+    """Swiss oblique Mercator: conformal sphere + rotation to a pseudo
+    equator through the projection centre (Bern), then equatorial
+    Mercator. Formulas: swisstopo, 'Formulas and constants for the
+    calculation of the Swiss conformal cylindrical projection'; cross
+    checked against swisstopo's published approximate polynomial series
+    in tests/test_srs.py."""
+
+    def __init__(self, lat0: float, lon0: float, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0,
+                 ellipsoid: str = "bessel", towgs84=None):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a, self.e2 = a, f * (2 - f)
+        e = self.e = math.sqrt(self.e2)
+        self.x0, self.y0 = x0, y0
+        self.lon0 = lon0
+        self.towgs84 = towgs84
+        phi0 = math.radians(lat0)
+        s0 = math.sin(phi0)
+        self.R = (a * math.sqrt(1 - self.e2) * k0
+                  / (1 - self.e2 * s0 * s0))
+        self.alpha = math.sqrt(1 + self.e2 * math.cos(phi0) ** 4
+                               / (1 - self.e2))
+        self.b0 = math.asin(s0 / self.alpha)
+        self.K = (math.log(math.tan(math.pi / 4 + self.b0 / 2))
+                  - self.alpha
+                  * math.log(math.tan(math.pi / 4 + phi0 / 2)
+                             * ((1 - e * s0) / (1 + e * s0)) ** (e / 2)))
+
+
+def somerc_forward(lon_deg, lat_deg, p: SomercParams):
+    phi = np.radians(np.asarray(lat_deg, np.float64))
+    es = p.e * np.sin(phi)
+    S = (p.alpha * np.log(np.tan(math.pi / 4 + phi / 2)
+                          * ((1 - es) / (1 + es)) ** (p.e / 2)) + p.K)
+    b = 2 * np.arctan(np.exp(S)) - math.pi / 2
+    lam = p.alpha * np.radians(np.asarray(lon_deg, np.float64) - p.lon0)
+    lbar = np.arctan2(np.sin(lam),
+                      math.sin(p.b0) * np.tan(b)
+                      + math.cos(p.b0) * np.cos(lam))
+    bbar = np.arcsin(math.cos(p.b0) * np.sin(b)
+                     - math.sin(p.b0) * np.cos(b) * np.cos(lam))
+    x = p.R * lbar + p.x0
+    y = p.R * np.log(np.tan(math.pi / 4 + bbar / 2)) + p.y0
+    return x, y
+
+
+def somerc_inverse(easting, northing, p: SomercParams):
+    lbar = (np.asarray(easting, np.float64) - p.x0) / p.R
+    bbar = 2 * np.arctan(np.exp((np.asarray(northing, np.float64) - p.y0)
+                                / p.R)) - math.pi / 2
+    b = np.arcsin(math.cos(p.b0) * np.sin(bbar)
+                  + math.sin(p.b0) * np.cos(bbar) * np.cos(lbar))
+    lam = np.arctan2(np.sin(lbar),
+                     math.cos(p.b0) * np.cos(lbar)
+                     - math.sin(p.b0) * np.tan(bbar))
+    lon = p.lon0 + np.degrees(lam) / p.alpha
+    # conformal sphere latitude -> geodetic (fixed point, swisstopo)
+    S = np.log(np.tan(math.pi / 4 + b / 2))
+    phi = b
+    for _ in range(8):
+        es = p.e * np.sin(phi)
+        phi = 2 * np.arctan(np.exp((S - p.K) / p.alpha
+                                   + p.e * np.log(np.tan(
+                                       math.pi / 4
+                                       + np.arcsin(es) / 2)))) \
+            - math.pi / 2
+    return _wrap_lon(lon), np.degrees(phi)
+
+
+# ---------------------------------------------------------------------------
 # Helmert datum shift (EPSG:9606 position-vector 7-parameter)
 # ---------------------------------------------------------------------------
 
@@ -587,10 +839,35 @@ def _parse_projection(text: str):
             return TmercParams(lat0=49.0, lon0=-2.0, k0=0.9996012717,
                                x0=400000.0, y0=-100000.0, ellipsoid="airy",
                                towgs84=_OSGB36_TOWGS84)
+        if code == 28992:  # Amersfoort / RD New (Netherlands)
+            return ObliqueStereoParams(
+                lat0=52.0 + 9.0 / 60 + 22.178 / 3600,
+                lon0=5.0 + 23.0 / 60 + 15.500 / 3600,
+                k0=0.9999079, x0=155000.0, y0=463000.0,
+                ellipsoid="bessel",
+                towgs84=(565.417, 50.3319, 465.552,
+                         -0.398957, 0.343988, -1.8774, 4.0725))
+        if code in (21781, 2056):  # CH1903 / LV03 and CH1903+ / LV95
+            lv95 = code == 2056
+            return SomercParams(
+                lat0=46.0 + 57.0 / 60 + 8.66 / 3600,
+                lon0=7.0 + 26.0 / 60 + 22.50 / 3600,
+                x0=2600000.0 if lv95 else 600000.0,
+                y0=1200000.0 if lv95 else 200000.0,
+                ellipsoid="bessel",
+                towgs84=(674.374, 15.056, 405.346))
+        if code == 29873:  # Timbalai 1948 / RSO Borneo (m)
+            return OmercParams(
+                latc=4.0, lonc=115.0,
+                alpha=53.0 + 18.0 / 60 + 56.9537 / 3600,
+                gamma=53.0 + 7.0 / 60 + 48.3685 / 3600,
+                k0=0.99984, x0=590476.87, y0=442857.65,
+                ellipsoid="evrstss", towgs84=(-679.0, 669.0, -48.0))
         raise NotImplementedError(
             f"EPSG:{code} is not supported (supported: 4326, 326xx/327xx "
-            f"UTM, 2154, 5070, 3857, 3395, 3031, 3413, 5041/5042, 27700; "
-            f"or a +proj=tmerc/utm/lcc/aea/merc/stere/longlat string)")
+            f"UTM, 2154, 5070, 3857, 3395, 3031, 3413, 5041/5042, 27700, "
+            f"28992, 21781/2056, 29873; or a +proj=tmerc/utm/lcc/aea/merc/"
+            f"stere/sterea/omerc/somerc/longlat string)")
     if "longlat" in s or "latlong" in s:
         shift = towgs84()
         return GeodeticParams(ellipsoid=ellps(), towgs84=shift) \
@@ -619,18 +896,49 @@ def _parse_projection(text: str):
                           x0=param("x_0", 0.0), y0=param("y_0", 0.0),
                           spherical=spherical, ellipsoid=ellps(),
                           towgs84=towgs84())
+    if "+proj=sterea" in s:
+        return ObliqueStereoParams(lat0=param("lat_0", 0.0),
+                                   lon0=param("lon_0", 0.0),
+                                   k0=param("k_0", param("k", 1.0)),
+                                   x0=param("x_0", 0.0),
+                                   y0=param("y_0", 0.0),
+                                   ellipsoid=ellps(), towgs84=towgs84())
     if "+proj=stere" in s:
         lat0 = param("lat_0", 90.0)
         if abs(lat0) != 90.0:
+            # PROJ's oblique +proj=stere differs from the double
+            # stereographic; route the oblique aspect through the
+            # conformal-sphere method only where that IS the CRS's
+            # definition (+proj=sterea above, EPSG:9809)
             raise NotImplementedError(
-                f"oblique stereographic (lat_0={lat0}) is not supported; "
-                f"only the polar aspects (+lat_0=90 / +lat_0=-90)")
+                f"oblique +proj=stere (lat_0={lat0}) is not supported; "
+                f"polar aspects (+lat_0=+-90) and the double "
+                f"stereographic (+proj=sterea, EPSG:9809) are")
         lat_ts = param("lat_ts", None)
         return PolarStereoParams(lat_ts=lat_ts, lon0=param("lon_0", 0.0),
                                  k0=param("k_0", param("k", 1.0)),
                                  x0=param("x_0", 0.0), y0=param("y_0", 0.0),
                                  south=lat0 < 0, ellipsoid=ellps(),
                                  towgs84=towgs84())
+    if "+proj=somerc" in s:
+        return SomercParams(lat0=param("lat_0", 0.0),
+                            lon0=param("lon_0", 0.0),
+                            k0=param("k_0", param("k", 1.0)),
+                            x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                            ellipsoid=ellps(), towgs84=towgs84())
+    if "+proj=omerc" in s:
+        alpha = param("alpha", None)
+        if alpha is None:
+            raise NotImplementedError(
+                f"+proj=omerc without +alpha (the two-point variant) is "
+                f"not supported in {text!r}")
+        return OmercParams(latc=param("lat_0", 0.0),
+                           lonc=param("lonc", param("lon_0", 0.0)),
+                           alpha=alpha, gamma=param("gamma", None),
+                           k0=param("k_0", param("k", 1.0)),
+                           x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                           no_uoff="+no_uoff" in s,
+                           ellipsoid=ellps(), towgs84=towgs84())
     if "+proj=lcc" in s:
         # EPSG:9801 (1SP) gives only lat_0 — the natural origin IS the
         # single standard parallel; EPSG:9802 (2SP) gives lat_1/lat_2
@@ -662,9 +970,9 @@ def _parse_projection(text: str):
     raise NotImplementedError(
         f"Source projection {text!r} is not supported (supported: WGS84 "
         f"geodetic, UTM EPSG:326xx/327xx, EPSG:2154, 5070, 3857, 3395, "
-        f"3031, 3413, 5041/5042, 27700, and "
-        f"+proj=utm/tmerc/lcc/aea/merc/stere/longlat strings with "
-        f"optional +towgs84)")
+        f"3031, 3413, 5041/5042, 27700, 28992, 21781/2056, 29873, and "
+        f"+proj=utm/tmerc/lcc/aea/merc/stere/sterea/omerc/somerc/longlat "
+        f"strings with optional +towgs84)")
 
 
 class GeodeticParams:
@@ -702,6 +1010,13 @@ class Proj4Transform:
         elif isinstance(p, PolarStereoParams):
             lon, lat = polar_stereo_inverse(positions[:, 0],
                                             positions[:, 1], p)
+        elif isinstance(p, ObliqueStereoParams):
+            lon, lat = oblique_stereo_inverse(positions[:, 0],
+                                              positions[:, 1], p)
+        elif isinstance(p, OmercParams):
+            lon, lat = omerc_inverse(positions[:, 0], positions[:, 1], p)
+        elif isinstance(p, SomercParams):
+            lon, lat = somerc_inverse(positions[:, 0], positions[:, 1], p)
         else:
             lon, lat = tmerc_inverse_p(positions[:, 0], positions[:, 1], p)
         geo = np.column_stack([lon, lat, positions[:, 2]])

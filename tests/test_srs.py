@@ -512,3 +512,144 @@ def test_geodetic_datum_source():
     np.testing.assert_allclose(a, want, atol=1e-9)
     # and it is a real datum change, not a no-op
     assert np.linalg.norm(a - b) > 10.0
+
+
+def test_oblique_stereographic_epsg_worked_example():
+    """EPSG Guidance Note 7-2 'Oblique and Equatorial Stereographic'
+    worked example: Amersfoort / RD New (EPSG:28992, Bessel 1841),
+    point 53N 6E -> E 196105.283, N 557057.739."""
+    p = srs._parse_projection("EPSG:28992")
+    x, y = srs.oblique_stereo_forward(np.array([6.0]), np.array([53.0]), p)
+    np.testing.assert_allclose(x, [196105.283], atol=0.002)
+    np.testing.assert_allclose(y, [557057.739], atol=0.002)
+    lon, lat = srs.oblique_stereo_inverse(np.array([196105.283]),
+                                          np.array([557057.739]), p)
+    np.testing.assert_allclose(lon, [6.0], atol=1e-7)
+    np.testing.assert_allclose(lat, [53.0], atol=1e-7)
+
+
+def test_oblique_stereographic_round_trip_grid():
+    """Forward/inverse closure over a Netherlands-sized grid (sterea
+    proj-string parse path)."""
+    p = srs._parse_projection(
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k_0=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    lon, lat = np.meshgrid(np.linspace(3.3, 7.2, 7),
+                           np.linspace(50.7, 53.6, 7))
+    x, y = srs.oblique_stereo_forward(lon.ravel(), lat.ravel(), p)
+    lon2, lat2 = srs.oblique_stereo_inverse(x, y, p)
+    np.testing.assert_allclose(lon2, lon.ravel(), atol=1e-9)
+    np.testing.assert_allclose(lat2, lat.ravel(), atol=1e-9)
+
+
+def test_hotine_omerc_epsg_worked_example():
+    """EPSG Guidance Note 7-2 'Hotine Oblique Mercator (variant B)'
+    worked example: Timbalai 1948 / RSO Borneo (m) (EPSG:29873, Everest
+    Sabah/Sarawak), point 5 23 14.1129N, 115 48 19.8196E ->
+    E 679245.73, N 596562.78."""
+    p = srs._parse_projection("EPSG:29873")
+    lat_t = 5 + 23 / 60 + 14.1129 / 3600
+    lon_t = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = srs.omerc_forward(np.array([lon_t]), np.array([lat_t]), p)
+    np.testing.assert_allclose(x, [679245.73], atol=0.01)
+    np.testing.assert_allclose(y, [596562.78], atol=0.01)
+    lon, lat = srs.omerc_inverse(x, y, p)
+    np.testing.assert_allclose(lon, [lon_t], atol=1e-9)
+    np.testing.assert_allclose(lat, [lat_t], atol=1e-9)
+
+
+def test_hotine_omerc_variant_a_offset():
+    """Variant A (+no_uoff, EPSG:9812) differs from variant B by exactly
+    the (u_c, gamma_c)-rotated offset, and round-trips."""
+    base = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+            "+gamma=53.13010236111111 +k_0=0.99984 +ellps=evrstss")
+    pb = srs._parse_projection(base)
+    pa = srs._parse_projection(base + " +no_uoff")
+    lon = np.array([115.5]); lat = np.array([5.0])
+    xb, yb = srs.omerc_forward(lon, lat, pb)
+    xa, ya = srs.omerc_forward(lon, lat, pa)
+    import math
+    np.testing.assert_allclose(xa - xb, [pb.uc * math.sin(pb.gammac)],
+                               atol=1e-6)
+    np.testing.assert_allclose(ya - yb, [pb.uc * math.cos(pb.gammac)],
+                               atol=1e-6)
+    lon2, lat2 = srs.omerc_inverse(xa, ya, pa)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def _swisstopo_approx_lv03_to_wgs84(e, n):
+    """swisstopo's published approximate series ('Approximate formulas
+    for the transformation between Swiss projection coordinates and
+    WGS84', accuracy ~0.1"): LV03 E/N -> WGS84 lon/lat degrees. An
+    independent cross-implementation of projection + datum shift for
+    sanity-checking the somerc + Helmert chain."""
+    yp = (e - 600000.0) / 1e6
+    xp = (n - 200000.0) / 1e6
+    lam = (2.6779094 + 4.728982 * yp + 0.791484 * yp * xp
+           + 0.1306 * yp * xp ** 2 - 0.0436 * yp ** 3)
+    phi = (16.9023892 + 3.238272 * xp - 0.270978 * yp ** 2
+           - 0.002528 * xp ** 2 - 0.0447 * yp ** 2 * xp
+           - 0.0140 * xp ** 3)
+    # national (LN02) -> WGS84 ellipsoidal height, same publication
+    dh = 49.55 - 12.60 * yp - 22.64 * xp
+    return lam * 100.0 / 36.0, phi * 100.0 / 36.0, dh
+
+
+def test_swiss_somerc_rigi_reference_point():
+    """swisstopo's Rigi reference point for CH1903 / LV03 (EPSG:21781):
+    47 03 28.956559233N, 8 29 11.11127154E -> E 679520.05, N 212273.44.
+    NOTE: this projects CH1903 geodetic coordinates (the projection is
+    Bessel-datum native); the +towgs84 applies later in the ECEF chain."""
+    p = srs._parse_projection("EPSG:21781")
+    lat_r = 47 + 3 / 60 + 28.956559233 / 3600
+    lon_r = 8 + 29 / 60 + 11.11127154 / 3600
+    x, y = srs.somerc_forward(np.array([lon_r]), np.array([lat_r]), p)
+    np.testing.assert_allclose(x, [679520.05], atol=0.005)
+    np.testing.assert_allclose(y, [212273.44], atol=0.005)
+    lon, lat = srs.somerc_inverse(x, y, p)
+    np.testing.assert_allclose(lon, [lon_r], atol=1e-9)
+    np.testing.assert_allclose(lat, [lat_r], atol=1e-9)
+
+
+def test_swiss_somerc_matches_approximate_series():
+    """Full EPSG:21781 chain (somerc inverse -> CH1903 geodetic -> ECEF
+    -> Helmert to WGS84) vs swisstopo's approximate LV03->WGS84 series
+    followed by WGS84 ECEF, over a Switzerland-sized grid: two
+    independent formulations of projection + datum shift agreeing within
+    the series' stated few-metres accuracy."""
+    tr = srs.Proj4Transform("EPSG:21781")
+    e, n = np.meshgrid(np.linspace(490000.0, 800000.0, 5),
+                       np.linspace(80000.0, 290000.0, 5))
+    pts = np.column_stack([e.ravel(), n.ravel(),
+                           np.full(e.size, 500.0)])
+    exact = tr.transform_positions(pts.copy())
+    lon_a, lat_a, dh = _swisstopo_approx_lv03_to_wgs84(e.ravel(), n.ravel())
+    approx = srs.geodetic_to_ecef(
+        np.column_stack([lon_a, lat_a, 500.0 + dh]))
+    assert np.max(np.linalg.norm(exact - approx, axis=1)) < 5.0
+
+
+def test_lv95_offset_from_lv03():
+    """EPSG:2056 (LV95) == EPSG:21781 (LV03) + (2'000'000, 1'000'000)."""
+    p03 = srs._parse_projection("EPSG:21781")
+    p95 = srs._parse_projection("EPSG:2056")
+    lon = np.array([7.44, 8.5]); lat = np.array([46.95, 47.2])
+    x3, y3 = srs.somerc_forward(lon, lat, p03)
+    x5, y5 = srs.somerc_forward(lon, lat, p95)
+    np.testing.assert_allclose(x5 - x3, [2e6, 2e6], atol=1e-9)
+    np.testing.assert_allclose(y5 - y3, [1e6, 1e6], atol=1e-9)
+
+
+def test_new_projections_in_transform_chain():
+    """The full Proj4Transform chain (projection inverse -> source-datum
+    geodetic -> ECEF -> Helmert) runs for the new CRS and lands within
+    earth-radius sanity bounds of the WGS84 chain of the same point."""
+    for code, easting, northing in [("EPSG:28992", 155000.0, 463000.0),
+                                    ("EPSG:21781", 600000.0, 200000.0),
+                                    ("EPSG:29873", 590476.87, 442857.65)]:
+        tr = srs.Proj4Transform(code)
+        out = tr.transform_positions(
+            np.array([[easting, northing, 100.0]]))
+        r = np.linalg.norm(out[0])
+        assert 6.3e6 < r < 6.4e6, (code, r)
