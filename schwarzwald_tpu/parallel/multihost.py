@@ -356,6 +356,7 @@ class TilingAlgorithmMultiHost:
         lo_own, hi_own = self.plan.owned_node_range
 
         owned_k, owned_i = [], []
+        owned_nodes = []
         for node, k, i in inner._split_at_start_level(keys, ids, root):
             node_key = morton.parse_node_name(node.name)[0]
             if lo_own <= node_key < hi_own:
@@ -366,8 +367,7 @@ class TilingAlgorithmMultiHost:
                     owned_i.append(i)
                 else:
                     inner._start_nodes_used.add((node_key, level))
-                    inner._do_tiling_for_node(arena,
-                                              NodeTask(node, root, k, i))
+                    owned_nodes.append((node, k, i))
             else:
                 owner = self._owner_of(node_key)
                 sink = self._spill_sinks[owner]
@@ -375,6 +375,23 @@ class TilingAlgorithmMultiHost:
                         f"_{self._spill_seq:06d}")
                 self._spill_seq += 1
                 sink.persist_points(arena.gather(i), node.bounds, name)
+        if owned_nodes:
+            # Same path the single-host engine takes (engine.process_batch):
+            # host level-synchronous native sweep over the owned start
+            # nodes first — fresh subtrees in one concatenated octree_sweep
+            # call, revisited ones via gather+sweep — with the per-node
+            # recursion only for what the sweep declines. Byte-identical
+            # to recursing every node (tests/test_multihost_e2e.py).
+            remaining = inner._host_sweep_batch_start_nodes(
+                arena, owned_nodes, root, level)
+            if remaining:
+                tasks = [NodeTask(node, root, k, i)
+                         for node, k, i in remaining]
+                if hasattr(inner, "_tile_start_nodes_parallel"):
+                    inner._tile_start_nodes_parallel(arena, tasks)
+                else:
+                    for task in tasks:
+                        inner._do_tiling_for_node(arena, task)
         if owned_k:
             inner.process_sorted(arena, np.concatenate(owned_k),
                                  np.concatenate(owned_i), root)
