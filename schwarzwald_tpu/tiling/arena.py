@@ -255,13 +255,10 @@ class PointArena:
             out[sel] = self._chunks[sorted_ids[s]].positions[local[sel]]
         return out
 
-    def _native_gather(self, lib, ids: np.ndarray, positions=None):
+    def _native_gather(self, lib, ids: np.ndarray):
         """gather() through the native kernel: positions + every common
         column in one flat pass each. Returns None (caller falls back to
-        the numpy run loop) on non-contiguous / schema-mismatched chunks.
-        With `positions` given, adopts that array (already materialized by
-        the caller, e.g. from the sweep's gather) instead of re-gathering
-        the position rows."""
+        the numpy run loop) on non-contiguous / schema-mismatched chunks."""
         tab = self._ptr_table(None)
         if tab is None or tab[1] != 24:
             return None
@@ -284,11 +281,8 @@ class PointArena:
             if t is None:
                 return None
             tabs[attr] = t
-        if positions is not None:
-            out = PointBuffer(positions)
-        else:
-            out = PointBuffer(np.empty((ids.size, 3), dtype=np.float64))
-            self._native_rows(lib, tab[0], ids, 24, out.positions)
+        out = PointBuffer(np.empty((ids.size, 3), dtype=np.float64))
+        self._native_rows(lib, tab[0], ids, 24, out.positions)
         cols = {}
         for attr in common:
             template = ref_chunks[0].columns[attr]
@@ -299,19 +293,15 @@ class PointArena:
         out.columns = cols
         return out
 
-    def gather(self, ids: np.ndarray, positions=None) -> PointBuffer:
+    def gather(self, ids: np.ndarray) -> PointBuffer:
         """Gather points in the given (arbitrary) order into a PointBuffer.
 
         Attributes: intersection across chunks (all chunks in one run share
         the input schema, so this is the identity in practice).
-
-        `positions`: optional already-materialized (ids.size, 3) f64 rows
-        for exactly these ids — the sweep paths pass (a copy of) their
-        gather scratch so persist never re-gathers position rows from the
-        arena (random DRAM reads; the dominant out-of-core cost)."""
+        """
         lib = native._lib()
         if lib is not None:
-            buf = self._native_gather(lib, ids, positions)
+            buf = self._native_gather(lib, ids)
             if buf is not None:
                 return buf
         if len(self._chunks) == 1:

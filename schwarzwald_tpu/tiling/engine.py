@@ -632,32 +632,23 @@ class TilingAlgorithmBase:
         return levels
 
     def _persist_device_assignment(self, arena, sorted_keys, sorted_ids,
-                                   levels, root: NodeStructure,
-                                   merged_positions=None) -> None:
+                                   levels, root: NodeStructure) -> None:
         """Persist a device assignment: group by (level, node prefix) over
         the sorted order — ONE arena gather per level, then per-node slice
-        views into it (no per-node fancy indexing). merged_positions:
-        positions already gathered by the sweep in this exact order —
-        persist then reads them near-sequentially (ascending idx into a
-        contiguous array) instead of re-gathering random arena rows."""
+        views into it (no per-node fancy indexing)."""
         from ..util.trace import trace_span
         with trace_span("persist_fresh", "engine"):
             self._persist_device_assignment_inner(arena, sorted_keys,
-                                                  sorted_ids, levels, root,
-                                                  merged_positions)
+                                                  sorted_ids, levels, root)
 
     def _persist_device_assignment_inner(self, arena, sorted_keys,
                                          sorted_ids, levels,
-                                         root: NodeStructure,
-                                         merged_positions=None) -> None:
+                                         root: NodeStructure) -> None:
         for lv in np.unique(levels):
             node_level = int(lv) - 2
             mask = levels == lv
             idx = np.flatnonzero(mask)
-            level_buf = arena.gather(
-                sorted_ids[idx],
-                positions=(np.take(merged_positions, idx, axis=0)
-                           if merged_positions is not None else None))
+            level_buf = arena.gather(sorted_ids[idx])
             if node_level == -1:
                 self._persist_node(level_buf, root.bounds, root.name)
                 self._report_indexed(idx.size)
@@ -819,8 +810,7 @@ class TilingAlgorithmBase:
                 else cand >= max_level)
 
     def _persist_revisit_assignment(self, arena, keys, ids, tiers, levels,
-                                    root, cached_counts: dict,
-                                    merged_positions=None) -> None:
+                                    root, cached_counts: dict) -> None:
         """Persist a revisit sweep: array order is already the host's
         merged (key, tier) order for internal nodes; TERMINAL nodes
         concatenate (incoming/demoted stream) then (own cache in file
@@ -831,13 +821,11 @@ class TilingAlgorithmBase:
         from ..util.trace import trace_span
         with trace_span("persist_revisit", "engine"):
             self._persist_revisit_assignment_inner(
-                arena, keys, ids, tiers, levels, root, cached_counts,
-                merged_positions)
+                arena, keys, ids, tiers, levels, root, cached_counts)
 
     def _persist_revisit_assignment_inner(self, arena, keys, ids, tiers,
                                           levels, root,
-                                          cached_counts: dict,
-                                          merged_positions=None) -> None:
+                                          cached_counts: dict) -> None:
         for lv in np.unique(levels):
             node_level = int(lv) - 2
             idx = np.flatnonzero(levels == lv)
@@ -855,10 +843,7 @@ class TilingAlgorithmBase:
             # ONE arena gather for the whole level, then per-node slice
             # views — per-node gathers cost ~0.25 ms each at out-of-core
             # node counts (chunk location + run grouping per call)
-            level_buf = arena.gather(
-                ids[idx],
-                positions=(np.take(merged_positions, idx, axis=0)
-                           if merged_positions is not None else None))
+            level_buf = arena.gather(ids[idx])
             for s, e in zip(starts, ends):
                 sel = idx[s:e]
                 own = node_tiers[s:e] == node_level
@@ -876,11 +861,7 @@ class TilingAlgorithmBase:
                     sel = np.concatenate(
                         [sel[~own],
                          sel_own[np.argsort(ids[sel_own], kind="stable")]])
-                    buf = arena.gather(
-                        ids[sel],
-                        positions=(np.take(merged_positions, sel, axis=0)
-                                   if merged_positions is not None
-                                   else None))
+                    buf = arena.gather(ids[sel])
                 else:
                     buf = level_buf.slice(int(s), int(e))
                 self._persist_node(buf, node.bounds, node.name)
@@ -917,15 +898,8 @@ class TilingAlgorithmBase:
         """One native level-synchronous sweep (octree_sweep) computing
         every point's octree assignment on the HOST — the out-of-core
         twin of _device_select_levels, extended to the Poisson samplers.
-        Returns (levels, positions): int8 levels (node_level + 2) and the
-        positions gathered for the sweep in the same order (None for
-        RANDOM_GRID, which needs no positions) — the persist pass reuses
-        them instead of re-gathering the arena. (None, None) falls back
-        to the per-node recursion (re-rooting depths / missing kernel).
-
-        The positions array is the arena's thread-local gather scratch:
-        valid only until this thread's next positions_scratch call —
-        callers must consume (copy out of) it before gathering again."""
+        Returns int8 levels (node_level + 2) or None to fall back to the
+        per-node recursion (re-rooting depths / unavailable kernel)."""
         from .. import native
 
         lib = native._lib()
@@ -966,8 +940,8 @@ class TilingAlgorithmBase:
             # owns those — and will for every batch of this run, so stop
             # paying the sweep attempt
             self._host_sweep_broken = True
-            return None, None
-        return levels, positions
+            return None
+        return levels
 
     def _host_revisit_start_nodes(self, arena, revisit_nodes, root,
                                   level: int):
@@ -982,14 +956,12 @@ class TilingAlgorithmBase:
         if gathered is None:
             return []
         handled, keys, ids, tiers, cached_counts = gathered
-        lv, mpos = self._host_sweep_levels(arena, keys, ids, root,
-                                           min_node_level=level - 1,
-                                           tiers=tiers)
+        lv = self._host_sweep_levels(arena, keys, ids, root,
+                                     min_node_level=level - 1, tiers=tiers)
         if lv is None:
             return []
         self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
-                                         root, cached_counts,
-                                         merged_positions=mpos)
+                                         root, cached_counts)
         return handled
 
     def _host_sweep_batch_start_nodes(self, arena, start_nodes, root,
@@ -1010,13 +982,12 @@ class TilingAlgorithmBase:
         if fresh:
             fk = np.concatenate([sn[1] for sn in fresh])
             fi = np.concatenate([sn[2] for sn in fresh])
-            levels, mpos = self._host_sweep_levels(arena, fk, fi, root,
-                                                   min_node_level=level - 1)
+            levels = self._host_sweep_levels(arena, fk, fi, root,
+                                             min_node_level=level - 1)
             if levels is None:
                 leftovers.extend(fresh)
             else:
-                self._persist_device_assignment(arena, fk, fi, levels, root,
-                                                merged_positions=mpos)
+                self._persist_device_assignment(arena, fk, fi, levels, root)
         if revisit:
             handled = self._host_revisit_start_nodes(arena, revisit, root,
                                                      level)
