@@ -397,24 +397,53 @@ class TilingAlgorithmMultiHost:
                                  np.concatenate(owned_i), root)
 
     def ingest_foreign(self, bounds) -> int:
-        """Step 3: process every spill batch addressed to this host."""
+        """Step 3: process every spill batch addressed to this host.
+
+        Spill files are COALESCED into full-size batches before
+        processing: each sender emits one small file per (batch x foreign
+        start node), and once this host's subtree exists, every
+        process_batch pays a whole-subtree revisit merge — per tiny file
+        that is O(spill_files x tree) (measured 2.3 s to ingest 250k pts
+        on the config-5 bench, longer than tiling the host's own 500k).
+        One coalesced pass re-merges the tree once per internal-cache
+        window instead."""
         import os
 
+        from ..core.pointbuffer import PointBuffer
         from ..io.bin_persistence import BinaryPersistence
 
         spill_dir = self.coordinator.spill_dir(self.plan.process_index)
         sink = BinaryPersistence(spill_dir)
+        cap = max(1, int(getattr(self.inner.meta, "internal_cache_size",
+                                 10_000_000)))
         total = 0
+        pending: list = []
+        pending_count = 0
+
+        def flush():
+            nonlocal pending, pending_count, total
+            if not pending:
+                return
+            buf = (pending[0] if len(pending) == 1
+                   else PointBuffer.concatenate(pending))
+            # spilled positions are already clamped; re-deriving their
+            # Morton keys is idempotent, so a normal batch pass lands
+            # them in this host's owned start nodes
+            self.inner.process_batch(buf, bounds)
+            total += buf.count
+            pending, pending_count = [], 0
+
         for name in sorted(os.listdir(spill_dir)):
             if not name.endswith(".bin"):
                 continue
             buf = sink.retrieve_points(name[:-4])
-            if buf.count:
-                # spilled positions are already clamped; re-deriving their
-                # Morton keys is idempotent, so a normal batch pass lands
-                # them in this host's owned start nodes
-                self.inner.process_batch(buf, bounds)
-                total += buf.count
+            if not buf.count:
+                continue
+            pending.append(buf)
+            pending_count += buf.count
+            if pending_count >= cap:
+                flush()
+        flush()
         return total
 
     def finalize(self, bounds) -> None:
