@@ -357,6 +357,7 @@ class TilingAlgorithmMultiHost:
 
         owned_k, owned_i = [], []
         owned_nodes = []
+        foreign: dict = {}  # owner -> [ids]; one spill file per owner/batch
         for node, k, i in inner._split_at_start_level(keys, ids, root):
             node_key = morton.parse_node_name(node.name)[0]
             if lo_own <= node_key < hi_own:
@@ -369,12 +370,17 @@ class TilingAlgorithmMultiHost:
                     inner._start_nodes_used.add((node_key, level))
                     owned_nodes.append((node, k, i))
             else:
-                owner = self._owner_of(node_key)
-                sink = self._spill_sinks[owner]
-                name = (f"from{self.plan.process_index}"
-                        f"_{self._spill_seq:06d}")
-                self._spill_seq += 1
-                sink.persist_points(arena.gather(i), node.bounds, name)
+                foreign.setdefault(self._owner_of(node_key), []).append(i)
+        for owner, id_parts in foreign.items():
+            # ingest re-derives Morton keys and re-splits, so per-node
+            # spill granularity buys nothing: one file per (owner, batch)
+            # instead of per (owner, batch, start node)
+            name = f"from{self.plan.process_index}_{self._spill_seq:06d}"
+            self._spill_seq += 1
+            self._spill_sinks[owner].persist_points(
+                arena.gather(np.concatenate(id_parts)
+                             if len(id_parts) > 1 else id_parts[0]),
+                root.bounds, name)
         if owned_nodes:
             # Same path the single-host engine takes (engine.process_batch):
             # host level-synchronous native sweep over the owned start
