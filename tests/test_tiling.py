@@ -364,10 +364,15 @@ def test_spacing_too_small_raises(rng):
               None, None, set())
 
 
-def test_node_cache_identical_results(rng):
+@pytest.mark.parametrize("sampling",
+                         ["RANDOM_GRID", "GRID_CENTER", "MIN_DISTANCE"])
+def test_node_cache_identical_results(rng, sampling):
     """--cache-size node cache must not change any output: multi-batch runs
     with and without the cache produce identical node contents, while the
-    cached run skips persistence re-reads."""
+    cached run skips persistence re-reads. Covers the root-key memo
+    (cache-resident buffers carry global-root Morton keys that finalize
+    reconstruction reuses) for key-only and positions-dependent
+    samplers."""
     batches_pos = [rng.uniform(BOUNDS.min, BOUNDS.max, (3000, 3))
                    for _ in range(3)]
 
@@ -386,7 +391,7 @@ def test_node_cache_identical_results(rng):
                                    cache_size_bytes=cache_bytes,
                                    concurrency=4)
         algo = make_tiling_algorithm(TilingStrategy.Fast,
-                                     SamplingStrategy("RANDOM_GRID", 300),
+                                     SamplingStrategy(sampling, 300),
                                      persistence, meta)
         for pos in batches_pos:
             algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
