@@ -25,6 +25,7 @@ behavior the surrounding code clearly intends.
 from __future__ import annotations
 
 import dataclasses
+import threading
 
 import numpy as np
 
@@ -1407,6 +1408,21 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                 buffers.append(child_points)
         if not buffers:
             return
+        n_total = sum(b.count for b in buffers)
+        if (self.persistence.is_lossless
+                and not self.sampling_strategy.needs_positions(
+                    n_total, SamplingBehaviour.AlwaysAdhereToMinSpacing)):
+            # RANDOM_GRID selects purely on keys, and on a lossless sink
+            # the children's stored positions are already root-clamped —
+            # so index each child in a reused scratch (L2-resident; the
+            # in-place clamp must not touch the cached buffer) and copy
+            # only the SELECTED rows. Skips concatenating the full
+            # payload, whose fresh-page allocation for every unselected
+            # point dominated the non-sampler reconstruction cost.
+            # Differentially tested against the generic path
+            # (tests/test_tiling.py::test_reconstruct_keys_only_path).
+            self._reconstruct_node_keys_only(node_key, levels, root, buffers)
+            return
         data = PointBuffer.concatenate(buffers)
         keys, clamped = indexing.index_points(data.positions,
                                               root.bounds.min, root.bounds.max)
@@ -1429,6 +1445,55 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         sel_idx = result.selected_indices()
         selected = (data.slice(0, result.selected_count).copy()
                     if sel_idx is None else data.take(sel_idx))
+        if selected.count:
+            self._persist_node(selected, node.bounds, node.name)
+
+    # reused per-thread scratch for the keys-only reconstruction (children
+    # are <= node size, so it stays cache-resident; reconstruction fans
+    # out per level over the worker pool, hence thread-local)
+    _reconstruct_scratch = threading.local()
+
+    def _reconstruct_node_keys_only(self, node_key: int, levels: int,
+                                    root: NodeStructure, buffers) -> None:
+        """Keys-only twin of _reconstruct_single_node for samplers that
+        never read positions (RANDOM_GRID under AlwaysAdhere): per-child
+        key derivation in a reused scratch, selection on the concatenated
+        keys, then a per-child gather of just the selected rows — byte
+        identical to the generic concat-everything path."""
+        tls = self._reconstruct_scratch
+        scratch = getattr(tls, "pos", None)
+        key_parts = []
+        for b in buffers:
+            n = b.count
+            if scratch is None or scratch.shape[0] < n:
+                scratch = tls.pos = np.empty((max(n, 4096), 3),
+                                             dtype=np.float64)
+            # index_points clamps IN PLACE; the cached buffer must keep
+            # its stored values, so index a scratch copy
+            np.copyto(scratch[:n], b.positions)
+            k, _ = indexing.index_points(scratch[:n], root.bounds.min,
+                                         root.bounds.max)
+            key_parts.append(k)
+        keys = (key_parts[0] if len(key_parts) == 1
+                else np.concatenate(key_parts))
+        node = self._start_node_structure(node_key, levels, root) \
+            if levels > 0 else root
+        result = self.sampling_strategy.sample(
+            keys, None, node.morton_key, levels - 1,
+            root.bounds.min, root.bounds.max, root.max_spacing,
+            SamplingBehaviour.AlwaysAdhereToMinSpacing)
+        sel = result.selected_indices()
+        if sel is None:  # identity prefix (first-point / cand == -1 case)
+            sel = np.arange(result.selected_count, dtype=np.int64)
+        if not sel.size:
+            return
+        offsets = np.zeros(len(buffers) + 1, dtype=np.int64)
+        np.cumsum([b.count for b in buffers], out=offsets[1:])
+        cut = np.searchsorted(sel, offsets)  # sel is ascending
+        parts = [buffers[i].take(sel[cut[i]:cut[i + 1]] - offsets[i])
+                 for i in range(len(buffers)) if cut[i + 1] > cut[i]]
+        selected = (parts[0] if len(parts) == 1
+                    else PointBuffer.concatenate(parts))
         if selected.count:
             self._persist_node(selected, node.bounds, node.name)
 

@@ -524,3 +524,35 @@ def test_rerooting_deviation_quantified(rng):
     # (7/8 expected by chance) — the deviation is real and large, which is
     # exactly why the engine documents fixing it rather than copying it
     assert diverging / rel_keys.size > 0.5
+
+
+def test_reconstruct_keys_only_path(rng):
+    """The RANDOM_GRID keys-only reconstruction (per-child indexing +
+    selected-rows-only gather) is byte-identical to the generic
+    concat-everything path, which is forced by making the strategy claim
+    it needs positions."""
+    batches_pos = [rng.uniform(BOUNDS.min, BOUNDS.max, (4000, 3))
+                   for _ in range(2)]
+
+    def run(force_generic):
+        persistence = MemoryPersistence()
+        strategy = SamplingStrategy("RANDOM_GRID", 250)
+        if force_generic:
+            strategy.needs_positions = lambda n, behaviour: True
+        meta = TilerMetaParameters(spacing_at_root=8.0,
+                                   max_points_per_node=250,
+                                   cache_size_bytes=64 << 20)
+        algo = make_tiling_algorithm(TilingStrategy.Fast, strategy,
+                                     persistence, meta)
+        for pos in batches_pos:
+            algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
+        algo.finalize(BOUNDS)
+        return persistence
+
+    fast = run(False)
+    oracle = run(True)
+    assert set(fast.node_names()) == set(oracle.node_names())
+    for name in oracle.node_names():
+        np.testing.assert_array_equal(
+            fast.retrieve_points(name).positions,
+            oracle.retrieve_points(name).positions, err_msg=name)
