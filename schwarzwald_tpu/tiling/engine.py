@@ -1423,6 +1423,9 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
             # (tests/test_tiling.py::test_reconstruct_keys_only_path).
             self._reconstruct_node_keys_only(node_key, levels, root, buffers)
             return
+        if self._reconstruct_node_scratch(node_key, levels, root, buffers,
+                                          n_total):
+            return
         data = PointBuffer.concatenate(buffers)
         keys, clamped = indexing.index_points(data.positions,
                                               root.bounds.min, root.bounds.max)
@@ -1496,6 +1499,60 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                     else PointBuffer.concatenate(parts))
         if selected.count:
             self._persist_node(selected, node.bounds, node.name)
+
+    def _reconstruct_node_scratch(self, node_key: int, levels: int,
+                                  root: NodeStructure, buffers,
+                                  n_total: int) -> bool:
+        """Positions-dependent twin of _reconstruct_node_keys_only: the
+        children's positions concatenate into a reused scratch (clamped
+        there; cached buffers keep their stored values), the sampler runs
+        over the scratch, and only the SELECTED rows materialize —
+        positions from the (clamped) scratch, attribute columns gathered
+        per child. Byte-identical to the concat-everything path; returns
+        False (caller falls back) when the derived keys are out of order
+        (out-of-contract children need the full sort machinery)."""
+        tls = self._reconstruct_scratch
+        scratch = getattr(tls, "pos", None)
+        if scratch is None or scratch.shape[0] < n_total:
+            scratch = tls.pos = np.empty((max(n_total, 4096), 3),
+                                         dtype=np.float64)
+        offsets = np.zeros(len(buffers) + 1, dtype=np.int64)
+        np.cumsum([b.count for b in buffers], out=offsets[1:])
+        for i, b in enumerate(buffers):
+            np.copyto(scratch[offsets[i]:offsets[i + 1]], b.positions)
+        positions = scratch[:n_total]
+        keys, _ = indexing.index_points(positions, root.bounds.min,
+                                        root.bounds.max)
+        if not self.persistence.is_lossless \
+                and not indexing.is_sorted(keys):
+            return False
+        node = self._start_node_structure(node_key, levels, root) \
+            if levels > 0 else root
+        result = self.sampling_strategy.sample(
+            keys, positions, node.morton_key, levels - 1,
+            root.bounds.min, root.bounds.max, root.max_spacing,
+            SamplingBehaviour.AlwaysAdhereToMinSpacing)
+        sel = result.selected_indices()
+        if sel is None:  # identity prefix (first-point / cand == -1 case)
+            sel = np.arange(result.selected_count, dtype=np.int64)
+        if not sel.size:
+            return True
+        # positions come from the scratch (the CLAMPED values the generic
+        # path persists); columns gather per child, selected rows only
+        selected = PointBuffer(positions[sel])
+        cut = np.searchsorted(sel, offsets)  # sel is ascending
+        common = set(buffers[0].columns)
+        for b in buffers[1:]:
+            common &= set(b.columns)
+        for attr in common:
+            parts = [buffers[i].columns[attr][sel[cut[i]:cut[i + 1]]
+                                              - offsets[i]]
+                     for i in range(len(buffers)) if cut[i + 1] > cut[i]]
+            # fancy indexing already copied; single-part needs no concat
+            selected.columns[attr] = (parts[0] if len(parts) == 1
+                                      else np.concatenate(parts))
+        self._persist_node(selected, node.bounds, node.name)
+        return True
 
 
 class TilingAlgorithmAdaptive(TilingAlgorithmFast):

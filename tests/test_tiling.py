@@ -556,3 +556,68 @@ def test_reconstruct_keys_only_path(rng):
         np.testing.assert_array_equal(
             fast.retrieve_points(name).positions,
             oracle.retrieve_points(name).positions, err_msg=name)
+
+
+@pytest.mark.parametrize("sampling", ["GRID_CENTER", "JITTERED",
+                                      "MIN_DISTANCE"])
+@pytest.mark.parametrize("lossy", [False, True])
+def test_reconstruct_scratch_path_matches_generic(rng, sampling, lossy,
+                                                  tmp_path):
+    """The scratch reconstruction (positions clamped in a reused buffer,
+    columns gathered for selected rows only) is byte-identical to the
+    concat-everything generic path, for lossless and lossy (quantizing,
+    attribute-carrying) sinks."""
+    from schwarzwald_tpu.core.attributes import PointAttribute as A
+    from schwarzwald_tpu.io.las_persistence import LASPersistence
+    from schwarzwald_tpu.tiling.engine import TilingAlgorithmFast
+
+    n = 6000
+    pos = rng.uniform(BOUNDS.min, BOUNDS.max, (n, 3))
+    rgb = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    intensity = rng.integers(0, 65536, n, dtype=np.uint16)
+
+    def make_buf(sl):
+        buf = PointBuffer(pos[sl].copy())
+        buf.set_column(A.RGB, rgb[sl].copy())
+        buf.set_column(A.Intensity, intensity[sl].copy())
+        return buf
+
+    def run(force_generic, out_dir):
+        persistence = (LASPersistence(str(out_dir)) if lossy
+                       else MemoryPersistence())
+        # spacing 2.0 keeps every reconstruction level's jitter grid
+        # >= 16^3 (JITTERED raises below that, matching the reference)
+        meta = TilerMetaParameters(spacing_at_root=2.0,
+                                   max_points_per_node=250,
+                                   cache_size_bytes=64 << 20)
+        algo = make_tiling_algorithm(TilingStrategy.Fast,
+                                     SamplingStrategy(sampling, 250),
+                                     persistence, meta)
+        if force_generic:
+            algo._reconstruct_node_scratch = \
+                lambda *a, **k: False
+        for sl in (slice(0, 3000), slice(3000, 6000)):
+            if lossy:
+                persistence.begin_batch()
+            algo.process_batch(make_buf(sl), BOUNDS)
+            if lossy:
+                persistence.commit_batch()
+        if lossy:
+            persistence.begin_batch()
+        algo.finalize(BOUNDS)
+        if lossy:
+            persistence.commit_batch()
+        return persistence
+
+    fast = run(False, tmp_path / "fast")
+    oracle = run(True, tmp_path / "oracle")
+    assert set(fast.node_names()) == set(oracle.node_names())
+    for name in oracle.node_names():
+        a = fast.retrieve_points(name)
+        b = oracle.retrieve_points(name)
+        np.testing.assert_array_equal(a.positions, b.positions,
+                                      err_msg=name)
+        assert set(a.columns) == set(b.columns)
+        for attr in b.columns:
+            np.testing.assert_array_equal(a.columns[attr], b.columns[attr],
+                                          err_msg=f"{name}/{attr}")
