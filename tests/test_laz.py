@@ -911,3 +911,49 @@ def test_variable_chunk_table_corruption_is_loud(tmp_path, rng):
             reader.read_records(0, 3000)  # error OR correct decode only
         except (ValueError, laz.LAZNotAvailableError):
             pass
+
+
+def test_coder_state_reuse_randomized_signature_interleave(rng):
+    """The thread-local coder-state cache re-creates on signature change
+    and re-inits on reuse; a randomized interleave of point formats and
+    sizes in ONE process must round-trip losslessly every time (guards
+    cross-signature contamination of reused model state)."""
+    import numpy as np
+    from schwarzwald_tpu import native
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io import las
+    from schwarzwald_tpu.core.attributes import PointAttribute as A
+
+    lib = native.las_codec()
+    if lib is None:
+        import pytest
+        pytest.skip("native codec unavailable")
+    fmts = [0, 1, 2, 3, 6, 7, 8]
+    for trial in range(24):
+        fmt = fmts[int(rng.integers(0, len(fmts)))]
+        n = int(rng.integers(1, 4000))
+        buf = PointBuffer(rng.uniform(0.0, 100.0, (n, 3)))
+        if fmt in (2, 3, 7, 8):
+            buf.set_column(A.RGB,
+                           rng.integers(0, 256, (n, 3), dtype=np.uint8))
+        if fmt in (1, 3, 6, 7, 8):
+            buf.set_column(A.GPSTime, rng.uniform(0, 1e6, n))
+        buf.set_column(A.Intensity,
+                       rng.integers(0, 65536, n, dtype=np.uint16))
+        scale = np.full(3, 0.001)
+        offset = np.zeros(3)
+        records = las.encode_records(buf, fmt, scale, offset)
+        raw = np.ascontiguousarray(records.view(np.uint8).reshape(-1))
+        rl = las.record_length_for_format(fmt)
+        from schwarzwald_tpu.io import laz as laz_mod
+        items = laz_mod.items_for_point_format(fmt, rl)
+        item_types = np.asarray([t for t, _, _ in items], np.uint16)
+        item_sizes = np.asarray([sz for _, sz, _ in items], np.int32)
+        stream = lib.laz_encode_stream(raw, rl, 50000, item_types,
+                                       item_sizes)
+        # skip the 8-byte chunk-table offset; decode the point chunks
+        back = lib.laz_decode_points(np.ascontiguousarray(stream[8:]), n,
+                                     50000, item_types, item_sizes, rl)
+        np.testing.assert_array_equal(
+            back[:n * rl], raw, err_msg=f"trial {trial} fmt {fmt} n {n}")
