@@ -783,12 +783,16 @@ class TilingAlgorithmBase:
         keys = np.concatenate(parts_k)
         ids = np.concatenate(parts_i)
         tiers = np.concatenate(parts_t)
-        # (key asc, tier asc) with incoming (-128) before cached and
-        # shallower cache before deeper — exactly the host merge
-        # precedence; lexsort is stable, and within one tier the
-        # concatenation order is already the host's (batch order /
-        # node file order)
-        order = np.lexsort((tiers, keys))
+        # Required order: (key asc, tier asc) with incoming (-128) before
+        # cached and shallower cache before deeper — the host merge
+        # precedence. A STABLE sort by keys alone produces exactly that:
+        # equal keys can only collide within one subtree (start nodes own
+        # disjoint key ranges), and each subtree's parts are concatenated
+        # in ascending-tier order (incoming, then cached shallow-first) —
+        # so the stable tie order IS the tier order. The native stable
+        # radix argsort replaces np.lexsort((tiers, keys)) (~7x at
+        # out-of-core merge sizes).
+        order = indexing.sort_by_key(keys)
         keys, ids, tiers = keys[order], ids[order], tiers[order]
         return handled, keys, ids, tiers, cached_counts
 
