@@ -453,89 +453,19 @@ class ShardedExchange:
     SENTINEL = 0xFFFFFFFF  # valid keys have hi <= 0x7FFFFFFF (63-bit keys)
 
     def __init__(self, mesh, level: int = 3):
-        from jax.sharding import PartitionSpec as P
-
-        shard_map, check_kw = _shard_map_compat()
         self.mesh = mesh
         self.level = level
         self.n_dev = int(mesh.devices.size)
-        n_dev = self.n_dev
-        n_cells = 8 ** level
-        axis = "dp"
+        # Compiled programs are shared ACROSS instances: the step
+        # functions close over nothing instance-specific (only level /
+        # n_dev / the sentinel), but a per-__init__ closure would give
+        # jax.jit a fresh function identity and recompile the exchange
+        # for every algorithm instance (~1 s per instance on the CPU
+        # mesh, minutes on TPU). Keyed by (mesh, level); a process uses
+        # a handful of meshes at most.
+        (self._counts, self._exchange_cache,
+         self._make_exchange) = _exchange_programs(mesh, level)
 
-        def counts_step(hi, lo, ids):
-            hi, lo, ids = lax.sort((hi, lo, ids), num_keys=2, is_stable=True)
-            valid = ids >= 0  # host padding carries id -1
-            cells = _cells_at_level(hi, level)
-            # padding keys are sentinels whose cell is out of range; a
-            # masked add keeps them out (OOB scatter indices clip under jit)
-            hist = jnp.zeros((n_cells,), jnp.int32).at[cells].add(
-                valid.astype(jnp.int32))
-            hist = lax.psum(hist, axis)
-            dest = (cells.astype(jnp.int32) * n_dev) // n_cells
-            counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
-                valid.astype(jnp.int32))
-            return hi, lo, ids, counts, hist
-
-        import jax
-
-        # jit the shard_maps: un-jitted they run through the eager
-        # _shard_map_impl with per-op dispatch (~100x slower per batch on
-        # the CPU mesh); jitted, each (shape, capacity) compiles once
-        self._counts = jax.jit(shard_map(
-            counts_step, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-            **check_kw))
-
-        self._exchange_cache = {}
-
-        def make_exchange(capacity: int):
-            def exchange_step(hi, lo, ids):
-                n_local = hi.shape[0]
-                cells = _cells_at_level(hi, level)
-                valid = ids >= 0
-                dest = (cells.astype(jnp.int32) * n_dev) // n_cells
-                counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
-                    valid.astype(jnp.int32))
-                starts = jnp.concatenate(
-                    [jnp.zeros(1, jnp.int32),
-                     jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-                # position within the contiguous destination run; padding
-                # (invalid) entries sit at the end of the sorted order and
-                # are scattered out of bounds, which mode="drop" discards
-                rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
-                slot = jnp.where(valid, rank - starts[dest], capacity)
-                dest = jnp.where(valid, dest, 0)
-                send_hi = jnp.full((n_dev, capacity), self.SENTINEL,
-                                   jnp.uint32)
-                send_lo = jnp.full((n_dev, capacity), self.SENTINEL,
-                                   jnp.uint32)
-                send_id = jnp.full((n_dev, capacity), -1, jnp.int32)
-                send_hi = send_hi.at[dest, slot].set(hi, mode="drop")
-                send_lo = send_lo.at[dest, slot].set(lo, mode="drop")
-                send_id = send_id.at[dest, slot].set(ids, mode="drop")
-                recv_hi = lax.all_to_all(send_hi, axis, 0, 0, tiled=False)
-                recv_lo = lax.all_to_all(send_lo, axis, 0, 0, tiled=False)
-                recv_id = lax.all_to_all(send_id, axis, 0, 0, tiled=False)
-                # stable merge: receive buffers flatten in source order
-                m_hi, m_lo, m_id = lax.sort(
-                    (recv_hi.reshape(-1), recv_lo.reshape(-1),
-                     recv_id.reshape(-1)), num_keys=2, is_stable=True)
-                owned = jnp.sum(m_hi != jnp.uint32(self.SENTINEL),
-                                dtype=jnp.int32).reshape(1)
-                del n_local
-                return m_hi, m_lo, m_id, owned
-
-            import jax
-
-            return jax.jit(shard_map(
-                exchange_step, mesh=mesh,
-                in_specs=(P(axis), P(axis), P(axis)),
-                out_specs=(P(axis), P(axis), P(axis), P(axis)),
-                **check_kw))
-
-        self._make_exchange = make_exchange
 
     def _pad(self, arr, fill):
         import numpy as np
@@ -582,3 +512,96 @@ class ShardedExchange:
                 | m_lo[d, :k].astype(np.uint64)
             results.append((keys, m_id[d, :k].astype(np.int64)))
         return results, np.asarray(hist)
+
+
+_EXCHANGE_PROGRAMS: dict = {}
+
+
+def _exchange_programs(mesh, level: int):
+    """(counts_jit, per-capacity exchange cache, make_exchange) for a
+    (mesh, level) pair — memoized so every ShardedExchange over the same
+    mesh reuses the same compiled executables."""
+    key = (mesh, level)
+    cached = _EXCHANGE_PROGRAMS.get(key)
+    if cached is not None:
+        return cached
+    from jax.sharding import PartitionSpec as P
+
+    shard_map, check_kw = _shard_map_compat()
+    n_dev = int(mesh.devices.size)
+    n_cells = 8 ** level
+    axis = "dp"
+    SENTINEL = ShardedExchange.SENTINEL
+
+    def counts_step(hi, lo, ids):
+        hi, lo, ids = lax.sort((hi, lo, ids), num_keys=2, is_stable=True)
+        valid = ids >= 0  # host padding carries id -1
+        cells = _cells_at_level(hi, level)
+        # padding keys are sentinels whose cell is out of range; a
+        # masked add keeps them out (OOB scatter indices clip under jit)
+        hist = jnp.zeros((n_cells,), jnp.int32).at[cells].add(
+            valid.astype(jnp.int32))
+        hist = lax.psum(hist, axis)
+        dest = (cells.astype(jnp.int32) * n_dev) // n_cells
+        counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
+            valid.astype(jnp.int32))
+        return hi, lo, ids, counts, hist
+
+    import jax
+
+    # jit the shard_maps: un-jitted they run through the eager
+    # _shard_map_impl with per-op dispatch (~100x slower per batch on
+    # the CPU mesh); jitted, each (shape, capacity) compiles once
+    counts_jit = jax.jit(shard_map(
+        counts_step, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        **check_kw))
+
+    exchange_cache: dict = {}
+
+    def make_exchange(capacity: int):
+        def exchange_step(hi, lo, ids):
+            n_local = hi.shape[0]
+            cells = _cells_at_level(hi, level)
+            valid = ids >= 0
+            dest = (cells.astype(jnp.int32) * n_dev) // n_cells
+            counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
+                valid.astype(jnp.int32))
+            starts = jnp.concatenate(
+                [jnp.zeros(1, jnp.int32),
+                 jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+            # position within the contiguous destination run; padding
+            # (invalid) entries sit at the end of the sorted order and
+            # are scattered out of bounds, which mode="drop" discards
+            rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+            slot = jnp.where(valid, rank - starts[dest], capacity)
+            dest = jnp.where(valid, dest, 0)
+            send_hi = jnp.full((n_dev, capacity), SENTINEL, jnp.uint32)
+            send_lo = jnp.full((n_dev, capacity), SENTINEL, jnp.uint32)
+            send_id = jnp.full((n_dev, capacity), -1, jnp.int32)
+            send_hi = send_hi.at[dest, slot].set(hi, mode="drop")
+            send_lo = send_lo.at[dest, slot].set(lo, mode="drop")
+            send_id = send_id.at[dest, slot].set(ids, mode="drop")
+            recv_hi = lax.all_to_all(send_hi, axis, 0, 0, tiled=False)
+            recv_lo = lax.all_to_all(send_lo, axis, 0, 0, tiled=False)
+            recv_id = lax.all_to_all(send_id, axis, 0, 0, tiled=False)
+            # stable merge: receive buffers flatten in source order
+            m_hi, m_lo, m_id = lax.sort(
+                (recv_hi.reshape(-1), recv_lo.reshape(-1),
+                 recv_id.reshape(-1)), num_keys=2, is_stable=True)
+            owned = jnp.sum(m_hi != jnp.uint32(SENTINEL),
+                            dtype=jnp.int32).reshape(1)
+            del n_local
+            return m_hi, m_lo, m_id, owned
+
+        return jax.jit(shard_map(
+            exchange_step, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            **check_kw))
+
+    programs = (counts_jit, exchange_cache, make_exchange)
+    _EXCHANGE_PROGRAMS[key] = programs
+    return programs
+
