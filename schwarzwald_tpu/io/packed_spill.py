@@ -33,8 +33,10 @@ segments rebuild the index and the data file is truncated to the last
 committed extent; uncommitted tail bytes are discarded, mirroring the
 abandoned-staged-files rule of the per-file protocol.
 
-Multi-host runs bypass this store (hosts exchange nodes through the
-shared directory mid-run); see TilerProcess.
+Multi-host runs get a PER-HOST arena (owned subtrees are disjoint); every
+host drains it before the subtree_done barrier so the distributed
+ancestor reconstruction reads real files; see TilerProcess and
+parallel/multihost.py.
 """
 from __future__ import annotations
 
@@ -345,9 +347,9 @@ class PackedSpillStore:
 
     def drain_and_discard(self) -> None:
         """Drain into the wrapped sink and delete the spill scratch WITHOUT
-        closing the wrapped sink — multihost non-primary hosts publish
-        their subtree this way before the subtree_done barrier (only host
-        0 closes the shared sink / writes the index artifacts)."""
+        closing the wrapped sink — multihost hosts publish their subtree
+        this way before the subtree_done barrier (only host 0 closes the
+        shared sink / writes the index artifacts)."""
         self.drain()
         try:
             self._f.close()

@@ -20,9 +20,13 @@ plan / §7 multi-host):
      to owners (over ICI within a slice; host boundaries exchange via the
      jax distributed runtime).
   4. **Ancestor reconstruction**: after all hosts finalize their subtrees,
-     host 0 reconstructs the shared ancestors above the start level from
-     the persisted children (identical to single-host finalize, since
-     persistence is a shared filesystem).
+     the shared ancestors above the start level are reconstructed
+     DISTRIBUTED and level-synchronously — each host reconstructs the
+     ancestors rooted in its own Morton block, a per-level barrier
+     publishes each level's files on the shared filesystem before the
+     next (shallower) level reads them. Every ancestor is a
+     deterministic function of its children's persisted bytes, so the
+     output is byte-identical to host 0 doing it alone (tested).
 
 This module implements the deterministic planning layer (1-3) — pure
 functions testable in a single process — and `all_reduce_bounds` which
@@ -174,8 +178,10 @@ class MultiHostCoordinator:
       2. touch spills_done_<i>; wait for all spills_done_*
       3. ingest every to_<i>/ spill as a normal batch (all its points land
          in host i's owned start nodes); write start_nodes_<i>.json
-      4. touch subtree_done_<i>; host 0 waits for all subtree_done_*,
-         unions the manifests and reconstructs the shared ancestors
+      4. touch subtree_done_<i>; ALL hosts wait for all subtree_done_*,
+         union the manifests and reconstruct their own Morton block's
+         share of the shared ancestors, one recon_l<level>_<i> barrier
+         per tree level (deepest first)
     """
 
     POLL_SECONDS = 0.2
@@ -459,23 +465,74 @@ class TilingAlgorithmMultiHost:
         coord.wait_all("spills_done")
         self.ingest_foreign(bounds)
         sink = getattr(self.inner, "persistence", None)
-        if self.plan.process_index != 0:
-            # Publish this host's subtree as REAL files before the
-            # barrier: drain the per-host packed spill arena (if any) and
-            # flush any write-behind queue — host 0's finalize reads these
-            # files right after wait_all("subtree_done").
-            if hasattr(sink, "drain_and_discard"):
-                sink.drain_and_discard()
-                sink = sink.inner
-            if hasattr(sink, "commit_batch"):
-                sink.commit_batch()  # drains async writers; staging inert
+        # Publish this host's subtree as REAL files before the barrier:
+        # drain the per-host packed spill arena (if any) and flush any
+        # write-behind queue — EVERY host's reconstruction share reads
+        # other hosts' files right after wait_all("subtree_done"). The
+        # engine's persistence is unwrapped to the real sink so the
+        # reconstruction writes below are real files too (the spill
+        # scratch is gone; its fds are closed).
+        if hasattr(sink, "drain_and_discard"):
+            sink.drain_and_discard()
+            self.inner.persistence = sink = sink.inner
+        if hasattr(sink, "commit_batch"):
+            sink.commit_batch()  # drains async writers; staging inert
         coord.write_manifest(self.inner._start_nodes_used)
         coord.mark("subtree_done")
+        coord.wait_all("subtree_done")
+        self.inner._start_nodes_used = coord.union_manifests()
+        self._reconstruct_distributed(bounds)
+        # Cleanup handshake: a host inside wait_all polls the exchange
+        # dir, so host 0 must not delete it until every host has LEFT its
+        # last barrier. finalize_done is marked after the final recon
+        # barrier and no host polls after marking it.
+        coord.mark("finalize_done")
         if self.plan.process_index == 0:
-            coord.wait_all("subtree_done")
-            self.inner._start_nodes_used = coord.union_manifests()
-            self.inner.finalize(bounds)
+            coord.wait_all("finalize_done")
             coord.cleanup()
+
+    def _reconstruct_distributed(self, bounds) -> None:
+        """Step 4: reconstruct_left_out_nodes distributed over the hosts.
+
+        The single-host finalize walks the ancestor pyramid deepest level
+        first; nodes WITHIN a level are independent (each reads only its
+        children, written by the previous level). Here each level is
+        additionally partitioned ACROSS hosts: host i reconstructs the
+        ancestors whose first start-level descendant falls in its owned
+        Morton block (cache locality — those children were tiled here),
+        then a recon_l<level> barrier makes the level's files visible on
+        the shared filesystem before any host ascends. Each ancestor is a
+        deterministic function of its children's persisted bytes, so
+        which host reconstructs it cannot change the output
+        (byte-identity vs a single-host run is asserted in
+        tests/test_multihost_e2e.py). On a 1-core box the hosts
+        timeshare; on real deployments this divides the previous
+        host-0-only finalize floor by the host count."""
+        inner = self.inner
+        start_level = self.plan.start_level
+        if not start_level:
+            return
+        root = inner._make_root(bounds)
+        by_level: dict = {}
+        for key, lv in inner._start_nodes_used:
+            while lv > 0:
+                key >>= 3
+                lv -= 1
+                by_level.setdefault(lv, set()).add(key)
+        coord = self.coordinator
+        sink = getattr(inner, "persistence", None)
+        self.reconstructed_nodes = 0
+        for lv in sorted(by_level, reverse=True):
+            mine = {(k, lv) for k in by_level[lv]
+                    if self._owner_of(k << (3 * (start_level - lv)))
+                    == self.plan.process_index}
+            if mine:
+                inner._reconstruct_levels(mine, root)
+                self.reconstructed_nodes += len(mine)
+                if hasattr(sink, "commit_batch"):
+                    sink.commit_batch()  # publish write-behind files
+            coord.mark(f"recon_l{lv}")
+            coord.wait_all(f"recon_l{lv}")
 
     # passthroughs used by the Tiler / checkpointing
     @property

@@ -329,9 +329,10 @@ class TilerProcess:
             # batch run writes every node exactly once anyway, so the
             # arena round-trip would be pure overhead (~0.3 s/1M
             # measured). Multi-host runs get a PER-HOST arena (owned
-            # subtrees are disjoint); non-primary hosts publish theirs
-            # via drain_and_discard before the subtree_done barrier so
-            # host 0's finalize reads real files (parallel/multihost.py).
+            # subtrees are disjoint); every host publishes its arena via
+            # drain_and_discard before the subtree_done barrier so the
+            # distributed ancestor reconstruction reads real files
+            # (parallel/multihost.py).
             from ..io.packed_spill import PackedSpillStore
             suffix = (f"_h{self.args.multihost_index}" if multihost else "")
             persistence = PackedSpillStore(persistence,
@@ -518,9 +519,10 @@ class TilerProcess:
             num_processed = tiler.run()
         if is_primary:
             # multihost: only host 0 writes the index artifacts (tileset
-            # forest / EPT hierarchy); its finalize already waited for all
-            # other hosts' subtrees, and the sinks reconcile the full node
-            # set from the shared output directory on close.
+            # forest / EPT hierarchy); the distributed finalize's last
+            # barrier already published every host's files, and the sinks
+            # reconcile the full node set from the shared output
+            # directory on close.
             from ..util.trace import trace_span
             with trace_span("sink_close_drain_index", "io"):
                 persistence.close()

@@ -327,6 +327,92 @@ def test_pinned_level_vs_estimator_optimum_cost(tmp_path, rng):
     assert pin_starts * 8 == nat_starts
 
 
+def test_distributed_finalize_reconstruction(tmp_path, rng):
+    """Step 4 of the coordinator protocol is DISTRIBUTED: every host
+    reconstructs the ancestors rooted in its own Morton block, with one
+    barrier per tree level. Both hosts must actually reconstruct nodes
+    (the old design had host 0 do all of it), and the combined output
+    must be byte-identical to a single-host run.
+
+    Each host is fed exactly the points of its owned block, so every
+    start node is tiled in a single batch on one host — the same batch
+    shape as the single-host baseline, making byte-identity exact."""
+    from schwarzwald_tpu.core import morton
+    from schwarzwald_tpu.ops import indexing
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.parallel.multihost import (
+        MultiHostCoordinator, MultiHostPlan, TilingAlgorithmMultiHost,
+        owned_node_block)
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+
+    n = 60_000
+    pts = rng.uniform(BOUNDS.min + 1, BOUNDS.max - 1, (n, 3))
+    meta = TilerMetaParameters(spacing_at_root=5.0, max_points_per_node=400)
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    algo = make_tiling_algorithm(
+        TilingStrategy.Fast, SamplingStrategy("RANDOM_GRID", 400),
+        BinaryPersistence(str(single_dir)), meta)
+    algo.level_of_start_nodes = 3
+    algo.process_batch(PointBuffer(pts.copy()), BOUNDS)
+    algo.finalize(BOUNDS)
+
+    # partition the input by level-3 ownership block (host 0: [0, 256))
+    keys, _ = indexing.index_points(pts.copy(), BOUNDS.min, BOUNDS.max)
+    level3 = morton.truncate_to_level(keys, 2)
+    lo1 = owned_node_block(1, 2, 3)[0]
+    parts = {0: pts[level3 < lo1], 1: pts[level3 >= lo1]}
+    assert parts[0].shape[0] and parts[1].shape[0]
+
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    counters = {}
+    errors = []
+
+    def run_host(index):
+        try:
+            coord = MultiHostCoordinator(str(multi_dir), index, 2)
+            plan = MultiHostPlan(
+                process_index=index, process_count=2, local_files=[],
+                global_bounds_cubic=BOUNDS, start_level=3,
+                owned_node_range=owned_node_block(index, 2, 3))
+            mh = TilingAlgorithmMultiHost(
+                SamplingStrategy("RANDOM_GRID", 400),
+                BinaryPersistence(str(multi_dir)), meta, plan, coord)
+            mh.process_batch(PointBuffer(parts[index].copy()), BOUNDS)
+            mh.finalize(BOUNDS)
+            counters[index] = mh.reconstructed_nodes
+        except BaseException as err:
+            errors.append((index, err))
+
+    threads = [threading.Thread(target=run_host, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    # both hosts reconstructed a share of the ancestor pyramid, and
+    # together they reconstructed exactly the single-host set
+    assert counters[0] > 0 and counters[1] > 0
+    single_nodes = _collect(single_dir)
+    multi_nodes = _collect(multi_dir)
+    n_ancestors = sum(1 for name in single_nodes if len(name) - 1 < 3)
+    assert counters[0] + counters[1] == n_ancestors
+    assert set(single_nodes) == set(multi_nodes)
+    for name, buf in single_nodes.items():
+        other = multi_nodes[name]
+        np.testing.assert_array_equal(buf.positions, other.positions)
+        np.testing.assert_array_equal(
+            buf.get_column(PointAttribute.Intensity)
+            if buf.has(PointAttribute.Intensity) else 0,
+            other.get_column(PointAttribute.Intensity)
+            if other.has(PointAttribute.Intensity) else 0)
+
+
 def test_multihost_packed_spill_matches_no_spill(tmp_path, rng):
     """Out-of-core multihost runs (>= 3 batches) route node traffic
     through PER-HOST packed spill arenas; non-primary hosts publish their
