@@ -26,6 +26,10 @@ transforms the tiler actually needs are implemented directly:
     offset k0*M(lat_0) is folded into the false northing
   - 3/7-parameter Helmert datum shifts (+towgs84=..., position-vector
     convention, EPSG:9606) applied in ECEF after the inverse projection
+  - NTv2 grid-based datum shifts (+nadgrids=<file.gsb>[,...] — the
+    NAD27->NAD83 / OSTN-style path), bilinear per-point shifts with
+    PROJ's densest-subgrid selection and @optional / null fallback
+    semantics (io/ntv2.py); takes precedence over +towgs84 like PROJ
 
 AABB transform follows the reference: transform the 8 corners and
 re-min/max (Transformation.cpp:10-45).
@@ -606,6 +610,60 @@ class OmercParams:
                        * math.atan2(math.sqrt(D2 - 1), math.cos(alphac))
                        * sign)
 
+    @classmethod
+    def from_two_points(cls, lat0: float, lat1: float, lon1: float,
+                        lat2: float, lon2: float, k0: float = 1.0,
+                        x0: float = 0.0, y0: float = 0.0,
+                        no_uoff: bool = False, ellipsoid: str = "wgs84",
+                        towgs84=None) -> "OmercParams":
+        """Two-point Hotine oblique Mercator (PROJ +proj=omerc +lat_1
+        +lon_1 +lat_2 +lon_2): the central line passes through the two
+        given points; azimuth and origin longitude are DERIVED (Snyder
+        1987 eqs. 9-16..9-24) and the result delegates to the
+        azimuth-form constructor, so both forms share one forward/
+        inverse. Validated by internal consistency in tests/test_srs.py:
+        two points taken ON the GN7-2-vectored RSO Borneo central line
+        reproduce that projection's lam0/gamma0/alpha_c exactly."""
+        a, f = _ELLIPSOIDS[ellipsoid]
+        e2 = f * (2 - f)
+        e = math.sqrt(e2)
+        phi0 = math.radians(lat0)
+        s0 = math.sin(phi0)
+        B = math.sqrt(1 + e2 * math.cos(phi0) ** 4 / (1 - e2))
+        D = (B * math.sqrt(1 - e2)
+             / (math.cos(phi0) * math.sqrt(1 - e2 * s0 * s0)))
+        D2 = max(D * D, 1.0)
+        sign = -1.0 if lat0 < 0 else 1.0
+        F = D + math.sqrt(D2 - 1) * sign  # Snyder 9-15
+        t0 = float(_snyder_t(phi0, e))
+        E = F * t0 ** B                   # Snyder 9-16 (E carries t0^B)
+        t1 = float(_snyder_t(math.radians(lat1), e))
+        t2 = float(_snyder_t(math.radians(lat2), e))
+        H = t1 ** B
+        L = t2 ** B
+        Fs = E / H
+        G = (Fs - 1 / Fs) / 2
+        J = (E * E - L * H) / (E * E + L * H)
+        P = (L - H) / (L + H)
+        lam1, lam2 = math.radians(lon1), math.radians(lon2)
+        # Snyder's arctans are PRINCIPAL VALUE: atan2 here lands on the
+        # 180-degree-rotated central line whenever P < 0 (verified against
+        # the azimuth form in tests/test_srs.py)
+        lam0 = ((lam1 + lam2) / 2
+                - math.atan(J * math.tan(B * (lam1 - lam2) / 2) / P)
+                / B)                      # Snyder 9-22 (errata numbering)
+        gamma0 = math.atan(math.sin(B * (lam1 - lam0)) / G)
+        alphac = math.asin(D * math.sin(gamma0))
+        # express as the azimuth form: the equivalent lonc reproduces this
+        # lam0 through the one-point relation lam0 = lonc - asin(G tan
+        # gamma0)/B (G here is the CENTER point's (F-1/F)/2)
+        G_center = (F - 1 / F) / 2
+        lonc = math.degrees(
+            lam0 + math.asin(G_center * math.tan(gamma0)) / B)
+        return cls(latc=lat0, lonc=lonc, alpha=math.degrees(alphac),
+                   gamma=math.degrees(gamma0), k0=k0, x0=x0, y0=y0,
+                   no_uoff=no_uoff, ellipsoid=ellipsoid, towgs84=towgs84)
+
 
 def omerc_forward(lon_deg, lat_deg, p: OmercParams):
     lam = np.radians(np.asarray(lon_deg, np.float64))
@@ -929,9 +987,18 @@ def _parse_projection(text: str):
     if "+proj=omerc" in s:
         alpha = param("alpha", None)
         if alpha is None:
-            raise NotImplementedError(
-                f"+proj=omerc without +alpha (the two-point variant) is "
-                f"not supported in {text!r}")
+            lat1, lon1 = param("lat_1", None), param("lon_1", None)
+            lat2, lon2 = param("lat_2", None), param("lon_2", None)
+            if None in (lat1, lon1, lat2, lon2):
+                raise NotImplementedError(
+                    f"+proj=omerc needs +alpha or the two-point form "
+                    f"(+lat_1 +lon_1 +lat_2 +lon_2) in {text!r}")
+            return OmercParams.from_two_points(
+                lat0=param("lat_0", 0.0), lat1=lat1, lon1=lon1,
+                lat2=lat2, lon2=lon2, k0=param("k_0", param("k", 1.0)),
+                x0=param("x_0", 0.0), y0=param("y_0", 0.0),
+                no_uoff="+no_uoff" in s or "+no_off" in s,
+                ellipsoid=ellps(), towgs84=towgs84())
         return OmercParams(latc=param("lat_0", 0.0),
                            lonc=param("lonc", param("lon_0", 0.0)),
                            alpha=alpha, gamma=param("gamma", None),
@@ -972,7 +1039,7 @@ def _parse_projection(text: str):
         f"geodetic, UTM EPSG:326xx/327xx, EPSG:2154, 5070, 3857, 3395, "
         f"3031, 3413, 5041/5042, 27700, 28992, 21781/2056, 29873, and "
         f"+proj=utm/tmerc/lcc/aea/merc/stere/sterea/omerc/somerc/longlat "
-        f"strings with optional +towgs84)")
+        f"strings with optional +towgs84 / +nadgrids=<file.gsb>)")
 
 
 class GeodeticParams:
@@ -985,21 +1052,71 @@ class GeodeticParams:
         self.towgs84 = towgs84
 
 
+def _parse_nadgrids(text: str):
+    """Case-SENSITIVE +nadgrids parse (values are file paths); returns
+    the comma-separated spec list or None."""
+    m = re.search(r"\+nadgrids=(\S+)", text)
+    return m.group(1).split(",") if m else None
+
+
+def _apply_nadgrids(specs, lon_deg, lat_deg):
+    """PROJ +nadgrids semantics: try each spec in order; points covered
+    by an earlier grid never see a later one; '@' marks an optional
+    (skippable-if-missing) file; 'null' is the identity for everything
+    still unshifted. Points no spec covers raise — silent pass-through
+    would mix datums inside one output tile."""
+    import os
+
+    from . import ntv2
+
+    lon = np.array(lon_deg, np.float64, copy=True)
+    lat = np.array(lat_deg, np.float64, copy=True)
+    remaining = np.ones(lon.shape, dtype=bool)
+    for spec in specs:
+        optional = spec.startswith("@")
+        name = spec[1:] if optional else spec
+        if name == "null":
+            return lon, lat
+        if not os.path.exists(name):
+            if optional:
+                continue
+            raise FileNotFoundError(
+                f"+nadgrids file {name!r} not found (prefix with '@' to "
+                f"make it optional)")
+        grid = ntv2.load_grid(name)
+        m = remaining & grid.covers(lon, lat)
+        if np.any(m):
+            lon[m], lat[m] = grid.forward(lon[m], lat[m])
+            remaining[m] = False
+        if not remaining.any():
+            return lon, lat
+    if remaining.any():
+        bad = np.flatnonzero(remaining)[0]
+        raise ValueError(
+            f"point (lon={lon_deg[bad]:.6f}, lat={lat_deg[bad]:.6f}) is "
+            f"outside every +nadgrids grid {specs} (append ',null' to "
+            f"pass uncovered points through unshifted)")
+    return lon, lat
+
+
 class Proj4Transform:
     """Source CRS -> Cesium world (ECEF). Geodetic WGS84 directly;
     projected CRS via the projection inverse to geodetic on the source
     ellipsoid, then geocentric, then an optional Helmert +towgs84 shift
-    into the WGS84 frame."""
+    into the WGS84 frame — or, when +nadgrids is present, a grid-based
+    geodetic-stage shift into the target datum (treated as WGS84, like
+    PROJ) that takes precedence over +towgs84."""
 
     def __init__(self, source_projection: str):
         self.source_projection = source_projection
         self._params = _parse_projection(source_projection)
+        self._nadgrids = _parse_nadgrids(source_projection)
 
     def transform_positions(self, positions: np.ndarray) -> np.ndarray:
-        if self._params == "geodetic":
+        if self._params == "geodetic" and not self._nadgrids:
             return geodetic_to_ecef(positions)
         p = self._params
-        if isinstance(p, GeodeticParams):
+        if p == "geodetic" or isinstance(p, GeodeticParams):
             lon, lat = positions[:, 0], positions[:, 1]
         elif isinstance(p, LCCParams):
             lon, lat = lcc_inverse(positions[:, 0], positions[:, 1], p)
@@ -1019,6 +1136,15 @@ class Proj4Transform:
             lon, lat = somerc_inverse(positions[:, 0], positions[:, 1], p)
         else:
             lon, lat = tmerc_inverse_p(positions[:, 0], positions[:, 1], p)
+        if self._nadgrids:
+            # geodetic-stage grid shift into the target datum; the result
+            # is WGS84-frame geodetic (NAD83 == WGS84 at grid accuracy,
+            # PROJ's treatment), so +towgs84 never also applies
+            lon, lat = _apply_nadgrids(
+                self._nadgrids, np.asarray(lon, np.float64),
+                np.asarray(lat, np.float64))
+            return geodetic_to_ecef(
+                np.column_stack([lon, lat, positions[:, 2]]))
         geo = np.column_stack([lon, lat, positions[:, 2]])
         # Web Mercator heights are WGS84-ellipsoidal and its latitude is
         # WGS84-geodetic by convention, so the spherical radius never

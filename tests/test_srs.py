@@ -653,3 +653,71 @@ def test_new_projections_in_transform_chain():
             np.array([[easting, northing, 100.0]]))
         r = np.linalg.norm(out[0])
         assert 6.3e6 < r < 6.4e6, (code, r)
+
+
+# ---------------------------------------------------------------------------
+# Two-point Hotine oblique Mercator (Snyder 1987 eqs. 9-16..9-24)
+# ---------------------------------------------------------------------------
+
+
+def _rso_borneo_central_line_points():
+    """Two geographic points ON the central line of the GN7-2-vectored
+    RSO Borneo projection: invert (v=0, u) through an unrotated
+    natural-origin clone of that projection (gamma=0 makes x=v, y=u;
+    no_uoff keeps u natural), so the points are exact by construction."""
+    base = srs._parse_projection(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=0 +k_0=0.99984 +no_uoff +ellps=evrstSS")
+    pts = []
+    for u in (200_000.0, 650_000.0):
+        lon, lat = srs.omerc_inverse(np.array([0.0]), np.array([u]), base)
+        pts.append((float(lat[0]), float(lon[0])))
+    return base, pts
+
+
+def test_omerc_two_point_reproduces_azimuth_form_geometry():
+    """from_two_points with two points on the azimuth form's central line
+    must re-derive that form's lam0 / gamma0 / E*t0^B exactly (the
+    central line determines the projection geometry; Snyder 9-22..9-24
+    are exercised end to end)."""
+    base, ((lat1, lon1), (lat2, lon2)) = _rso_borneo_central_line_points()
+    two = srs.OmercParams.from_two_points(
+        lat0=4.0, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2,
+        k0=0.99984, ellipsoid="evrstss")
+    assert abs(two.lam0 - base.lam0) < 1e-12
+    assert abs(two.gamma0 - base.gamma0) < 1e-12
+    assert abs(two.H - base.H) < 1e-12 * base.H
+    assert abs(two.A - base.A) < 1e-6  # same lat_0/k_0 by construction
+    assert abs(two.B - base.B) < 1e-15
+
+
+def test_omerc_two_point_defining_points_on_central_line():
+    """Both defining points must project onto the central line (v == 0)
+    of the two-point projection itself."""
+    _, ((lat1, lon1), (lat2, lon2)) = _rso_borneo_central_line_points()
+    p = srs.OmercParams.from_two_points(
+        lat0=4.0, lat1=lat1, lon1=lon1, lat2=lat2, lon2=lon2,
+        k0=0.99984, no_uoff=True, ellipsoid="evrstss")
+    import math
+    x, y = srs.omerc_forward(np.array([lon1, lon2]),
+                             np.array([lat1, lat2]), p)
+    v = x * math.cos(p.gammac) - y * math.sin(p.gammac)
+    assert np.max(np.abs(v)) < 1e-6  # metres
+
+
+def test_omerc_two_point_roundtrip_and_parser():
+    """Forward/inverse round trip over a lon/lat grid; the +proj string
+    two-point form parses; underspecified strings raise."""
+    _, ((lat1, lon1), (lat2, lon2)) = _rso_borneo_central_line_points()
+    p = srs._parse_projection(
+        f"+proj=omerc +lat_0=4 +lat_1={lat1} +lon_1={lon1} "
+        f"+lat_2={lat2} +lon_2={lon2} +k_0=0.99984 +ellps=evrstSS")
+    assert isinstance(p, srs.OmercParams)
+    lon = np.linspace(112.0, 118.0, 7)
+    lat = np.linspace(1.0, 7.0, 7)
+    x, y = srs.omerc_forward(lon, lat, p)
+    lon2_, lat2_ = srs.omerc_inverse(x, y, p)
+    np.testing.assert_allclose(lon2_, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2_, lat, atol=1e-9)
+    with pytest.raises(NotImplementedError):
+        srs._parse_projection("+proj=omerc +lat_0=4 +lat_1=3 +lon_1=113")
