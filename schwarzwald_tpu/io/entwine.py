@@ -172,6 +172,9 @@ class EntwinePersistence:
         self._las.commit_batch(extra_renames)
 
     def close(self) -> None:
+        # drain + stop the write-behind pool FIRST so the directory scan
+        # below sees only complete files
+        self._las.close()
         with self._lock:
             # Register nodes written by a previous (resumed) session that
             # this session never revisited.

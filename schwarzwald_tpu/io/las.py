@@ -593,12 +593,12 @@ def build_header_bytes(header: LASHeader) -> bytes:
     return bytes(raw)
 
 
-def write_las(path: str, buffer: PointBuffer, bounds: AABB,
-              compressed: bool = False, extended: bool = False) -> None:
-    """One-shot LAS write with the LASPersistence header policy:
-    offset = bounds.min, min/max = bounds, scale from bounds diagonal.
-    extended=True emits LAS 1.4 point format 6/7 (see
-    choose_point_format)."""
+def _las_file_parts(buffer: PointBuffer, bounds: AABB,
+                    compressed: bool, extended: bool) -> list:
+    """The complete LAS/LAZ file content as a list of buffer-protocol
+    parts (bytes / contiguous uint8 views), shared by the synchronous
+    write and the write-behind encode-into-pooled-buffer path so both
+    produce byte-identical files."""
     fmt = choose_point_format(buffer, extended=extended)
     scale = compute_las_scale_from_bounds(bounds)
     header_size = HEADER_SIZE_14 if fmt >= 6 else HEADER_SIZE_12
@@ -618,11 +618,40 @@ def write_las(path: str, buffer: PointBuffer, bounds: AABB,
     records = encode_records(buffer, fmt, header.scale, header.offset)
     if compressed:
         from . import laz
-        laz.write_laz(path, header, records)
-        return
+        return laz.laz_file_parts(header, records)
+    return [build_header_bytes(header),
+            np.ascontiguousarray(records).view(np.uint8).reshape(-1)]
+
+
+def write_las(path: str, buffer: PointBuffer, bounds: AABB,
+              compressed: bool = False, extended: bool = False) -> None:
+    """One-shot LAS write with the LASPersistence header policy:
+    offset = bounds.min, min/max = bounds, scale from bounds diagonal.
+    extended=True emits LAS 1.4 point format 6/7 (see
+    choose_point_format)."""
     with open(path, "wb") as f:
-        f.write(build_header_bytes(header))
-        f.write(records.tobytes())
+        for part in _las_file_parts(buffer, bounds, compressed, extended):
+            f.write(part)
+
+
+def encode_las_into(buffer: PointBuffer, bounds: AABB, alloc,
+                    compressed: bool = False,
+                    extended: bool = False) -> tuple:
+    """Encode the full LAS/LAZ file content into a buffer obtained from
+    `alloc(size)` (an AsyncFileWriter pool, or bytearray for a one-shot).
+    Returns (buffer, nbytes); the buffer owns a copy of everything, so
+    the point data may be reused by the caller immediately. Byte-
+    identical to write_las (same parts)."""
+    parts = [memoryview(p).cast("B")
+             for p in _las_file_parts(buffer, bounds, compressed, extended)]
+    total = sum(len(p) for p in parts)
+    out = alloc(total)
+    dst = memoryview(out)
+    off = 0
+    for p in parts:
+        dst[off:off + len(p)] = p
+        off += len(p)
+    return out, total
 
 
 def read_las(path: str, attributes: set | None = None) -> PointBuffer:

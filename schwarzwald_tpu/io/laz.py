@@ -385,6 +385,15 @@ def write_laz(path, header, records: np.ndarray,
               chunk_size: int = DEFAULT_CHUNK_SIZE) -> None:
     """Write a chunked LAZ file: patched LAS header + laszip VLR +
     compressed point stream (the write side of LASPersistence.cpp)."""
+    with open(path, "wb", buffering=1 << 20) as f:
+        for part in laz_file_parts(header, records, chunk_size):
+            f.write(part)
+
+
+def laz_file_parts(header, records: np.ndarray,
+                   chunk_size: int = DEFAULT_CHUNK_SIZE) -> list:
+    """The complete LAZ file content as buffer-protocol parts (shared by
+    write_laz and the write-behind encode path)."""
     from .las import build_header_bytes
 
     lib = _native()
@@ -408,8 +417,6 @@ def write_laz(path, header, records: np.ndarray,
     # (laszip stores stream->tell()); the encoder wrote it relative to
     # the stream start
     rel = struct.unpack("<q", stream[:8].tobytes())[0]
-    with open(path, "wb", buffering=1 << 20) as f:
-        f.write(build_header_bytes(patched))
-        f.write(vlr_bytes)
-        f.write(struct.pack("<q", rel + patched.offset_to_point_data))
-        f.write(memoryview(stream[8:]))
+    return [build_header_bytes(patched), vlr_bytes,
+            struct.pack("<q", rel + patched.offset_to_point_data),
+            np.ascontiguousarray(stream[8:])]

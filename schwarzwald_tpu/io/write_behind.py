@@ -54,9 +54,11 @@ class AsyncFileWriter:
                 if len(buf) >= size:
                     return self._free.pop(i)
             if self._free:
-                # grow the largest instead of faulting a fresh allocation
+                # grow the largest instead of faulting a fresh allocation;
+                # grow geometrically (nodes arrive in mixed sizes — exact
+                # fits re-extend on nearly every call, a realloc+copy each)
                 buf = self._free.pop()
-                buf.extend(bytes(size - len(buf)))
+                buf.extend(bytes(max(size, 2 * len(buf)) - len(buf)))
                 return buf
         return bytearray(size)
 

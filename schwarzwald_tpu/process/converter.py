@@ -185,6 +185,7 @@ def convert_to_las(args: ConverterArguments, bounds: AABB,
 
     with concurrent.futures.ThreadPoolExecutor() as pool:
         list(pool.map(convert_one, sorted(node_files.items())))
+    sink.close()  # drain the write-behind queue before returning
 
 
 def run_conversion(args: ConverterArguments) -> None:
