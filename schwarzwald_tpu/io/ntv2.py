@@ -95,8 +95,10 @@ class NTv2Grid:
                 f"{path!r}: NUM_OREC is neither 11 LE nor 11 BE "
                 f"({num_orec_le}/{num_orec_be}) — not an NTv2 grid")
         header = dict(_read_records(buf, 0, 11))
-        if header.get("NUM_OREC") is None or "NUM_SREC" not in header:
-            raise ValueError(f"{path!r}: missing NTv2 overview records")
+        missing = {"NUM_OREC", "NUM_SREC", "NUM_FILE"} - set(header)
+        if missing:
+            raise ValueError(
+                f"{path!r}: missing NTv2 overview records {sorted(missing)}")
         num_srec = int(np.frombuffer(header["NUM_SREC"], self._i4, 1)[0])
         num_file = int(np.frombuffer(header["NUM_FILE"], self._i4, 1)[0])
         self.gs_type = header.get("GS_TYPE", b"SECONDS ").decode(
@@ -119,16 +121,28 @@ class NTv2Grid:
             def f8(key):
                 return float(np.frombuffer(recs[key], self._f8, 1)[0])
 
-            count = int(np.frombuffer(recs["GS_COUNT"], self._i4, 1)[0])
-            s_lat, n_lat = f8("S_LAT"), f8("N_LAT")
-            e_lon, w_lon = f8("E_LONG"), f8("W_LONG")
-            lat_inc, lon_inc = f8("LAT_INC"), f8("LONG_INC")
+            try:
+                count = int(np.frombuffer(recs["GS_COUNT"], self._i4, 1)[0])
+                s_lat, n_lat = f8("S_LAT"), f8("N_LAT")
+                e_lon, w_lon = f8("E_LONG"), f8("W_LONG")
+                lat_inc, lon_inc = f8("LAT_INC"), f8("LONG_INC")
+            except KeyError as missing:
+                raise ValueError(
+                    f"{path!r}: sub-grid header is missing the "
+                    f"{missing.args[0]!r} record — corrupt NTv2 file") \
+                    from None
             rows = int(round((n_lat - s_lat) / lat_inc)) + 1
             cols = int(round((w_lon - e_lon) / lon_inc)) + 1
             if rows * cols != count:
                 raise ValueError(
                     f"{path!r} sub-grid {recs.get('SUB_NAME')}: GS_COUNT "
                     f"{count} != rows*cols {rows}*{cols}")
+            if rows < 2 or cols < 2:
+                # a 1-row/1-column grid cannot be bilinearly interpolated
+                # (the index clip would wrap to -1 silently)
+                raise ValueError(
+                    f"{path!r} sub-grid {recs.get('SUB_NAME')}: degenerate "
+                    f"{rows}x{cols} grid (need at least 2x2 nodes)")
             nodes = np.frombuffer(buf, self._f4, count * 4, off).reshape(
                 count, 4)
             off += 16 * count
@@ -165,13 +179,17 @@ class NTv2Grid:
         lon_west_sec = -np.asarray(lon_deg, np.float64) * 3600.0
         return self._select(lat_sec, lon_west_sec) >= 0
 
-    def shift_seconds(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+    def shift_seconds(self, lon_deg: np.ndarray, lat_deg: np.ndarray,
+                      choice: np.ndarray | None = None):
         """Bilinear (d_lat_sec, d_lon_east_sec) at east-positive degree
         coordinates. Raises on points outside every sub-grid — silent
-        pass-through would mix datums within one output tile."""
+        pass-through would mix datums within one output tile. `choice`
+        skips the containment scan when the caller already ran _select
+        on exactly these points (the +nadgrids batch hot path)."""
         lat_sec = np.asarray(lat_deg, np.float64) * 3600.0
         lon_west_sec = -np.asarray(lon_deg, np.float64) * 3600.0
-        choice = self._select(lat_sec, lon_west_sec)
+        if choice is None:
+            choice = self._select(lat_sec, lon_west_sec)
         if np.any(choice < 0):
             bad = np.flatnonzero(choice < 0)[0]
             raise ValueError(
@@ -204,6 +222,24 @@ class NTv2Grid:
         """FROM-datum -> TO-datum (e.g. NAD27 -> NAD83) in degrees."""
         d_lat, d_lon = self.shift_seconds(lon_deg, lat_deg)
         return lon_deg + d_lon / 3600.0, lat_deg + d_lat / 3600.0
+
+    def try_forward(self, lon_deg: np.ndarray, lat_deg: np.ndarray):
+        """forward() restricted to covered points: returns (lon, lat,
+        covered_mask) with uncovered coordinates passed through
+        unchanged. ONE containment scan (covers + forward would run the
+        per-subgrid selection twice on the tiler's batch hot path)."""
+        lat_sec = np.asarray(lat_deg, np.float64) * 3600.0
+        lon_west_sec = -np.asarray(lon_deg, np.float64) * 3600.0
+        choice = self._select(lat_sec, lon_west_sec)
+        covered = choice >= 0
+        lon = np.array(lon_deg, np.float64, copy=True)
+        lat = np.array(lat_deg, np.float64, copy=True)
+        if np.any(covered):
+            d_lat, d_lon = self.shift_seconds(lon[covered], lat[covered],
+                                              choice=choice[covered])
+            lon[covered] += d_lon / 3600.0
+            lat[covered] += d_lat / 3600.0
+        return lon, lat, covered
 
     def inverse(self, lon_deg: np.ndarray, lat_deg: np.ndarray,
                 iterations: int = 4):

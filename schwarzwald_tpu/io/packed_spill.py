@@ -351,9 +351,17 @@ class PackedSpillStore:
         this way before the subtree_done barrier (only host 0 closes the
         shared sink / writes the index artifacts)."""
         self.drain()
+        # idempotent fd teardown: multihost finalize drains the arena and
+        # TilerProcess.close() drains again later — a second os.close on
+        # the same fd NUMBER could close an unrelated live fd the kernel
+        # reused in between
         try:
-            self._f.close()
-            os.close(self._read_fd)
+            if self._f is not None:
+                self._f.close()
+                self._f = None
+            if self._read_fd >= 0:
+                os.close(self._read_fd)
+                self._read_fd = -1
         except Exception:
             pass
         # the spill is scratch space: remove it once the sink owns the data

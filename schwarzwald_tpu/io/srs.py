@@ -637,6 +637,11 @@ class OmercParams:
         F = D + math.sqrt(D2 - 1) * sign  # Snyder 9-15
         t0 = float(_snyder_t(phi0, e))
         E = F * t0 ** B                   # Snyder 9-16 (E carries t0^B)
+        if abs(lat1 - lat2) < 1e-12 or abs(lat1) >= 90 or abs(lat2) >= 90:
+            raise ValueError(
+                f"two-point omerc needs two distinct non-polar latitudes "
+                f"(got lat_1={lat1}, lat_2={lat2}); with lat_1 == lat_2 "
+                f"the cone parameter P is 0 (PROJ rejects this too)")
         t1 = float(_snyder_t(math.radians(lat1), e))
         t2 = float(_snyder_t(math.radians(lat2), e))
         H = t1 ** B
@@ -1004,7 +1009,7 @@ def _parse_projection(text: str):
                            alpha=alpha, gamma=param("gamma", None),
                            k0=param("k_0", param("k", 1.0)),
                            x0=param("x_0", 0.0), y0=param("y_0", 0.0),
-                           no_uoff="+no_uoff" in s,
+                           no_uoff="+no_uoff" in s or "+no_off" in s,
                            ellipsoid=ellps(), towgs84=towgs84())
     if "+proj=lcc" in s:
         # EPSG:9801 (1SP) gives only lat_0 — the natural origin IS the
@@ -1084,10 +1089,15 @@ def _apply_nadgrids(specs, lon_deg, lat_deg):
                 f"+nadgrids file {name!r} not found (prefix with '@' to "
                 f"make it optional)")
         grid = ntv2.load_grid(name)
-        m = remaining & grid.covers(lon, lat)
-        if np.any(m):
-            lon[m], lat[m] = grid.forward(lon[m], lat[m])
-            remaining[m] = False
+        if remaining.all():
+            lon, lat, covered = grid.try_forward(lon, lat)
+            remaining &= ~covered
+        else:
+            g_lon, g_lat, covered = grid.try_forward(lon[remaining],
+                                                     lat[remaining])
+            idx = np.flatnonzero(remaining)
+            lon[idx], lat[idx] = g_lon, g_lat
+            remaining[idx[covered]] = False
         if not remaining.any():
             return lon, lat
     if remaining.any():

@@ -57,7 +57,9 @@ class AsyncFileWriter:
                 # grow the largest instead of faulting a fresh allocation;
                 # grow geometrically (nodes arrive in mixed sizes — exact
                 # fits re-extend on nearly every call, a realloc+copy each)
-                buf = self._free.pop()
+                largest = max(range(len(self._free)),
+                              key=lambda i: len(self._free[i]))
+                buf = self._free.pop(largest)
                 buf.extend(bytes(max(size, 2 * len(buf)) - len(buf)))
                 return buf
         return bytearray(size)

@@ -218,3 +218,58 @@ def test_shift_magnitude_is_realistic_nad27(gsb):
     d_m = np.hypot((lon[0] + 97.0) * 111_320 * math.cos(math.radians(37)),
                    (lat[0] - 37.0) * 110_574)
     assert 0.1 < d_m < 200.0
+
+
+def test_degenerate_single_row_grid_rejected(tmp_path):
+    """A 1-row sub-grid cannot be bilinearly interpolated; the index clip
+    would wrap to -1 silently — reject at load."""
+    flat = dict(name="FLAT", s_lat=36 * 3600.0, n_lat=36 * 3600.0,
+                e_lon=95 * 3600.0, w_lon=100 * 3600.0,
+                lat_inc=1800.0, lon_inc=1800.0,
+                shift=lambda la, lo: (1.0, 1.0))
+    path = write_gsb(tmp_path / "flat.gsb", [flat])
+    with pytest.raises(ValueError, match="degenerate"):
+        ntv2.NTv2Grid(path)
+
+
+def test_missing_header_records_raise_value_error(tmp_path):
+    """Corrupt headers must raise ValueError naming the file, not a bare
+    KeyError (callers catch ValueError for bad grids)."""
+    # overview header missing NUM_FILE
+    recs = [_rec("NUM_OREC", _i4(11, "<")), _rec("NUM_SREC", _i4(11, "<"))]
+    bad = tmp_path / "noh.gsb"
+    bad.write_bytes(b"".join(recs) + b"\x00" * 16 * 9)
+    with pytest.raises(ValueError, match="NUM_FILE"):
+        ntv2.NTv2Grid(str(bad))
+    # sub-grid header present but all-zero keys -> missing GS_COUNT etc.
+    recs = [
+        _rec("NUM_OREC", _i4(11, "<")), _rec("NUM_SREC", _i4(11, "<")),
+        _rec("NUM_FILE", _i4(1, "<")), _rec("GS_TYPE", b"SECONDS "),
+        _rec("VERSION", b"x       "), _rec("SYSTEM_F", b"A       "),
+        _rec("SYSTEM_T", b"B       "), _rec("MAJOR_F", _f8(1.0, "<")),
+        _rec("MINOR_F", _f8(1.0, "<")), _rec("MAJOR_T", _f8(1.0, "<")),
+        _rec("MINOR_T", _f8(1.0, "<")),
+    ] + [_rec("JUNK", b"\x00" * 8)] * 11
+    bad2 = tmp_path / "nosub.gsb"
+    bad2.write_bytes(b"".join(recs))
+    with pytest.raises(ValueError, match="corrupt NTv2"):
+        ntv2.NTv2Grid(str(bad2))
+
+
+def test_try_forward_matches_covers_plus_forward(gsb, rng):
+    """try_forward (single containment scan) must agree with the
+    covers() + forward() composition, including pass-through of
+    uncovered points."""
+    grid = ntv2.NTv2Grid(gsb)
+    lon = np.concatenate([rng.uniform(-99.5, -95.5, 50),
+                          rng.uniform(10.0, 20.0, 10)])  # 10 uncovered
+    lat = np.concatenate([rng.uniform(35.5, 39.5, 50),
+                          rng.uniform(-10.0, 0.0, 10)])
+    t_lon, t_lat, covered = grid.try_forward(lon, lat)
+    want = grid.covers(lon, lat)
+    np.testing.assert_array_equal(covered, want)
+    f_lon, f_lat = grid.forward(lon[want], lat[want])
+    np.testing.assert_array_equal(t_lon[want], f_lon)
+    np.testing.assert_array_equal(t_lat[want], f_lat)
+    np.testing.assert_array_equal(t_lon[~want], lon[~want])
+    np.testing.assert_array_equal(t_lat[~want], lat[~want])

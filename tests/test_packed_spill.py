@@ -263,3 +263,32 @@ def test_legacy_entries_segment_still_loads(tmp_path, rng):
                                 str(out))
     got = reopened.retrieve_points("r0")
     assert got == buf
+
+
+def test_drain_and_discard_is_idempotent(tmp_path):
+    """Multihost finalize drains the arena and TilerProcess.close()
+    drains it again later; the second teardown must not re-close the
+    same fd NUMBER (the kernel may have reused it for a live file)."""
+    import numpy as np
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    from schwarzwald_tpu.io.packed_spill import PackedSpillStore
+
+    store = PackedSpillStore(BinaryPersistence(str(tmp_path)),
+                             str(tmp_path))
+    bounds = AABB([0.0] * 3, [1.0] * 3)
+    store.persist_points(PointBuffer(np.zeros((5, 3))), bounds, "r0")
+    stolen_fd = store._read_fd
+    store.drain_and_discard()
+    assert store._read_fd == -1 and store._f is None
+    # simulate fd reuse: open a live file that lands on the freed number
+    import os
+    probe = os.open(str(tmp_path / "r0.bin"), os.O_RDONLY)
+    try:
+        store.drain_and_discard()  # second teardown must be a no-op
+        os.fstat(probe)  # still alive — would raise EBADF if re-closed
+    finally:
+        os.close(probe)
+    assert stolen_fd >= 0  # sanity: the store really had an fd before

@@ -721,3 +721,23 @@ def test_omerc_two_point_roundtrip_and_parser():
     np.testing.assert_allclose(lat2_, lat, atol=1e-9)
     with pytest.raises(NotImplementedError):
         srs._parse_projection("+proj=omerc +lat_0=4 +lat_1=3 +lon_1=113")
+
+
+def test_omerc_two_point_equal_latitudes_rejected():
+    """lat_1 == lat_2 makes the cone parameter P zero; PROJ rejects it
+    and so must we (was an unhandled ZeroDivisionError)."""
+    with pytest.raises(ValueError, match="distinct"):
+        srs.OmercParams.from_two_points(lat0=4.0, lat1=3.0, lon1=113.0,
+                                        lat2=3.0, lon2=116.0)
+
+
+def test_omerc_no_off_alias_matches_no_uoff():
+    """PROJ accepts +no_off as the alias of +no_uoff — both omerc forms
+    must honour it identically."""
+    base = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+            "+k_0=0.99984 +ellps=evrstSS")
+    pa = srs._parse_projection(base + " +no_uoff")
+    pb = srs._parse_projection(base + " +no_off")
+    lon = np.array([114.0, 116.0]); lat = np.array([3.0, 5.0])
+    np.testing.assert_array_equal(srs.omerc_forward(lon, lat, pa),
+                                  srs.omerc_forward(lon, lat, pb))
