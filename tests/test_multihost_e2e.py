@@ -413,6 +413,83 @@ def test_distributed_finalize_reconstruction(tmp_path, rng):
             if other.has(PointAttribute.Intensity) else 0)
 
 
+def test_distributed_finalize_lossy_sink_byte_identity(tmp_path, rng):
+    """Distributed finalize on a LOSSY sink (per-node LAS): ancestors are
+    re-sampled from QUANTIZED children, and a host reconstructing another
+    host's ancestor reads those children from disk while the owner would
+    have had them in its cache — both must see identical bytes
+    (simulate_retrieve parity), so the whole tree must match a
+    single-host run file-for-file."""
+    from schwarzwald_tpu.core import morton
+    from schwarzwald_tpu.io.las_persistence import LASPersistence
+    from schwarzwald_tpu.ops import indexing
+    from schwarzwald_tpu.ops.sampling import SamplingStrategy
+    from schwarzwald_tpu.parallel.multihost import (
+        MultiHostCoordinator, MultiHostPlan, TilingAlgorithmMultiHost,
+        owned_node_block)
+    from schwarzwald_tpu.tiling import (TilerMetaParameters, TilingStrategy,
+                                        make_tiling_algorithm)
+
+    n = 40_000
+    pts = rng.uniform(BOUNDS.min + 1, BOUNDS.max - 1, (n, 3))
+    meta = TilerMetaParameters(spacing_at_root=5.0, max_points_per_node=400,
+                               cache_size_bytes=1 << 26)
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    algo = make_tiling_algorithm(
+        TilingStrategy.Fast, SamplingStrategy("RANDOM_GRID", 400),
+        LASPersistence(str(single_dir)), meta)
+    algo.level_of_start_nodes = 3
+    algo.process_batch(PointBuffer(pts.copy()), BOUNDS)
+    algo.finalize(BOUNDS)
+    algo.persistence.close()
+
+    keys, _ = indexing.index_points(pts.copy(), BOUNDS.min, BOUNDS.max)
+    level3 = morton.truncate_to_level(keys, 2)
+    lo1 = owned_node_block(1, 2, 3)[0]
+    parts = {0: pts[level3 < lo1], 1: pts[level3 >= lo1]}
+
+    multi_dir = tmp_path / "multi"
+    multi_dir.mkdir()
+    errors = []
+
+    def run_host(index):
+        try:
+            coord = MultiHostCoordinator(str(multi_dir), index, 2)
+            plan = MultiHostPlan(
+                process_index=index, process_count=2, local_files=[],
+                global_bounds_cubic=BOUNDS, start_level=3,
+                owned_node_range=owned_node_block(index, 2, 3))
+            mh = TilingAlgorithmMultiHost(
+                SamplingStrategy("RANDOM_GRID", 400),
+                LASPersistence(str(multi_dir)), meta, plan, coord)
+            mh.process_batch(PointBuffer(parts[index].copy()), BOUNDS)
+            mh.finalize(BOUNDS)
+            mh.inner.persistence.close()
+        except BaseException as err:
+            errors.append((index, err))
+
+    threads = [threading.Thread(target=run_host, args=(i,))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    def digests(d):
+        import hashlib as h
+        return {f: h.sha1((d / f).read_bytes()).hexdigest()
+                for f in os.listdir(d) if f.endswith(".las")}
+
+    single_files = digests(single_dir)
+    multi_files = digests(multi_dir)
+    assert set(single_files) == set(multi_files)
+    diff = [f for f in single_files if single_files[f] != multi_files[f]]
+    assert not diff, diff
+
+
 def test_multihost_packed_spill_matches_no_spill(tmp_path, rng):
     """Out-of-core multihost runs (>= 3 batches) route node traffic
     through PER-HOST packed spill arenas; non-primary hosts publish their
