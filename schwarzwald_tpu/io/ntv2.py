@@ -131,6 +131,16 @@ class NTv2Grid:
                     f"{path!r}: sub-grid header is missing the "
                     f"{missing.args[0]!r} record — corrupt NTv2 file") \
                     from None
+            import math
+            if (not all(map(math.isfinite,
+                            (s_lat, n_lat, e_lon, w_lon, lat_inc, lon_inc)))
+                    or lat_inc <= 0 or lon_inc <= 0
+                    or n_lat < s_lat or w_lon < e_lon
+                    or (n_lat - s_lat) / lat_inc > 1e7
+                    or (w_lon - e_lon) / lon_inc > 1e7):
+                raise ValueError(
+                    f"{path!r} sub-grid {recs.get('SUB_NAME')}: invalid "
+                    f"extent/increment records — corrupt NTv2 file")
             rows = int(round((n_lat - s_lat) / lat_inc)) + 1
             cols = int(round((w_lon - e_lon) / lon_inc)) + 1
             if rows * cols != count:

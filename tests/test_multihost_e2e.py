@@ -536,3 +536,41 @@ def test_multihost_packed_spill_matches_no_spill(tmp_path, rng):
         np.testing.assert_array_equal(buf.positions, other.positions)
     for h in (0, 1):
         assert not os.path.exists(tmp_path / "ws" / f".spill_h{h}")
+
+
+def test_two_host_cli_subprocesses(tmp_path, rng):
+    """Production topology: two SEPARATE PROCESSES through the real CLI
+    (the thread-based tests above share module state the processes
+    cannot — this pins the filesystem-only coordination, including the
+    distributed finalize's cross-process barriers)."""
+    import subprocess
+    import sys
+
+    files = []
+    for i in range(2):
+        path = tmp_path / f"part{i}.las"
+        _write_las(path, rng, 3000)
+        files.append(str(path))
+    out = tmp_path / "out"
+
+    def spawn(index):
+        return subprocess.Popen(
+            [sys.executable, "-m", "schwarzwald_tpu.cli", "--tiler",
+             "-i", *files, "-o", str(out), "--spacing", "5",
+             "--max-points-per-node", "400", "--sampling", "RANDOM_GRID",
+             "--output-format", "BIN", "--multihost", str(index), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env={**os.environ, "JAX_PLATFORMS": "cpu",
+                 "SCHWARZWALD_TPU_NO_UI": "1"})
+
+    procs = [spawn(0), spawn(1)]
+    outputs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, text in zip(procs, outputs):
+        assert p.returncode == 0, text[-2000:]
+
+    nodes = _collect(out)
+    deep_total = sum(b.count for n, b in nodes.items() if len(n) - 1 >= 3)
+    assert deep_total == 6000
+    assert "r" in nodes  # ancestors reconstructed (distributed)
+    assert not os.path.exists(out / ".mh-exchange")
+    assert os.path.exists(out / "properties.json")

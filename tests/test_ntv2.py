@@ -273,3 +273,31 @@ def test_try_forward_matches_covers_plus_forward(gsb, rng):
     np.testing.assert_array_equal(t_lat[want], f_lat)
     np.testing.assert_array_equal(t_lon[~want], lon[~want])
     np.testing.assert_array_equal(t_lat[~want], lat[~want])
+
+
+def test_reader_fuzz_never_crashes_unexpectedly(tmp_path, rng):
+    """Arbitrary mutations of a valid grid must either load or raise
+    ValueError/NotImplementedError — never IndexError/KeyError/segfault
+    (the reader is fed user-supplied files via +nadgrids)."""
+    base = bytearray(open(write_gsb(tmp_path / "f.gsb", [_MAIN]), "rb").read())
+    for trial in range(60):
+        buf = bytearray(base)
+        kind = trial % 3
+        if kind == 0:      # truncate
+            buf = buf[:int(rng.integers(0, len(buf)))]
+        elif kind == 1:    # flip random bytes
+            for _ in range(8):
+                buf[int(rng.integers(0, len(buf)))] = int(
+                    rng.integers(0, 256))
+        else:              # corrupt a header field
+            off = int(rng.integers(0, 22)) * 16 + 8
+            buf[off:off + 8] = rng.integers(0, 256, 8, dtype=np.uint8) \
+                .tobytes()
+        path = tmp_path / f"fz{trial}.gsb"
+        path.write_bytes(bytes(buf))
+        try:
+            g = ntv2.NTv2Grid(str(path))
+            # a grid that still loads must interpolate without crashing
+            g.covers(np.array([-97.0]), np.array([37.0]))
+        except (ValueError, NotImplementedError):
+            pass
