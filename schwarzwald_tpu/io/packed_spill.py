@@ -185,6 +185,19 @@ class PackedSpillStore:
             if entry is None:
                 entry = self._dirty[node_name] = {"op": "add", "bufs": [],
                                                   "bounds": bounds}
+                if (node_name not in self._index
+                        and node_name in self._inner_names):
+                    # Appending over a node that exists ONLY as a wrapped
+                    # sink file (a resumed run whose prior session did not
+                    # use the spill): adopt the file's points as the
+                    # OLDEST extent, else retrieve_points would skip the
+                    # inner fallback (a record now exists here) and the
+                    # drain would overwrite the file with the new points
+                    # only — silently losing the previous session's data.
+                    prior = self.inner.retrieve_points(node_name)
+                    if prior.count:
+                        entry["bufs"].append(prior)  # oldest last
+                        self._dirty_bytes += self._buf_nbytes(prior)
             entry["bufs"].insert(0, buf)  # newest first
             entry["bounds"] = bounds
             self._dirty_bytes += self._buf_nbytes(buf)

@@ -133,7 +133,9 @@ class AsyncFileWriter:
 
 def writer_from_env(threads: int = 4) -> AsyncFileWriter | None:
     """None when SCHWARZWALD_NO_WRITE_BEHIND is set (tests force the
-    synchronous path to diff outputs against it)."""
-    if os.environ.get("SCHWARZWALD_NO_WRITE_BEHIND"):
+    synchronous path to diff outputs against it). '0'/'false'/'' follow
+    the usual env convention and leave write-behind ON."""
+    if os.environ.get("SCHWARZWALD_NO_WRITE_BEHIND", "").lower() \
+            not in ("", "0", "false"):
         return None
     return AsyncFileWriter(threads=threads)

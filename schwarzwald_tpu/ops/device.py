@@ -447,14 +447,19 @@ class ShardedExchange:
 
     Ownership: level-`level` Morton cells striped in contiguous blocks over
     the device axis — the multi-chip analogue of the FAST strategy's fixed
-    start-node level (TilingAlgorithms.cpp:1473-1535).
+    start-node level (TilingAlgorithms.cpp:1473-1535). `cell_range`
+    narrows the striped space to [lo, hi) cells: under multihost each
+    host's mesh must stripe only the host's OWNED block, otherwise
+    (count-1)/count of its local devices receive nothing on every batch
+    (the host never feeds the rest of the global cell space).
     """
 
     SENTINEL = 0xFFFFFFFF  # valid keys have hi <= 0x7FFFFFFF (63-bit keys)
 
-    def __init__(self, mesh, level: int = 3):
+    def __init__(self, mesh, level: int = 3, cell_range=None):
         self.mesh = mesh
         self.level = level
+        self.cell_range = cell_range
         self.n_dev = int(mesh.devices.size)
         # Compiled programs are shared ACROSS instances: the step
         # functions close over nothing instance-specific (only level /
@@ -464,7 +469,7 @@ class ShardedExchange:
         # mesh, minutes on TPU). Keyed by (mesh, level); a process uses
         # a handful of meshes at most.
         (self._counts, self._exchange_cache,
-         self._make_exchange) = _exchange_programs(mesh, level)
+         self._make_exchange) = _exchange_programs(mesh, level, cell_range)
 
 
     def _pad(self, arr, fill):
@@ -517,11 +522,14 @@ class ShardedExchange:
 _EXCHANGE_PROGRAMS: dict = {}
 
 
-def _exchange_programs(mesh, level: int):
+def _exchange_programs(mesh, level: int, cell_range=None):
     """(counts_jit, per-capacity exchange cache, make_exchange) for a
-    (mesh, level) pair — memoized so every ShardedExchange over the same
-    mesh reuses the same compiled executables."""
-    key = (mesh, level)
+    (mesh, level, cell_range) triple — memoized so every ShardedExchange
+    over the same mesh reuses the same compiled executables."""
+    n_cells = 8 ** level
+    lo_cell, hi_cell = cell_range if cell_range is not None \
+        else (0, n_cells)
+    key = (mesh, level, int(lo_cell), int(hi_cell))
     cached = _EXCHANGE_PROGRAMS.get(key)
     if cached is not None:
         return cached
@@ -529,9 +537,16 @@ def _exchange_programs(mesh, level: int):
 
     shard_map, check_kw = _shard_map_compat()
     n_dev = int(mesh.devices.size)
-    n_cells = 8 ** level
     axis = "dp"
     SENTINEL = ShardedExchange.SENTINEL
+    span = int(hi_cell) - int(lo_cell)
+
+    def _dest_of(cells):
+        # contiguous blocks of the OWNED [lo, hi) cell range over the
+        # device axis; clip keeps accidental foreign/padding cells
+        # conserved on a boundary device (the masked adds ignore padding)
+        d = ((cells.astype(jnp.int32) - lo_cell) * n_dev) // span
+        return jnp.clip(d, 0, n_dev - 1)
 
     def counts_step(hi, lo, ids):
         hi, lo, ids = lax.sort((hi, lo, ids), num_keys=2, is_stable=True)
@@ -542,7 +557,7 @@ def _exchange_programs(mesh, level: int):
         hist = jnp.zeros((n_cells,), jnp.int32).at[cells].add(
             valid.astype(jnp.int32))
         hist = lax.psum(hist, axis)
-        dest = (cells.astype(jnp.int32) * n_dev) // n_cells
+        dest = _dest_of(cells)
         counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
             valid.astype(jnp.int32))
         return hi, lo, ids, counts, hist
@@ -565,7 +580,7 @@ def _exchange_programs(mesh, level: int):
             n_local = hi.shape[0]
             cells = _cells_at_level(hi, level)
             valid = ids >= 0
-            dest = (cells.astype(jnp.int32) * n_dev) // n_cells
+            dest = _dest_of(cells)
             counts = jnp.zeros((n_dev,), jnp.int32).at[dest].add(
                 valid.astype(jnp.int32))
             starts = jnp.concatenate(

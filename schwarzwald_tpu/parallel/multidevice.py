@@ -68,7 +68,13 @@ class TilingAlgorithmMultiDevice(TilingAlgorithmFast):
     """
 
     def __init__(self, sampling_strategy, persistence, meta,
-                 progress_reporter=None, mesh=None, ownership_level: int = 3):
+                 progress_reporter=None, mesh=None, ownership_level: int = 3,
+                 cell_range=None):
+        """`cell_range=(lo, hi)` stripes only that block of level-
+        `ownership_level` cells over the mesh — the multihost composition
+        passes its plan's owned block so ALL local devices share the
+        host's subset (the default global stripe would leave
+        (hosts-1)/hosts of them idle)."""
         super().__init__(sampling_strategy, persistence, meta,
                          progress_reporter)
         from ..ops.device import ShardedExchange
@@ -77,7 +83,8 @@ class TilingAlgorithmMultiDevice(TilingAlgorithmFast):
             mesh = make_mesh()
         self.mesh = mesh
         self.level_of_start_nodes = ownership_level
-        self.exchange = ShardedExchange(mesh, level=ownership_level)
+        self.exchange = ShardedExchange(mesh, level=ownership_level,
+                                        cell_range=cell_range)
 
     def process_batch(self, buffer: PointBuffer, bounds: AABB) -> None:
         if not buffer.count:

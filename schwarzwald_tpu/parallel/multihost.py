@@ -96,23 +96,31 @@ def _jax_distributed_initialized() -> bool:
 
 def all_reduce_bounds(local_bounds: AABB) -> AABB:
     """Global bounds union across processes (psum-style all-reduce when a
-    jax distributed runtime is up; identity for a single process)."""
+    jax distributed runtime is up; identity for a single process).
+
+    A LIVE collective is never allowed to degrade silently: if the
+    runtime is initialized and the allgather fails on one host, that
+    host would tile against its local bounds while the others use the
+    union — different cubic roots, different Morton keys, silently
+    corrupt merged output. Only the is-a-runtime-up probe itself is
+    allowed to fall back."""
     try:
         import jax
 
-        if _jax_distributed_initialized() and jax.process_count() > 1:
-            import jax.numpy as jnp
-            from jax.experimental.multihost_utils import (
-                process_allgather)
-
-            gathered = process_allgather(
-                jnp.asarray(np.concatenate([local_bounds.min,
-                                            local_bounds.max])))
-            mins = np.asarray(gathered)[:, :3].min(axis=0)
-            maxs = np.asarray(gathered)[:, 3:].max(axis=0)
-            return AABB(mins, maxs)
+        distributed = (_jax_distributed_initialized()
+                       and jax.process_count() > 1)
     except Exception:
-        pass
+        distributed = False
+    if distributed:
+        import jax.numpy as jnp
+        from jax.experimental.multihost_utils import process_allgather
+
+        gathered = process_allgather(
+            jnp.asarray(np.concatenate([local_bounds.min,
+                                        local_bounds.max])))
+        mins = np.asarray(gathered)[:, :3].min(axis=0)
+        maxs = np.asarray(gathered)[:, 3:].max(axis=0)
+        return AABB(mins, maxs)
     return AABB(local_bounds.min, local_bounds.max)
 
 
@@ -238,9 +246,6 @@ class MultiHostCoordinator:
     def wait_all(self, phase: str) -> None:
         self._wait(phase, list(range(self.process_count)))
 
-    def wait_one(self, phase: str, host: int) -> None:
-        self._wait(phase, [host])
-
     def _wait(self, phase: str, hosts) -> None:
         import os
         import time
@@ -318,12 +323,16 @@ class TilingAlgorithmMultiHost:
         elif meta.multichip > 0:
             # multihost x multichip composition: this host's owned subset
             # fans out over its LOCAL device mesh (SURVEY §2.5 plan —
-            # DCN-level routing between hosts, ICI all_to_all within)
+            # DCN-level routing between hosts, ICI all_to_all within).
+            # The exchange stripes the host's OWNED cell block — striping
+            # the global space would leave (hosts-1)/hosts of the local
+            # devices with nothing to do on every batch.
             from .multidevice import TilingAlgorithmMultiDevice, make_mesh
             self.inner = TilingAlgorithmMultiDevice(
                 sampling_strategy, persistence, meta, progress_reporter,
                 mesh=make_mesh(meta.multichip),
-                ownership_level=plan.start_level)
+                ownership_level=plan.start_level,
+                cell_range=plan.owned_node_range)
         else:
             self.inner = TilingAlgorithmFast(sampling_strategy, persistence,
                                              meta, progress_reporter)
@@ -348,7 +357,6 @@ class TilingAlgorithmMultiHost:
         from ..core import morton
         from ..ops import indexing
         from ..tiling.arena import PointArena
-        from ..tiling.engine import NodeTask
 
         if not buffer.count:
             return
@@ -373,7 +381,7 @@ class TilingAlgorithmMultiHost:
                     owned_k.append(k)
                     owned_i.append(i)
                 else:
-                    inner._start_nodes_used.add((node_key, level))
+                    # _tile_split_start_nodes records _start_nodes_used
                     owned_nodes.append((node, k, i))
             else:
                 foreign.setdefault(self._owner_of(node_key), []).append(i)
@@ -388,22 +396,14 @@ class TilingAlgorithmMultiHost:
                              if len(id_parts) > 1 else id_parts[0]),
                 root.bounds, name)
         if owned_nodes:
-            # Same path the single-host engine takes (engine.process_batch):
-            # host level-synchronous native sweep over the owned start
-            # nodes first — fresh subtrees in one concatenated octree_sweep
-            # call, revisited ones via gather+sweep — with the per-node
-            # recursion only for what the sweep declines. Byte-identical
-            # to recursing every node (tests/test_multihost_e2e.py).
-            remaining = inner._host_sweep_batch_start_nodes(
-                arena, owned_nodes, root, level)
-            if remaining:
-                tasks = [NodeTask(node, root, k, i)
-                         for node, k, i in remaining]
-                if hasattr(inner, "_tile_start_nodes_parallel"):
-                    inner._tile_start_nodes_parallel(arena, tasks)
-                else:
-                    for task in tasks:
-                        inner._do_tiling_for_node(arena, task)
+            # The single-host engine's post-split pipeline (device fresh/
+            # revisit sweeps when --use-device, host level-synchronous
+            # native sweep, per-node recursion for what the sweeps
+            # decline) — shared via _tile_split_start_nodes so multihost
+            # owned batches take the same device path a single-host run
+            # does. Byte-identical to recursing every node
+            # (tests/test_multihost_e2e.py).
+            inner._tile_split_start_nodes(arena, owned_nodes, root, level)
         if owned_k:
             inner.process_sorted(arena, np.concatenate(owned_k),
                                  np.concatenate(owned_i), root)

@@ -463,6 +463,15 @@ class TilerProcess:
 
         if mh_plan is not None:
             from ..parallel.multihost import TilingAlgorithmMultiHost
+            if meta.tiling_strategy != TilingStrategy.Fast:
+                # the static Morton-block ownership requires FAST's fixed
+                # start level; silently running a different strategy than
+                # requested would be worse than refusing (the
+                # level_of_start_nodes setter raises for the same reason)
+                raise RuntimeError(
+                    f"--multihost requires the FAST tiling strategy "
+                    f"(got {meta.tiling_strategy.name}): octree ownership "
+                    f"is a fixed start-level Morton-block partition")
             mh_algorithm = TilingAlgorithmMultiHost(
                 sampling_strategy, persistence, meta, mh_plan, mh_coord,
                 self.progress)

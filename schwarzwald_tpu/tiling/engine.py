@@ -1114,8 +1114,17 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
         root = self._make_root(bounds)
         start_nodes = list(self._split_at_start_level(keys, ids, root))
         self._journal_start_nodes(start_nodes)
-        level = self.level_of_start_nodes
+        self._tile_split_start_nodes(arena, start_nodes, root,
+                                     self.level_of_start_nodes)
 
+    def _tile_split_start_nodes(self, arena, start_nodes, root,
+                                level: int) -> None:
+        """The post-split tiling pipeline for one batch's start nodes:
+        device fresh/revisit sweeps (when enabled), the host
+        level-synchronous sweep, then the per-node recursion for whatever
+        the sweeps declined. Shared by process_batch and the multihost
+        wrapper's owned-node stream so --multihost x --use-device takes
+        the same device path a single-host run does."""
         if self.meta.use_device and level > 0:
             # Fresh start nodes (no persisted file yet) have no cached
             # merges anywhere in their subtree, so their complete octree

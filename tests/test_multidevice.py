@@ -299,3 +299,41 @@ def test_cli_multichip_end_to_end(mesh, tmp_path, rng):
     assert total_single == 6000 or \
         np.unique(all_single, axis=0).shape[0] == 6000
     assert "r" in multi
+
+
+def test_exchange_cell_range_uses_all_devices(mesh, rng):
+    """Multihost x multichip: the exchange must stripe the host's OWNED
+    cell block over the local mesh. With the global stripe, a host
+    owning half the level-3 space feeds only half its devices on every
+    batch; with cell_range, all of them — and the routed stream is
+    conserved, block-partitioned, and sorted exactly as before."""
+    from schwarzwald_tpu.ops.device import ShardedExchange
+
+    n, n_dev = 4000, int(mesh.devices.size)
+    # keys confined to host 0's half of the level-3 space: cells [0, 256)
+    cells = rng.integers(0, 256, n, dtype=np.uint64)
+    low = rng.integers(0, 1 << 54, n, dtype=np.uint64)
+    keys = (cells << np.uint64(63 - 9)) | low
+    ids = np.arange(n, dtype=np.int64)
+
+    global_stripe = ShardedExchange(mesh, level=3)
+    per_dev_g, _ = global_stripe.route(keys, ids)
+    nonempty_g = sum(1 for k, _ in per_dev_g if k.size)
+    assert nonempty_g <= n_dev // 2  # the underutilization being fixed
+
+    ranged = ShardedExchange(mesh, level=3, cell_range=(0, 256))
+    per_dev_r, _ = ranged.route(keys, ids)
+    assert sum(1 for k, _ in per_dev_r if k.size) == n_dev
+
+    # conservation, contiguous-block ownership, per-device sorted order
+    seen = np.sort(np.concatenate([i for _, i in per_dev_r]))
+    np.testing.assert_array_equal(seen, ids)
+    for d, (k, _) in enumerate(per_dev_r):
+        if not k.size:
+            continue
+        c = (k >> np.uint64(63 - 9)).astype(np.int64)
+        np.testing.assert_array_equal((c * n_dev) // 256, d)
+        assert indexing.is_sorted(k)
+    # concatenating the devices reproduces the global stable sort
+    merged = np.concatenate([k for k, _ in per_dev_r])
+    np.testing.assert_array_equal(merged, np.sort(keys, kind="stable"))

@@ -292,3 +292,39 @@ def test_drain_and_discard_is_idempotent(tmp_path):
     finally:
         os.close(probe)
     assert stolen_fd >= 0  # sanity: the store really had an fd before
+
+
+def test_append_over_preexisting_inner_node_keeps_prior_points(tmp_path):
+    """A resumed run whose PRIOR session wrote node files WITHOUT the
+    spill (e.g. it ran single-batch, or --no-packed-spill): appending a
+    new batch to such a terminal node must keep the file's existing
+    points — the spill store must adopt them as the oldest extent, since
+    its own record otherwise shadows the inner fallback and the drain
+    would overwrite the file with only the new points."""
+    import numpy as np
+
+    from schwarzwald_tpu.core.aabb import AABB
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+    from schwarzwald_tpu.io.bin_persistence import BinaryPersistence
+    from schwarzwald_tpu.io.packed_spill import PackedSpillStore
+
+    bounds = AABB([0.0] * 3, [1.0] * 3)
+    prior = PointBuffer(np.full((4, 3), 0.25))
+    inner = BinaryPersistence(str(tmp_path))
+    inner.persist_points(prior, bounds, "r07")  # previous session's file
+
+    store = PackedSpillStore(BinaryPersistence(str(tmp_path)),
+                             str(tmp_path))
+    new = PointBuffer(np.full((3, 3), 0.75))
+    store.append_points(new, bounds, "r07")
+
+    got = store.retrieve_points("r07")
+    assert got.count == 7  # newest first, prior content last
+    np.testing.assert_array_equal(got.positions[:3], new.positions)
+    np.testing.assert_array_equal(got.positions[3:], prior.positions)
+
+    store.drain_and_discard()
+    final = BinaryPersistence(str(tmp_path)).retrieve_points("r07")
+    assert final.count == 7
+    np.testing.assert_array_equal(final.positions[:3], new.positions)
+    np.testing.assert_array_equal(final.positions[3:], prior.positions)
