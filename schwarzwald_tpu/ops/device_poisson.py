@@ -119,6 +119,20 @@ def poisson_accept_mask_device(sorted_keys: np.ndarray,
     n = positions.shape[0]
     if n == 0:
         return np.zeros(0, dtype=bool)
+    dev = (jax.devices(backend)[0] if backend in ("cpu", "tpu")
+           else jax.devices()[0])
+    if dev.platform != "cpu":
+        # ROUND-5: on a real accelerator the VMEM-resident Pallas kernel
+        # (ops/poisson_pallas) replaces the XLA fixpoint relaxation — same
+        # greedy semantics, ~200x the throughput (the relaxation's
+        # per-round full-array gathers ran at 5.4 kpts/s on v5e, a
+        # documented round-4 finding). f32 positions mean TPU output is
+        # valid-sampling-not-bit-parity vs the f64 host oracle (module
+        # docstring); the cpu backend below keeps f64 for the bit-exact
+        # parity tests.
+        from . import poisson_pallas
+        return poisson_pallas.poisson_accept_mask_pallas(
+            positions, spacing, analyze_mask, device=dev)
     depth = cell_depth(root_extent_x, spacing)
     if depth < 1 or depth > morton.MAX_LEVELS:
         return None
@@ -169,20 +183,8 @@ def poisson_accept_mask_device(sorted_keys: np.ndarray,
 
     dev = (jax.devices(backend)[0] if backend in ("cpu", "tpu")
            else jax.devices()[0])
-    pos_send = np.ascontiguousarray(positions)
-    if dev.platform != "cpu":
-        # ROUND-4 FIX of the TPU-worker fault: the f64 variant of this
-        # kernel drives the TPU compiler into a pathological (>10 min,
-        # effectively hung) compile on v5e — f64 is emulated there and
-        # the while_loop x fori_loop nest explodes under the emulation.
-        # The f32 variant compiles (~2 min once, then cached) and runs
-        # correctly. f32 positions can flip boundary-distance accepts vs
-        # the f64 host oracle; TPU output is already documented as
-        # valid-sampling-not-bit-parity (module docstring), while the cpu
-        # backend keeps f64 for the bit-exact parity tests.
-        pos_send = pos_send.astype(np.float32)
     with jax.default_device(dev):
         mask = np.asarray(_relax(
-            pos_send, seg_lo, seg_len, analyze,
+            np.ascontiguousarray(positions), seg_lo, seg_len, analyze,
             sq_spacing, max_seg=max_seg, n_offsets=len(_OFFSETS)))
     return mask[:n]
