@@ -406,6 +406,103 @@ def device_poisson_rate(backend: str = "cpu") -> float:
         return 0.0
 
 
+def _device_queue_rate(fn, pick, n: int, reps: int = 6) -> float:
+    """Compute-only rate: inputs pre-staged on device, `reps` dispatches
+    chained on the in-order device queue, ONE 1-element materialization at
+    the end (np.asarray of a tiny slice — the axon tunnel's
+    block_until_ready can return early, a real transfer cannot). The
+    single ~26 ms round-trip amortizes over the reps, so this isolates
+    device COMPUTE from the tunnel's transfer prices."""
+    r = fn()
+    np.asarray(pick(r))  # warm: compile + first exec
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn()
+    np.asarray(pick(r))  # in-order queue: forces all reps
+    return n * reps / (time.perf_counter() - t0)
+
+
+def device_compute_rates() -> dict:
+    """Round-4 verdict item 2: the three device programs' COMPUTE-only
+    rates (transfer excluded), making the 'wins when the accelerator is
+    local' claim a checkable inequality (roofline in ARCHITECTURE.md).
+    Bytes/point for each program's engine path are static knowledge and
+    reported alongside."""
+    out: dict = {}
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    # --- Morton encode + sort (ops/device.encode_sort_grid) -------------
+    try:
+        from schwarzwald_tpu.ops import device as dops
+
+        n = 1 << 19
+        rng = np.random.default_rng(0)
+        with jax.default_device(dev):
+            coords = [jax.device_put(
+                rng.integers(0, 1 << 21, n).astype(np.uint32), dev)
+                for _ in range(3)]
+            out["device_encode_sort_compute_pts_per_sec"] = round(
+                _device_queue_rate(
+                    lambda: dops.encode_sort_grid(*coords, level=3),
+                    lambda r: r.key_hi[:1], n), 1)
+        out["device_encode_sort_bytes_per_pt"] = "12 up / 8 down"
+    except Exception:
+        out["device_encode_sort_compute_pts_per_sec"] = 0.0
+    # --- octree level sweep (ops/device_tiling, RANDOM_GRID) ------------
+    try:
+        from schwarzwald_tpu.ops import device_tiling, indexing
+
+        n = 1 << 20
+        rng = np.random.default_rng(1)
+        pos = rng.uniform(1.0, 999.0, (n, 3))
+        keys, _ = indexing.index_points(pos, np.zeros(3), np.full(3, 1000.0))
+        keys = np.sort(keys)
+        hi = (keys >> np.uint64(32)).astype(np.uint32)
+        lo = keys.astype(np.uint32)
+        spacing = float(np.sqrt(3.0) * 1000.0 / 250.0)
+        cands = tuple(device_tiling.candidate_levels(1000.0, spacing, 20))
+        with jax.default_device(dev):
+            hi_j = jax.device_put(hi, dev)
+            lo_j = jax.device_put(lo, dev)
+            out["device_sweep_compute_pts_per_sec"] = round(
+                _device_queue_rate(
+                    lambda: device_tiling.octree_select_grid(
+                        hi_j, lo_j, cands, 20_000, 20,
+                        strategy="RANDOM_GRID"),
+                    lambda r: r[:1], n), 1)
+        out["device_sweep_bytes_per_pt"] = "4-8 up / 1 down"
+    except Exception:
+        out["device_sweep_compute_pts_per_sec"] = 0.0
+    # --- Poisson (MIN_DISTANCE) Pallas kernel (ops/poisson_pallas) ------
+    try:
+        from schwarzwald_tpu.ops import indexing
+        from schwarzwald_tpu.ops import poisson_pallas as pp
+
+        rng = np.random.default_rng(6)
+        n = 1 << 18
+        pos = rng.uniform(0.0, 64.0, (n, 3))
+        keys, clamped = indexing.index_points(
+            pos, np.zeros(3), np.full(3, 64.0))
+        keys, order = indexing.sort_with_keys(keys)
+        prep = pp._prep(clamped[order], 0.5, None)
+        if prep is not None:
+            planes, sqs, p_bi, p_bj, p_first, p_valid, _, n_blocks = prep
+            with jax.default_device(dev):
+                staged = [jax.device_put(a, dev) for a in
+                          (planes, sqs, p_bi, p_bj, p_first, p_valid)]
+                out["device_poisson_compute_pts_per_sec"] = round(
+                    _device_queue_rate(
+                        lambda: pp._run(*staged, n_blocks=n_blocks,
+                                        has_analyze=False),
+                        lambda r: r[:1, :1], n), 1)
+            out["device_poisson_bytes_per_pt"] = "12.3 up / 1 down"
+    except Exception:
+        out["device_poisson_compute_pts_per_sec"] = 0.0
+    return out
+
+
 def make_10m_input(tmp: str) -> str:
     """10M-point LAS input, shared between the parent (host rows) and the
     tpu fragment (device rows) via the common tmp dir."""
@@ -440,11 +537,15 @@ def rate_10m(tmp: str, use_device, reps: int) -> float:
 
 
 def revisit_sweep_rate(tmp: str) -> dict:
-    """Round-3 verdict item 8: the device REVISIT sweep as a measured row.
-    Out-of-core ACCURATE (4 batches; every batch after the first revisits
-    the whole tree as one start node) with the sweep forced on the
-    cpu-backend device vs host-only, same config. Includes the device
-    run's fallback counters."""
+    """Out-of-core ACCURATE revisits (4 batches; every batch after the
+    first revisits the whole tree as one start node), host-owned.
+
+    Round-5: the DEVICE revisit sweep was RETIRED after tracing the
+    round-4 loss (benchmark/revisit_retirement.md): its XLA level-sweep
+    executed the merged subtree ~8x slower than the native host sweep
+    with zero transfer cost — a kernel-exec gap no transfer optimization
+    could close. revisit_sweep_host_pts_per_sec remains the row of
+    record; revisit_sweep_retired marks the removal for r04 readers."""
     from schwarzwald_tpu.core.aabb import AABB
     from schwarzwald_tpu.core.attributes import OutputFormat
     from schwarzwald_tpu.core.pointbuffer import PointBuffer
@@ -475,16 +576,9 @@ def revisit_sweep_rate(tmp: str) -> dict:
             shutil.rmtree(o, ignore_errors=True)
             return elapsed, stats
 
-        dev_times = []
-        stats = {}
-        for i in range(2):
-            t, stats = run("cpu", i)
-            dev_times.append(t)
-        host_times = [run(None, i + 2)[0] for i in range(2)]
-        out["revisit_sweep_pts_per_sec"] = round(n / min(dev_times), 1)
+        host_times = [run(None, i)[0] for i in range(2)]
         out["revisit_sweep_host_pts_per_sec"] = round(n / min(host_times), 1)
-        out["revisit_sweep_sweeps_ok"] = stats.get("device_sweeps_ok", 0)
-        out["revisit_sweep_fallbacks"] = stats.get("device_fallbacks", 0)
+        out["revisit_sweep_retired"] = True
     except Exception:
         pass
     return out
@@ -578,6 +672,7 @@ def _fragment_tpu(tmp: str) -> dict:
         pass
     out["device_poisson_tpu_pts_per_sec"] = round(
         device_poisson_rate("tpu"), 1)
+    out.update(device_compute_rates())
     return out
 
 

@@ -247,9 +247,12 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                        max_depth: int, strategy: str = "RANDOM_GRID",
                        positions=None, root_min=None, root_max=None,
                        jit_cfgs: tuple = None, min_node_level: int = -1,
-                       cached_level=None, n_valid=None):
-    """Per-point octree assignment level for a Morton-sorted batch under
-    RANDOM_GRID, GRID_CENTER or JITTERED sampling.
+                       n_valid=None):
+    """Per-point octree assignment level for a Morton-sorted FRESH batch
+    under RANDOM_GRID, GRID_CENTER or JITTERED sampling. (Revisited
+    subtrees — merges with persisted caches — are owned by the native
+    host sweep: the round-5 retirement note in tiling/engine.py has the
+    measurements.)
 
     Returns int8 levels: 0 = unassigned (host fallback), otherwise
     node_level + 2 (so root -1 -> 1). GRID_CENTER/JITTERED need positions
@@ -261,29 +264,11 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
     strategy's fixed start-node level (each start node's subtree is tiled
     independently from that level down, TilingAlgorithms.cpp:1314-1351);
     -1 starts at the root (ACCURATE semantics).
-
-    cached_level (int8 per point, or None for a fresh batch): revisit
-    support. -128 marks incoming batch points; K >= min_node_level marks
-    a point re-read from the persisted node it currently lives at (loop
-    level K). Host-revisit semantics reproduced exactly:
-      * a cached point participates only at its own level and deeper —
-        the host never reconsiders a node's points for its ancestors
-        (read_pnts_from_disk merges at the owning node,
-        TilingAlgorithms.cpp:50-109);
-      * a node that has cached points ALWAYS samples (the
-        AlwaysAdhereToMinSpacing rule, TilingAlgorithms.cpp:272-275) —
-        take-all applies only to nodes without a persisted file;
-      * the caller must order the arrays by (key, tier) with incoming
-        before cached on ties (engine._merge_sorted: std::merge with the
-        batch as the first range) and shallower cache before deeper.
     """
     n = hi.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     # n_valid (traced scalar): number of real leading points — the
     # power-of-two padding tail must not join node counts or grid cells.
-    # (The revisit path achieves the same through cached_level=127
-    # padding; fresh batches pass n_valid and skip the 1 B/pt tier
-    # upload entirely.)
     remaining = (jnp.ones(n, dtype=bool) if n_valid is None
                  else iota < jnp.asarray(n_valid, jnp.int32))
     out = jnp.zeros(n, dtype=jnp.int8)
@@ -316,12 +301,7 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
             if 3 * needed > 31:
                 break
 
-        if cached_level is None:
-            participating = remaining
-        else:
-            participating = remaining & (
-                (cached_level == jnp.int8(-128))
-                | (cached_level <= jnp.int8(node_level)))
+        participating = remaining
 
         if is_terminal:
             selected = participating
@@ -336,19 +316,6 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
             _, before_node, in_node = _segment_fields(node_first,
                                                       participating, iota)
             take_all = in_node <= max_points
-            untouched = None
-            if cached_level is not None:
-                # AlwaysAdhere: any cached-at-this-level point in the
-                # segment means the node has a persisted file -> sample.
-                # But a node that receives NO entering points this batch
-                # (no incoming, nothing demoted from above) is never
-                # VISITED by the host recursion at all — its cache stays
-                # verbatim (crucially: a take-all cache is not one-per-
-                # cell, so re-sampling it would wrongly demote points).
-                own = participating & (cached_level == jnp.int8(node_level))
-                _, _, own_in_node = _segment_fields(node_first, own, iota)
-                take_all = take_all & (own_in_node == 0)
-                untouched = (own_in_node > 0) & (in_node == own_in_node)
 
             if strategy == "JITTERED":
                 pick = _pick_jittered(hi, lo, positions, node_level,
@@ -369,8 +336,6 @@ def octree_select_grid(hi, lo, cands: tuple, max_points: int,
                                                     participating, iota)
                 pick = participating & (before_cand == 0)
             selected = jnp.where(take_all, participating, pick)
-            if untouched is not None:
-                selected = jnp.where(untouched, own, selected)
             out = jnp.where(selected, jnp.int8(node_level + 2), out)
             remaining = remaining & ~selected
             return remaining, out
@@ -402,35 +367,6 @@ def octree_select_random_grid(hi, lo, cands: tuple, max_points: int,
                               max_depth: int):
     return octree_select_grid(hi, lo, cands, max_points, max_depth,
                               strategy="RANDOM_GRID")
-
-
-def _random_grid_level_plan(cands: tuple, max_points: int, max_depth: int,
-                            min_node_level: int, hi_only: bool):
-    """Static per-level plan for the while-loop RANDOM_GRID sweep:
-    (node_levels, cand_levels, terminal_level). Mirrors octree_select_grid's
-    unrolled control flow exactly: levels run from min_node_level until the
-    first terminal level (inclusive handling happens after the loop) or a
-    break (re-rooting / hi-word exhaustion)."""
-    max_level = min(MAX_LEVELS - 1, max_depth)
-    node_levels, cand_levels = [], []
-    terminal_level = None
-    for node_level in range(min_node_level, max_level + 1):
-        cand = cands[node_level + 1]
-        requires_deeper = cand > node_level
-        is_terminal = (node_level >= max_level if requires_deeper
-                       else cand >= max_level)
-        if not is_terminal and cand >= MAX_LEVELS:
-            break  # re-rooting: host engine finishes unassigned points
-        if hi_only:
-            needed = max(node_level + 1, cand + 1)
-            if 3 * needed > 31:
-                break  # lo word not shipped: host fallback from here on
-        if is_terminal:
-            terminal_level = node_level
-            break
-        node_levels.append(node_level)
-        cand_levels.append(cand)
-    return tuple(node_levels), tuple(cand_levels), terminal_level
 
 
 def _key_axis_bit_dyn(hi, lo, t, axis: int):
@@ -561,99 +497,6 @@ def _first_in_cell_dyn(hi, lo, groups):
     return first.at[1:].set(diff)
 
 
-@functools.partial(jax.jit, static_argnames=("cands", "max_points",
-                                             "max_depth", "min_node_level"))
-def octree_select_random_grid_while(hi, lo, cands: tuple, max_points: int,
-                                    max_depth: int, min_node_level: int = -1,
-                                    cached_level=None, n_valid=None):
-    """RANDOM_GRID sweep as ONE while-loop level body instead of ~22
-    statically-unrolled cond-wrapped levels. Produces bit-identical
-    assignments to octree_select_grid(strategy="RANDOM_GRID") — asserted
-    by tests/test_device_tiling.py.
-
-    Measured on this deployment (4M-point revisit shape, tunneled TPU,
-    fresh process): first call 33s vs 30s unrolled, warm 2.0s vs 1.4s —
-    the unrolled program's static shifts and per-level short-circuit win
-    at runtime and XLA compiles 22 unrolled levels fine. Kept selectable
-    (SCHWARZWALD_SWEEP_MODE=while) for backends where unrolled compile
-    cost dominates; the while predicate still short-circuits once every
-    point is assigned."""
-    from jax import lax
-
-    n = hi.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    node_levels, cand_levels, terminal_level = _random_grid_level_plan(
-        cands, max_points, max_depth, min_node_level, lo is None)
-    remaining0 = (jnp.ones(n, dtype=bool) if n_valid is None
-                  else iota < jnp.asarray(n_valid, jnp.int32))
-    out0 = jnp.zeros(n, dtype=jnp.int8)
-
-    if node_levels:
-        nl_arr = jnp.asarray(node_levels, jnp.int32)
-        cd_arr = jnp.asarray(cand_levels, jnp.int32)
-
-        def participating_at(remaining, node_level):
-            if cached_level is None:
-                return remaining
-            return remaining & (
-                (cached_level == jnp.int8(-128))
-                | (cached_level <= node_level.astype(jnp.int8)))
-
-        def body(state):
-            i, remaining, out = state
-            node_level = nl_arr[i]
-            cand = cd_arr[i]
-            participating = participating_at(remaining, node_level)
-            node_first = _first_in_cell_dyn(hi, lo, node_level + 1)
-            _, before_node, in_node = _segment_fields(node_first,
-                                                      participating, iota)
-            take_all = in_node <= max_points
-            untouched = None
-            own = None
-            if cached_level is not None:
-                own = participating & (
-                    cached_level == node_level.astype(jnp.int8))
-                _, _, own_in_node = _segment_fields(node_first, own, iota)
-                take_all = take_all & (own_in_node == 0)
-                untouched = (own_in_node > 0) & (in_node == own_in_node)
-            # cand == -1 (root "take the first point") vs grid pick
-            pick_first = _first_in_cell_dyn(hi, lo,
-                                            jnp.maximum(cand, 0) + 1)
-            _, before_cand, _ = _segment_fields(pick_first, participating,
-                                                iota)
-            pick_grid = participating & (before_cand == 0)
-            pick_root = participating & (before_node == 0)
-            pick = jnp.where(cand < 0, pick_root, pick_grid)
-            selected = jnp.where(take_all, participating, pick)
-            if untouched is not None:
-                selected = jnp.where(untouched, own, selected)
-            out = jnp.where(selected,
-                            (node_level + 2).astype(jnp.int8), out)
-            remaining = remaining & ~selected
-            return i + 1, remaining, out
-
-        def cond(state):
-            i, remaining, out = state
-            # `remaining` (not this level's participants): cached points
-            # owned by deeper levels must keep the loop alive even when a
-            # shallower level has no participants. An all-assigned batch
-            # still short-circuits, which is what makes uniform clouds
-            # cheap.
-            return (i < len(node_levels)) & jnp.any(remaining)
-
-        _, remaining, out = lax.while_loop(
-            cond, body, (jnp.int32(0), remaining0, out0))
-    else:
-        remaining, out = remaining0, out0
-
-    if terminal_level is not None:
-        participating = remaining if cached_level is None else (
-            remaining & ((cached_level == jnp.int8(-128))
-                         | (cached_level <= jnp.int8(terminal_level))))
-        out = jnp.where(participating, jnp.int8(terminal_level + 2), out)
-    return out
-
-
 def _grid_level_plan(strategy: str, cands: tuple, jit_cfgs: tuple,
                      max_depth: int, min_node_level: int, hi_only: bool):
     """Static per-level plan for the while-loop sweep, all three grid
@@ -701,7 +544,7 @@ def octree_select_grid_while(hi, lo, cands: tuple, max_points: int,
                              max_depth: int, strategy: str = "RANDOM_GRID",
                              positions=None, root_min=None, root_max=None,
                              jit_cfgs: tuple = None, min_node_level: int = -1,
-                             cached_level=None, n_valid=None):
+                             n_valid=None):
     """octree_select_grid as ONE while-loop level body — all three grid
     strategies, bit-identical output to the unrolled program (asserted by
     tests/test_device_tiling.py). Compiles 60-70x faster (the unrolled
@@ -729,29 +572,14 @@ def octree_select_grid_while(hi, lo, cands: tuple, max_points: int,
         else:
             cd_arr = jnp.asarray(cand_levels, jnp.int32)
 
-        def participating_at(remaining, node_level):
-            if cached_level is None:
-                return remaining
-            return remaining & (
-                (cached_level == jnp.int8(-128))
-                | (cached_level <= node_level.astype(jnp.int8)))
-
         def body(state):
             i, remaining, out = state
             node_level = nl_arr[i]
-            participating = participating_at(remaining, node_level)
+            participating = remaining
             node_first = _first_in_cell_dyn(hi, lo, node_level + 1)
             _, before_node, in_node = _segment_fields(node_first,
                                                       participating, iota)
             take_all = in_node <= max_points
-            untouched = None
-            own = None
-            if cached_level is not None:
-                own = participating & (
-                    cached_level == node_level.astype(jnp.int8))
-                _, _, own_in_node = _segment_fields(node_first, own, iota)
-                take_all = take_all & (own_in_node == 0)
-                untouched = (own_in_node > 0) & (in_node == own_in_node)
             if strategy == "JITTERED":
                 pick = _pick_jittered_dyn(
                     hi, lo, positions, node_level, cfg_arr[i], perms_arr[i],
@@ -773,8 +601,6 @@ def octree_select_grid_while(hi, lo, cands: tuple, max_points: int,
                 pick_root = participating & (before_node == 0)
                 pick = jnp.where(cand < 0, pick_root, pick_grid)
             selected = jnp.where(take_all, participating, pick)
-            if untouched is not None:
-                selected = jnp.where(untouched, own, selected)
             out = jnp.where(selected,
                             (node_level + 2).astype(jnp.int8), out)
             remaining = remaining & ~selected
@@ -782,6 +608,8 @@ def octree_select_grid_while(hi, lo, cands: tuple, max_points: int,
 
         def cond(state):
             i, remaining, out = state
+            # an all-assigned batch short-circuits the remaining levels,
+            # which is what makes uniform clouds cheap
             return (i < len(node_levels)) & jnp.any(remaining)
 
         _, remaining, out = lax.while_loop(
@@ -790,8 +618,5 @@ def octree_select_grid_while(hi, lo, cands: tuple, max_points: int,
         remaining, out = remaining0, out0
 
     if terminal_level is not None:
-        participating = remaining if cached_level is None else (
-            remaining & ((cached_level == jnp.int8(-128))
-                         | (cached_level <= jnp.int8(terminal_level))))
-        out = jnp.where(participating, jnp.int8(terminal_level + 2), out)
+        out = jnp.where(remaining, jnp.int8(terminal_level + 2), out)
     return out

@@ -438,7 +438,7 @@ class TilingAlgorithmBase:
     def _device_select_levels(self, arena, sorted_keys, sorted_ids,
                               root: NodeStructure, min_node_level: int = -1,
                               device=None, materialize: bool = True,
-                              cached_levels=None, hi_only: bool = False,
+                              hi_only: bool = False,
                               pad_to: int | None = None):
         """One jitted level-synchronous sweep (ops/device_tiling) computing
         every point's octree assignment. Returns int8 levels (node_level+2)
@@ -478,8 +478,8 @@ class TilingAlgorithmBase:
             # Pad to the next power of two so the jitted sweep compiles a
             # logarithmically bounded set of shapes instead of one program
             # per batch size. Padding keys are the max sentinel (sorted
-            # order preserved at the tail) and their cached_level 127
-            # never participates at any level, so they stay unassigned.
+            # order preserved at the tail); the traced n_valid fence keeps
+            # them out of every level, so they stay unassigned.
             n_real = hi.size
             n_pad = 1 << max(0, (n_real - 1).bit_length())
             if pad_to is not None:
@@ -494,17 +494,10 @@ class TilingAlgorithmBase:
                 if lo is not None:
                     lo = np.concatenate(
                         [lo, np.full(pad, 0xFFFFFFFF, np.uint32)])
-                if cached_levels is not None:
-                    cached_levels = np.concatenate(
-                        [cached_levels, np.full(pad, 127, np.int8)])
-            # Fresh batches keep cached_level=None: the sweep's fresh
-            # branch needs no per-point tier array, and skipping it saves
-            # 1 B/point of upload on a bandwidth-priced tunnel; the
-            # padding tail is fenced by the traced n_valid scalar instead.
-            kwargs = {"cached_level": None if cached_levels is None
-                      else jnp.asarray(cached_levels.astype(np.int8)),
-                      "n_valid": np.int32(n_real) if cached_levels is None
-                      else None}
+            # Fresh batches need no per-point tier array: the padding tail
+            # is fenced by the traced n_valid scalar instead (saves
+            # 1 B/point of upload on a bandwidth-priced tunnel).
+            kwargs = {"n_valid": np.int32(n_real)}
             if name in ("GRID_CENTER", "JITTERED"):
                 positions = arena.positions(sorted_ids)
                 if n_pad != n_real:
@@ -586,7 +579,6 @@ class TilingAlgorithmBase:
         sig = (hi_j.shape, None if lo_j is None else lo_j.shape,
                unrolled_args["cands"], unrolled_args["max_points"],
                unrolled_args["max_depth"], unrolled_args["min_node_level"],
-               unrolled_args.get("cached_level") is not None,
                unrolled_args.get("n_valid") is not None,
                "positions" in unrolled_args, device.platform)
         with cls._tiered_lock:
@@ -623,7 +615,9 @@ class TilingAlgorithmBase:
             return None
         device_levels, n_real = result
         try:
-            levels = np.asarray(device_levels)[:n_real]
+            from ..util.trace import trace_span
+            with trace_span("sweep_materialize", "device"):
+                levels = np.asarray(device_levels)[:n_real]
         except Exception as err:
             self._note_device_fallback(err)
             return None
@@ -665,45 +659,16 @@ class TilingAlgorithmBase:
                                    node.bounds, node.name)
                 self._report_indexed(int(e - s))
 
-    # -- device revisit sweep -------------------------------------------------
+    # -- revisit subtree gathering (host revisit sweep) -----------------------
 
-    # Use the device for a revisited subtree only when the incoming batch
-    # is substantial relative to the cached subtree: the sweep re-reads the
-    # WHOLE subtree while the host recursion touches only nodes on incoming
-    # paths, so tiny top-ups are cheaper on the host.
-    DEVICE_REVISIT_MIN_INCOMING = 4096
-    DEVICE_REVISIT_MAX_CACHE_RATIO = 4.0
-
-    def _device_revisit_start_nodes(self, arena, revisit_nodes, root,
-                                    level: int):
-        """Device octree sweep over REVISITED start-node subtrees (round-2
-        verdict item 4): gather each subtree's persisted points (keys
-        re-derived per node, exactly as the host merge path does), order
-        everything by (key, tier) with incoming-before-cached ties
-        (_merge_sorted's std::merge rule) and shallower cache first, run
-        the selection sweep with per-point participation floors +
-        per-node AlwaysAdhere, and rewrite the changed nodes. Byte-
-        identical to the host revisit path (tests/test_device_tiling.py).
-
-        Returns the list of start nodes actually handled on the device;
-        the caller host-tiles the rest."""
-        if self.sampling_strategy.name not in ("RANDOM_GRID", "GRID_CENTER",
-                                               "JITTERED"):
-            return []
-        gathered = self._gather_revisit_subtrees(
-            arena, revisit_nodes, root, self.DEVICE_REVISIT_MIN_INCOMING,
-            self.DEVICE_REVISIT_MAX_CACHE_RATIO)
-        if gathered is None:
-            return []
-        handled, keys, ids, tiers, cached_counts = gathered
-        lv = self._device_select_levels(
-            arena, keys, ids, root, min_node_level=level - 1,
-            cached_levels=tiers)
-        if lv is None:
-            return []
-        self._persist_revisit_assignment(arena, keys, ids, tiers, lv,
-                                         root, cached_counts)
-        return handled
+    # NOTE (round-5): the DEVICE revisit sweep was retired. Measured on a
+    # quiet box (benchmark/revisit_retirement.md): its XLA level-sweep
+    # executes the merged subtree ~8x slower than the native host sweep
+    # (0.39 s vs 0.05 s for the same 4-sweep workload) — a kernel-exec
+    # gap, not transfer — and the device sweep's measured compute-only
+    # rate (4.7 Mpts/s on real v5e) also loses to the native sweep
+    # (>20 Mpts/s/core). Revisits are owned by _host_revisit_start_nodes;
+    # fresh batches keep the device sweep (no merge, pure selection).
 
     def _gather_revisit_subtrees(self, arena, revisit_nodes, root,
                                  min_incoming, max_ratio):
@@ -1047,16 +1012,9 @@ class TilingAlgorithmAccurate(TilingAlgorithmBase):
                 and self._device_batch(arena, skeys, order, root)):
             self._any_batch_processed = True
             return
-        if self.meta.use_device and self.persistence.node_exists("r"):
-            # Later batches: the whole tree is one revisited "start node"
-            # at the root — the revisit sweep (host-merge precedence +
-            # participation floors, see TilingAlgorithmBase) covers
-            # ACCURATE's out-of-core batches on the device too.
-            handled = self._device_revisit_start_nodes(
-                arena, [(root, skeys, order)], root, 0)
-            if handled:
-                self._any_batch_processed = True
-                return
+        # Later batches revisit the whole tree from the root: the native
+        # host sweep owns revisits (the device revisit sweep was retired —
+        # see TilingAlgorithmBase's round-5 note).
         self._any_batch_processed = True
         # Host level-synchronous sweep (native octree_sweep) for whatever
         # the device paths did not take: the fresh first batch as one
@@ -1144,18 +1102,8 @@ class TilingAlgorithmFast(TilingAlgorithmBase):
                             (morton.parse_node_name(node.name)[0], level))
                     start_nodes = [sn for sn in start_nodes
                                    if sn[0].name not in fresh_names]
-            # Revisited subtrees: the device sweep over the merged
-            # (cached + incoming) point set, when worthwhile (round-2
-            # verdict item 4 — the device path for out-of-core batches).
-            handled = self._device_revisit_start_nodes(
-                arena, start_nodes, root, level)
-            if handled:
-                handled_names = {n.name for n in handled}
-                for n in handled:
-                    self._start_nodes_used.add(
-                        (morton.parse_node_name(n.name)[0], level))
-                start_nodes = [sn for sn in start_nodes
-                               if sn[0].name not in handled_names]
+            # Revisited subtrees go to the native host sweep below (the
+            # device revisit sweep was retired — round-5 note above).
 
         for node, k, i in start_nodes:
             if level > 0:

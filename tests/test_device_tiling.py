@@ -294,129 +294,6 @@ def test_fast_fresh_subtree_device_equals_host(rng, on_cpu):
                                       err_msg=name)
 
 
-# ---------------------------------------------------------------------------
-# Device revisit sweep (round-3: out-of-core batches on the device)
-# ---------------------------------------------------------------------------
-
-def _run_fast(batches, meta, sampling, pin_level=3, device=False):
-    sink = MemoryPersistence()
-    algo = make_tiling_algorithm(TilingStrategy.Fast,
-                                 SamplingStrategy(sampling, meta.max_points_per_node),
-                                 sink, meta)
-    algo.level_of_start_nodes = pin_level
-    if device:
-        algo.DEVICE_REVISIT_MIN_INCOMING = 1
-        algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
-    for pos in batches:
-        algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
-    algo.finalize(BOUNDS)
-    return sink, algo
-
-
-def _assert_identical(host_sink, dev_sink, sampling):
-    assert set(host_sink.node_names()) == set(dev_sink.node_names()), sampling
-    for name in host_sink.node_names():
-        a = host_sink.retrieve_points(name)
-        b = dev_sink.retrieve_points(name)
-        np.testing.assert_array_equal(
-            b.positions, a.positions,
-            err_msg=f"{sampling}: node {name} differs (order or content)")
-
-
-@pytest.mark.parametrize("sampling", ["RANDOM_GRID", "GRID_CENTER",
-                                      "JITTERED"])
-def test_device_revisit_sweep_identical_to_host(on_cpu, rng, sampling):
-    """Multi-batch FAST: batch 1 creates the subtrees (fresh sweep),
-    batches 2-3 REVISIT them — the device revisit sweep (host merge
-    precedence + participation floors + per-node AlwaysAdhere) must
-    reproduce the host merge path byte-for-byte, node for node,
-    including point ORDER within each node."""
-    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
-               for _ in range(3)]
-    # JITTERED needs >= 16^3 grids at every level (the reference raises
-    # below that); extent/spacing = 32 keeps every level legal
-    spacing = 2.0 if sampling == "JITTERED" else 6.0
-    meta_h = TilerMetaParameters(spacing_at_root=spacing,
-                                 max_points_per_node=200, concurrency=4)
-    meta_d = TilerMetaParameters(spacing_at_root=spacing,
-                                 max_points_per_node=200, concurrency=4,
-                                 use_device="cpu")
-    host_sink, _ = _run_fast(batches, meta_h, sampling)
-    dev_sink, dev_algo = _run_fast(batches, meta_d, sampling, device=True)
-    _assert_identical(host_sink, dev_sink, sampling)
-
-
-def test_device_revisit_sweep_with_terminal_nodes(on_cpu, rng):
-    """max_depth forces terminal nodes, whose host persist order is a
-    CONCAT (incoming stream, then cached file order), not a merge — the
-    revisit sweep must reproduce that order exactly across batches."""
-    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (6000, 3))
-               for _ in range(3)]
-    meta_h = TilerMetaParameters(spacing_at_root=4.0, max_points_per_node=50,
-                                 max_depth=5, concurrency=4)
-    meta_d = TilerMetaParameters(spacing_at_root=4.0, max_points_per_node=50,
-                                 max_depth=5, concurrency=4,
-                                 use_device="cpu")
-    host_sink, _ = _run_fast(batches, meta_h, "RANDOM_GRID")
-    dev_sink, _ = _run_fast(batches, meta_d, "RANDOM_GRID", device=True)
-    _assert_identical(host_sink, dev_sink, "RANDOM_GRID/terminal")
-
-
-def test_device_revisit_sweep_actually_ran(on_cpu, rng):
-    """Guard against silent fallback: the revisit path must handle start
-    nodes on the device (not fall back to host) for this workload."""
-    from schwarzwald_tpu.tiling import engine as eng
-
-    calls = {"handled": 0}
-    orig = eng.TilingAlgorithmFast._device_revisit_start_nodes
-
-    def spy(self, arena, revisit_nodes, root, level):
-        handled = orig(self, arena, revisit_nodes, root, level)
-        calls["handled"] += len(handled)
-        return handled
-
-    eng.TilingAlgorithmFast._device_revisit_start_nodes = spy
-    try:
-        batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
-                   for _ in range(2)]
-        meta_d = TilerMetaParameters(spacing_at_root=6.0,
-                                     max_points_per_node=200, concurrency=4,
-                                     use_device="cpu")
-        _run_fast(batches, meta_d, "RANDOM_GRID", device=True)
-    finally:
-        eng.TilingAlgorithmFast._device_revisit_start_nodes = orig
-    assert calls["handled"] > 0
-
-
-def test_device_revisit_sweep_accurate_multi_batch(on_cpu, rng):
-    """ACCURATE later batches revisit the whole tree from the root; the
-    revisit sweep must reproduce the host byte-for-byte there too."""
-    batches = [rng.uniform(BOUNDS.min, BOUNDS.max, (9000, 3))
-               for _ in range(3)]
-    meta_h = TilerMetaParameters(spacing_at_root=6.0,
-                                 max_points_per_node=200, concurrency=4)
-    meta_d = TilerMetaParameters(spacing_at_root=6.0,
-                                 max_points_per_node=200, concurrency=4,
-                                 use_device="cpu")
-
-    def run(meta, device):
-        sink = MemoryPersistence()
-        algo = make_tiling_algorithm(TilingStrategy.Accurate,
-                                     SamplingStrategy("RANDOM_GRID", 200),
-                                     sink, meta)
-        if device:
-            algo.DEVICE_REVISIT_MIN_INCOMING = 1
-            algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
-        for pos in batches:
-            algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
-        algo.finalize(BOUNDS)
-        return sink
-
-    host_sink = run(meta_h, False)
-    dev_sink = run(meta_d, True)
-    _assert_identical(host_sink, dev_sink, "ACCURATE/revisit")
-
-
 def test_device_path_falls_back_on_rerooting_depths(on_cpu, rng):
     """A cluster forcing candidate levels past the 21-level Morton range
     makes the sweep leave points unassigned; the engine must silently
@@ -435,9 +312,6 @@ def test_device_path_falls_back_on_rerooting_depths(on_cpu, rng):
         algo = make_tiling_algorithm(TilingStrategy.Accurate,
                                      SamplingStrategy("RANDOM_GRID", 100),
                                      sink, meta)
-        if device:
-            algo.DEVICE_REVISIT_MIN_INCOMING = 1
-            algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
         for pos in batches:
             algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
         algo.finalize(BOUNDS)
@@ -554,20 +428,19 @@ def _sorted_words(rng, n, lo_extent=64.0, span=None):
 
 @pytest.mark.parametrize("case", [
     "fresh", "fresh_coarse", "fresh_takeall", "fast_level3", "padded",
-    "hi_only", "terminal_depth3", "reroot", "cached",
+    "hi_only", "terminal_depth3", "reroot",
 ])
 def test_while_sweep_bit_identical_to_unrolled(on_cpu, rng, case):
-    """octree_select_random_grid_while is a drop-in replacement for the
+    """octree_select_grid_while is a drop-in replacement for the
     statically-unrolled octree_select_grid(RANDOM_GRID): identical int8
     output (including 0 = unassigned host-fallback markers) on the same
-    inputs, for fresh, padded, hi-only, FAST-start-level, terminal,
-    re-root and cached/revisit sweeps."""
+    inputs, for fresh, padded, hi-only, FAST-start-level, terminal and
+    re-root sweeps."""
     import jax.numpy as jnp
 
     n = 6000
     spacing, max_points, max_depth, minlv = 6.0, 200, 100, -1
     hi, lo = _sorted_words(rng, n)
-    cached = None
     n_valid = None
     if case == "fresh_coarse":
         spacing, max_points = 40.0, 50       # cand == -1 at the root
@@ -587,21 +460,16 @@ def test_while_sweep_bit_identical_to_unrolled(on_cpu, rng, case):
     elif case == "reroot":
         hi, lo = _sorted_words(rng, 3000, span=(10.0, 10.0001))
         spacing, max_points = 64.0 / 2 ** 18, 100
-    elif case == "cached":
-        # arbitrary mix of incoming (-128) and cached tiers: differential
-        # identity needs only the SAME inputs on both programs
-        minlv = 2
-        tiers = rng.choice(np.array([-128, 2, 3, 4], np.int8), n)
-        cached = jnp.asarray(np.sort(tiers))  # any per-point tier pattern
 
     cands = tuple(device_tiling.candidate_levels(64.0, spacing, max_depth))
     kw = dict(cands=cands, max_points=max_points, max_depth=max_depth,
-              min_node_level=minlv, cached_level=cached, n_valid=n_valid)
+              min_node_level=minlv, n_valid=n_valid)
     hi_j = jnp.asarray(hi)
     lo_j = None if lo is None else jnp.asarray(lo)
     want = device_tiling.octree_select_grid(hi_j, lo_j,
                                             strategy="RANDOM_GRID", **kw)
-    got = device_tiling.octree_select_random_grid_while(hi_j, lo_j, **kw)
+    got = device_tiling.octree_select_grid_while(hi_j, lo_j,
+                                                 strategy="RANDOM_GRID", **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                   err_msg=case)
 
@@ -665,7 +533,6 @@ def test_tiered_sweep_mode_matches_host_and_promotes(rng, on_cpu,
 @pytest.mark.parametrize("strategy", ["GRID_CENTER", "JITTERED"])
 @pytest.mark.parametrize("case", [
     "fresh", "fresh_takeall", "fast_level3", "padded", "terminal_depth3",
-    "cached",
 ])
 def test_while_sweep_positions_strategies_bit_identical(on_cpu, rng,
                                                         strategy, case):
@@ -681,7 +548,6 @@ def test_while_sweep_positions_strategies_bit_identical(on_cpu, rng,
     keys, _ = indexing.index_points(pos, BOUNDS.min, BOUNDS.max)
     order = indexing.sort_by_key(keys)
     skeys, spos = keys[order], pos[order]
-    cached = None
     n_valid = None
     if case == "fresh_takeall":
         max_points = 10 ** 6
@@ -695,16 +561,12 @@ def test_while_sweep_positions_strategies_bit_identical(on_cpu, rng,
         n_valid = np.int32(n)
     elif case == "terminal_depth3":
         max_depth, max_points = 3, 50
-    elif case == "cached":
-        minlv = 2
-        tiers = rng.choice(np.array([-128, 2, 3, 4], np.int8), n)
-        cached = jnp.asarray(np.sort(tiers))
 
     hi = (skeys >> np.uint64(32)).astype(np.uint32)
     lo = skeys.astype(np.uint32)
     cands = tuple(device_tiling.candidate_levels(64.0, spacing, max_depth))
     kw = dict(cands=cands, max_points=max_points, max_depth=max_depth,
-              min_node_level=minlv, cached_level=cached, n_valid=n_valid,
+              min_node_level=minlv, n_valid=n_valid,
               strategy=strategy, positions=jnp.asarray(spos),
               root_min=jnp.asarray(BOUNDS.min),
               root_max=jnp.asarray(BOUNDS.max))

@@ -71,9 +71,6 @@ def test_device_vs_host_differential(on_cpu, rng, case):
         if hasattr(algo, "level_of_start_nodes") and \
                 strategy == TilingStrategy.Fast:
             algo.level_of_start_nodes = 3
-        if device:
-            algo.DEVICE_REVISIT_MIN_INCOMING = 1
-            algo.DEVICE_REVISIT_MAX_CACHE_RATIO = 1e9
         for pos in batches:
             algo.process_batch(PointBuffer(pos.copy()), BOUNDS)
         algo.finalize(BOUNDS)
