@@ -743,7 +743,9 @@ def main() -> None:
         # host/device decision stays DATA in this JSON (round-2 verdict
         # item 4) — it now arrives from the tpu fragment, or as
         # device_unreachable when the accelerator tunnel is down.
-        tpu_rows = run_fragment("tpu", tmp, {}, 2400)
+        # round-5: +compute-only rows (one extra unrolled-sweep compile and
+        # the Pallas Poisson compile, both minutes each on the axon backend)
+        tpu_rows = run_fragment("tpu", tmp, {}, 3300)
         cpu_rows = run_fragment(
             "cpu", tmp, {"JAX_PLATFORMS": "cpu"}, 1800)
 
