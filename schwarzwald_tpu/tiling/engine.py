@@ -125,14 +125,17 @@ class TilingAlgorithmBase:
         self.persistence.persist_points(points, bounds, name)
         if self._node_cache is not None:
             if self.persistence.is_lossless and points.count:
-                self._node_cache.put(name, points)
+                # detach_base: cached slice views of a level gather would
+                # pin the whole gather (see PointBuffer.detach_base)
+                self._node_cache.put(name, points.detach_base())
             elif points.count and hasattr(self.persistence,
                                           "simulate_retrieve"):
                 # lossy sink: cache what a re-read would return — computed
                 # LAZILY on first retrieve (in-memory encode+decode
                 # roundtrip; IO and entropy coding are lossless and
                 # skipped), so nodes never revisited cost nothing
-                self._node_cache.put(name, _LazyQuantized(points, bounds))
+                self._node_cache.put(
+                    name, _LazyQuantized(points.detach_base(), bounds))
             else:
                 self._node_cache.remove(name)  # quantized re-read differs
 

@@ -75,6 +75,36 @@ def test_lru_cache_numpy_sizing():
     assert cache.try_get("x") is None  # evicted
 
 
+def test_pointbuffer_detach_base():
+    """Cached node buffers must own their memory: a slice view pins its
+    whole base array while the LRU accounts only the view's nbytes
+    (the 100M-soak RSS blow-up mode)."""
+    from schwarzwald_tpu.core.pointbuffer import PointBuffer
+
+    base = PointBuffer(np.arange(300, dtype=np.float64).reshape(100, 3))
+    from schwarzwald_tpu.core.attributes import PointAttribute
+    base.set_column(PointAttribute.Intensity,
+                    np.arange(100, dtype=np.uint16))
+    view = base.slice(10, 20)
+    assert view.positions.base is not None  # precondition: it IS a view
+    owned = view.detach_base()
+    assert owned.positions.base is None
+    assert all(arr.base is None for arr in owned.columns.values())
+    np.testing.assert_array_equal(owned.positions, view.positions)
+    np.testing.assert_array_equal(
+        owned.columns[PointAttribute.Intensity],
+        view.columns[PointAttribute.Intensity])
+    # already-owning buffers come back as-is (no copy)
+    assert owned.detach_base() is owned
+    # a view morton_keys alone forces the detach
+    owned2 = base.copy()
+    owned2.morton_keys = np.arange(200, dtype=np.uint64)[50:150]
+    detached = owned2.detach_base()
+    assert detached is not owned2
+    assert detached.morton_keys.base is None
+    np.testing.assert_array_equal(detached.morton_keys, owned2.morton_keys)
+
+
 def test_units():
     assert format_bytes(800 * (1 << 20)) == "800.00 MiB"
     assert format_bytes(256 * 10 ** 6, binary=False) == "256.00 MB"
